@@ -1,0 +1,25 @@
+"""Test env: force CPU platform with 8 virtual devices BEFORE jax imports.
+
+Multi-chip sharding is validated on a virtual 8-device CPU mesh (the driver's
+dryrun does the same); the real TPU is used only by bench.py. NOTE: in this
+container the axon sitecustomize may claim the TPU at interpreter startup —
+tests still run on CPU because of the env below; run pytest with
+``PYTHONPATH= JAX_PLATFORMS=cpu`` to avoid touching the TPU at all.
+"""
+
+import os
+
+os.environ["JAX_PLATFORMS"] = "cpu"
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+
+@pytest.fixture(scope="session")
+def rng():
+    return np.random.default_rng(1234)

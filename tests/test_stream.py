@@ -1,0 +1,112 @@
+"""End-to-end streaming pipeline vs the golden CPU chain (BASELINE configs 1-2)."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+import scipy.signal as sps
+
+from tpu_sdr.control import golden
+from tpu_sdr.core.config import FilterMode, PipelineConfig
+from tpu_sdr.runtime import SpectrumPipeline
+
+
+@pytest.fixture(scope="module")
+def pipe():
+    return SpectrumPipeline(PipelineConfig())
+
+
+def _db(x):
+    return 20.0 * np.log10(np.maximum(np.asarray(x, np.float64), 1e-12))
+
+
+def test_config1_tone_bypass_within_1db(pipe):
+    """Config 1: 100 kHz tone, Hann + FFT + magnitude vs golden, <=1 dB."""
+    x = golden.synth_tone(100_000.0, 16384, 1_000_000.0)
+    ref = golden.golden_pipeline(x, sos=None, window="hann")["magnitude"][0]
+    out, st = pipe.process(x.astype(np.float32), pipe.initial_state(), FilterMode.BYPASS)
+    mag = np.array(out["magnitude"])[0, 0]
+    # compare on bins with meaningful energy (top 60 dB)
+    mask = ref > ref.max() * 1e-3
+    diff_db = np.abs(_db(mag[mask]) - _db(ref[mask]))
+    assert diff_db.max() < 1.0
+    assert int(st.frame_count) == 1
+
+
+def test_config1_custom_filter_within_1db(pipe):
+    sos = sps.butter(12, 0.25, output="sos")
+    pipe.upload_sos(sos)
+    x = golden.synth_tone(100_000.0, 16384, 1_000_000.0, noise=0.01)
+    ref = golden.golden_pipeline(x, sos=sos, window="hann")["magnitude"][0]
+    out, _ = pipe.process(x.astype(np.float32), pipe.initial_state(), FilterMode.CUSTOM)
+    mag = np.array(out["magnitude"])[0, 0]
+    mask = ref > ref.max() * 1e-3
+    diff_db = np.abs(_db(mag[mask]) - _db(ref[mask]))
+    assert diff_db.max() < 1.0
+
+
+def test_config2_stream_chunks_equal_oneshot(pipe):
+    """Config 2: sequential blocks with carried IIR state == one long run."""
+    rng = np.random.default_rng(5)
+    sos = sps.ellip(12, 0.5, 70, 0.3, output="sos")
+    pipe.upload_sos(sos)
+    x = rng.standard_normal(8 * 16384).astype(np.float32)
+
+    out_whole, st_whole = pipe.process(x, pipe.initial_state(), FilterMode.CUSTOM)
+    mags_whole = np.array(out_whole["magnitude"])[0]
+
+    st = pipe.initial_state()
+    mags = []
+    for chunk in np.split(x, 4):
+        out, st = pipe.process(chunk, st, FilterMode.CUSTOM)
+        mags.append(np.array(out["magnitude"])[0])
+    mags_chunked = np.concatenate(mags, axis=0)
+
+    assert np.array_equal(mags_chunked, mags_whole), "chunking changed bits"
+    assert int(st.frame_count) == 8
+    assert np.array_equal(np.array(st.sos_state), np.array(st_whole.sos_state))
+
+
+def test_fixed_mode_matches_golden_fixed_sos(pipe):
+    x = golden.synth_tone(50_000.0, 16384, 1_000_000.0, noise=0.05, seed=9)
+    ref = golden.golden_pipeline(x, sos=golden.fixed_filter_sos())["magnitude"][0]
+    out, _ = pipe.process(x.astype(np.float32), pipe.initial_state(), FilterMode.FIXED)
+    mag = np.array(out["magnitude"])[0, 0]
+    mask = ref > ref.max() * 1e-3
+    diff_db = np.abs(_db(mag[mask]) - _db(ref[mask]))
+    assert diff_db.max() < 1.0
+
+
+def test_multichannel_independent(pipe):
+    rng = np.random.default_rng(11)
+    x = rng.standard_normal((3, 16384)).astype(np.float32)
+    st = pipe.initial_state()
+    # state shape is (channels,...) from cfg; build explicit 3-channel state
+    from tpu_sdr.runtime.state import StreamState
+
+    st3 = StreamState(
+        sos_state=jnp.zeros((3, 6, 2), jnp.float32),
+        window_phase=st.window_phase,
+        frame_count=st.frame_count,
+    )
+    out, _ = pipe.process(x, st3, FilterMode.FIXED)
+    mags = np.array(out["magnitude"])
+    for c in range(3):
+        st1 = StreamState(
+            sos_state=jnp.zeros((1, 6, 2), jnp.float32),
+            window_phase=st.window_phase,
+            frame_count=st.frame_count,
+        )
+        out1, _ = pipe.process(x[c : c + 1], st1, FilterMode.FIXED)
+        assert np.array_equal(np.array(out1["magnitude"])[0], mags[c])
+
+
+def test_rtl_faithful_window_mode():
+    pipe_rtl = SpectrumPipeline(PipelineConfig(rtl_faithful_window=True))
+    x = golden.synth_tone(100_000.0, 16384, 1_000_000.0)
+    ref = golden.golden_pipeline(x, sos=None, window="rtl")["magnitude"][0]
+    out, _ = pipe_rtl.process(
+        x.astype(np.float32), pipe_rtl.initial_state(), FilterMode.BYPASS
+    )
+    mag = np.array(out["magnitude"])[0, 0]
+    mask = ref > ref.max() * 1e-3
+    assert np.abs(_db(mag[mask]) - _db(ref[mask])).max() < 1.0

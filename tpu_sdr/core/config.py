@@ -1,0 +1,127 @@
+"""Configuration for the TPU SDR pipeline.
+
+The reference has three configuration tiers (SURVEY.md §5.6):
+
+  (a) compile-time VHDL generics / vendor IP parameters (FFT N, FIFO depth,
+      baud, widths) — here: the static, hashable ``PipelineConfig`` that shapes
+      all traced programs;
+  (b) the GUI's USER CONFIG constant block
+      (reference ``scripts/fft_analyzer_gui.py:17-54``) — here:
+      ``HostConfig`` (ports, addresses, display rates);
+  (c) the runtime single-byte command protocol + ``web_config`` dict — here:
+      the runtime command API in ``tpu_sdr.control`` mutating a small dynamic
+      state (filter mode, comm mode, coefficients), never shapes.
+
+Anything that changes a traced shape lives in ``PipelineConfig`` and triggers
+a (cached) recompile; everything else is data.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import enum
+
+
+class FilterMode(enum.IntEnum):
+    """Datapath routing, mirroring reference command bytes.
+
+    Reference: ``src/command_control.vhd:46-74`` decodes 0x00 (fixed filter),
+    0xA1 (custom filter), 0xB1 (bypass, the reset default :31).
+    """
+
+    FIXED = 0x00
+    CUSTOM = 0xA1
+    BYPASS = 0xB1
+
+
+class CommMode(enum.IntEnum):
+    """Output transport select, mirroring reference ``imp/sequ2.vhd:82-96``."""
+
+    ETHERNET = 0xEF
+    UART = 0xFE
+
+
+@dataclasses.dataclass(frozen=True)
+class PipelineConfig:
+    """Static (shape-defining) configuration. Hashable; safe as a jit static.
+
+    Defaults reproduce the reference scale facts (SURVEY.md §0):
+    16K-point FFT, 1 MSPS, 12th-order IIR = 6 biquad sections.
+    """
+
+    # FFT frame length; must equal fft_n1 * fft_n2.
+    fft_size: int = 16384
+    # Four-step FFT factors. 128x128 keeps both DFT matmuls MXU-shaped.
+    fft_n1: int = 128
+    fft_n2: int = 128
+    # Biquad cascade depth: 12th-order = 6 second-order sections
+    # (reference imp/filter_iir12.vhd: 6 cascaded filter_iir stages).
+    n_sections: int = 6
+    # Blocked-scan block length for the IIR state-space kernel. 128 makes the
+    # per-block Toeplitz operator a 128x128 MXU tile.
+    iir_block: int = 128
+    # Number of parallel channels processed together (the reference has 2
+    # always-on filter banks; BASELINE configs scale 1 -> 64 -> 4096).
+    channels: int = 1
+    # Nominal sample rate in Hz (display/derived quantities only; never a
+    # traced shape). Reference: XADC 1 MSPS.
+    sample_rate: float = 1_000_000.0
+    # Window/FFT hop. fft_size = no overlap (the reference's behavior: the
+    # window phase counter wraps every 16384 samples, src/hann8192.vhd:41-44).
+    hop: int | None = None
+    # Compute dtype policy: "f32" (default fast path) or "bf16" inputs with
+    # f32 accumulation for the matmul-heavy kernels.
+    dtype: str = "f32"
+    # When True, use the RTL-faithful offset window (2*hann-1 = -cos) instead
+    # of the true Hann window. See quirks register, SURVEY.md §7 item (a);
+    # reference scripts/hann_coeff.py:4-5 stores (hann-0.5)*2^16.
+    rtl_faithful_window: bool = False
+
+    def __post_init__(self):
+        if self.fft_n1 * self.fft_n2 != self.fft_size:
+            raise ValueError(
+                f"fft_n1*fft_n2 ({self.fft_n1}*{self.fft_n2}) != fft_size "
+                f"({self.fft_size})"
+            )
+        if self.fft_size % self.iir_block != 0:
+            raise ValueError("fft_size must be a multiple of iir_block")
+        if self.hop is not None and not (0 < self.hop <= self.fft_size):
+            raise ValueError("hop must be in (0, fft_size]")
+
+    @property
+    def effective_hop(self) -> int:
+        return self.fft_size if self.hop is None else self.hop
+
+    @property
+    def bins_per_hz(self) -> float:
+        return self.fft_size / self.sample_rate
+
+    @property
+    def hz_per_bin(self) -> float:
+        # Reference README.md:166 — ~61 Hz/bin at 1 MSPS / 16K.
+        return self.sample_rate / self.fft_size
+
+
+@dataclasses.dataclass
+class HostConfig:
+    """Host-edge (transport / GUI) configuration.
+
+    Mirrors the USER CONFIG block of the reference GUI
+    (``scripts/fft_analyzer_gui.py:17-54``).
+    """
+
+    udp_bind_ip: str = "0.0.0.0"
+    udp_port: int = 6006
+    expected_src_ip: str = "169.254.252.255"
+    expected_src_port: int = 5005
+    frame_size_bytes: int = 65536
+    packets_per_frame: int = 64
+    packet_data_size: int = 1024
+    ethernet_payload_size: int = 1025
+    display_fps_cap: float = 30.0
+    http_port: int = 5000
+    uart_baud: int = 230400
+
+
+def default_config(**overrides) -> PipelineConfig:
+    return PipelineConfig(**overrides)

@@ -1,0 +1,2 @@
+from tpu_sdr.runtime.state import StreamState  # noqa: F401
+from tpu_sdr.runtime.stream import SpectrumPipeline  # noqa: F401
