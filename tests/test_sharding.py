@@ -1,0 +1,115 @@
+"""Sharding invariance: any (channel, time) mesh == single device, bit-exact.
+
+Runs on a virtual 8-device CPU mesh (conftest sets
+xla_force_host_platform_device_count=8) — the same mechanism the driver's
+multi-chip dryrun uses.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+import scipy.signal as sps
+
+from tpu_sdr.core.config import FilterMode, PipelineConfig
+from tpu_sdr.runtime import SpectrumPipeline
+from tpu_sdr.runtime.state import StreamState
+from tpu_sdr.shard import ShardedSpectrumPipeline, make_sdr_mesh
+
+
+N = 16384
+
+
+def _mk_input(channels, frames, seed=0):
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((channels, frames * N)).astype(np.float32)
+
+
+def _state(channels):
+    return StreamState(
+        sos_state=jnp.zeros((channels, 6, 2), jnp.float32),
+        window_phase=jnp.zeros((), jnp.int32),
+        frame_count=jnp.zeros((), jnp.int32),
+    )
+
+
+@pytest.fixture(scope="module")
+def single():
+    return SpectrumPipeline(PipelineConfig())
+
+
+@pytest.mark.parametrize("mesh_shape", [(1, 8), (2, 4), (8, 1)])
+def test_sharded_equals_single_device(single, mesh_shape):
+    channels, time = mesh_shape
+    cfg = PipelineConfig(channels=max(channels, 2))
+    mesh = make_sdr_mesh(channel=channels, time=time)
+    sharded = ShardedSpectrumPipeline(cfg, mesh)
+    sos = sps.butter(12, 0.22, output="sos")
+    sharded.upload_sos(sos)
+    single.upload_sos(sos)
+
+    C = max(channels, 2)
+    x = _mk_input(C, 8, seed=3)
+
+    out_s, st_s = sharded.process(x, _state(C), FilterMode.CUSTOM)
+    out_1, st_1 = single.process(x, _state(C), FilterMode.CUSTOM)
+
+    mag_s = np.array(out_s["magnitude"])
+    mag_1 = np.array(out_1["magnitude"])
+    assert mag_s.shape == mag_1.shape
+    assert np.array_equal(mag_s, mag_1), (
+        f"mesh {mesh_shape}: sharded spectra differ from single-device "
+        f"(max abs diff {np.abs(mag_s - mag_1).max()})"
+    )
+    assert np.array_equal(np.array(st_s.sos_state), np.array(st_1.sos_state))
+    assert int(st_s.frame_count) == int(st_1.frame_count) == 8
+
+
+def test_sharded_stream_chunks_carry_state():
+    mesh = make_sdr_mesh(channel=1, time=8)
+    cfg = PipelineConfig(channels=1)
+    sharded = ShardedSpectrumPipeline(cfg, mesh)
+    sos = sps.cheby1(12, 0.5, 0.3, output="sos")
+    sharded.upload_sos(sos)
+    x = _mk_input(1, 16, seed=4)
+
+    out_w, st_w = sharded.process(x, _state(1), FilterMode.CUSTOM)
+    st = _state(1)
+    mags = []
+    for chunk in np.split(x, 2, axis=-1):
+        out, st = sharded.process(chunk, st, FilterMode.CUSTOM)
+        mags.append(np.array(out["magnitude"]))
+    mag_c = np.concatenate(mags, axis=1)
+    mag_w = np.array(out_w["magnitude"])
+    # Different dispatch shapes may round differently (XLA picks per-shape
+    # matmul strategies); the contract across *different* chunkings is float
+    # tolerance. Bit-exactness holds for equal dispatch shapes / mesh shapes.
+    assert np.abs(mag_c - mag_w).max() / mag_w.max() < 1e-5
+    assert np.abs(
+        np.array(st.sos_state) - np.array(st_w.sos_state)
+    ).max() < 1e-5
+    # Equal-shape dispatches ARE bit-deterministic: re-run the chunked stream.
+    st2 = _state(1)
+    mags2 = []
+    for chunk in np.split(x, 2, axis=-1):
+        out, st2 = sharded.process(chunk, st2, FilterMode.CUSTOM)
+        mags2.append(np.array(out["magnitude"]))
+    assert np.array_equal(np.concatenate(mags2, axis=1), mag_c)
+    assert np.array_equal(np.array(st2.sos_state), np.array(st.sos_state))
+
+
+def test_bypass_mode_sharded(single):
+    mesh = make_sdr_mesh(channel=2, time=4)
+    cfg = PipelineConfig(channels=2)
+    sharded = ShardedSpectrumPipeline(cfg, mesh)
+    x = _mk_input(2, 4, seed=6)
+    out_s, _ = sharded.process(x, _state(2), FilterMode.BYPASS)
+    out_1, _ = single.process(x, _state(2), FilterMode.BYPASS)
+    assert np.array_equal(
+        np.array(out_s["magnitude"]), np.array(out_1["magnitude"])
+    )
+
+
+def test_mesh_validation():
+    with pytest.raises(ValueError):
+        make_sdr_mesh(channel=3, time=3)

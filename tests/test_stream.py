@@ -97,7 +97,11 @@ def test_multichannel_independent(pipe):
             frame_count=st.frame_count,
         )
         out1, _ = pipe.process(x[c : c + 1], st1, FilterMode.FIXED)
-        assert np.array_equal(np.array(out1["magnitude"])[0], mags[c])
+        m1 = np.array(out1["magnitude"])[0]
+        # Channels are mathematically independent; different batch shapes may
+        # round differently (per-shape XLA matmul strategies), so compare
+        # within float tolerance.
+        assert np.abs(m1 - mags[c]).max() / (mags[c].max() + 1e-30) < 1e-5
 
 
 def test_rtl_faithful_window_mode():

@@ -137,18 +137,14 @@ def _affine_combine(left, right):
     return m2 @ m1, m2 @ v1 + v2
 
 
-def _block_state_chain(AL, f, z0, frame_blocks: int):
-    """Solve z_end[g] = AL z_in[g] + f[g] over g = 0..G-1 hierarchically.
+def _within_frame_prefix(AL, f, frame_blocks: int):
+    """Inclusive prefix of the affine maps inside each frame.
 
-    f: (..., G, 2); z0: (..., 2). Returns (z_in (..., G, 2), z_final (..., 2)).
-
-    Two levels: an associative scan over the fixed-size within-frame axis
-    (always exactly ``frame_blocks`` elements, so the reduction tree — and
-    therefore every rounding — is identical no matter how many frames a
-    dispatch carries), then a sequential ``lax.scan`` across frames. This
-    makes chunked streaming *bit-identical* to one-shot processing for any
-    frame-aligned chunking — the determinism contract the reference's CDC
-    discipline approximates (SURVEY.md §5.2).
+    f: (..., G, 2) block forcings -> (cmats (..., F, B, 2, 2),
+    cvecs (..., F, B, 2, 1)) with B = frame_blocks, F = G // B.
+    The scan tree is always over exactly B elements, so the reduction order
+    — and therefore every rounding — is identical no matter how many frames
+    a dispatch carries or how frames are sharded across devices.
     """
     G = f.shape[-2]
     if G % frame_blocks:
@@ -158,30 +154,61 @@ def _block_state_chain(AL, f, z0, frame_blocks: int):
     fF = f.reshape(*lead, F, frame_blocks, 2)
     mats = jnp.broadcast_to(AL, (*fF.shape[:-1], 2, 2))
     vecs = fF[..., :, None]
-    # Within-frame inclusive prefix of the affine maps (axis = frame_blocks).
-    cmats, cvecs = jax.lax.associative_scan(
+    return jax.lax.associative_scan(
         _affine_combine, (mats, vecs), axis=fF.ndim - 2
     )
-    # Frame summary: total transition + forcing of each frame.
-    m_last = cmats[..., -1, :, :]  # (..., F, 2, 2)
-    v_last = cvecs[..., -1, :, :]  # (..., F, 2, 1)
 
-    # Sequential chain across frames (identical op order for any chunking).
+
+def _frame_chain(m_frames, v_frames, z0):
+    """Sequential affine chain across frames — the canonical state order.
+
+    m_frames (..., F, 2, 2), v_frames (..., F, 2, 1), z0 (..., 2).
+    Returns (z_final (..., 2), z_starts (..., F, 2, 1)): the state at the
+    START of each frame. One op order for any chunking/sharding.
+    """
+    lead = m_frames.shape[:-3]
+
     def step(z, mv):
         m, v = mv
         return m @ z + v, z
 
-    mF = jnp.moveaxis(m_last, len(lead), 0)  # (F, ..., 2, 2)
-    vF = jnp.moveaxis(v_last, len(lead), 0)
+    mF = jnp.moveaxis(m_frames, len(lead), 0)
+    vF = jnp.moveaxis(v_frames, len(lead), 0)
     z_final, z_starts = jax.lax.scan(step, z0[..., :, None], (mF, vF))
-    z_starts = jnp.moveaxis(z_starts, 0, len(lead))  # (..., F, 2, 1)
+    return z_final[..., 0], jnp.moveaxis(z_starts, 0, len(lead))
 
-    # z_in of block j in frame f: j=0 -> frame start; else within-frame
-    # z_end of block j-1 = cmats[j-1] z_start + cvecs[j-1].
+
+def _z_in_from_prefix(cmats, cvecs, z_starts):
+    """Assemble per-block incoming states from within-frame prefixes.
+
+    z_in of block j in frame f: j=0 -> frame start; else within-frame
+    z_end of block j-1 = cmats[j-1] z_start + cvecs[j-1].
+    Returns (..., G, 2).
+    """
+    lead = cmats.shape[:-4]
+    F, B = cmats.shape[-4], cmats.shape[-3]
     zs = z_starts[..., :, None, :, :]  # (..., F, 1, 2, 1)
     z_end_within = cmats @ zs + cvecs  # (..., F, B, 2, 1)
     z_in = jnp.concatenate([zs, z_end_within[..., :-1, :, :]], axis=-3)
-    return z_in[..., 0].reshape(*lead, G, 2), z_final[..., 0]
+    return z_in[..., 0].reshape(*lead, F * B, 2)
+
+
+def _block_state_chain(AL, f, z0, frame_blocks: int):
+    """Solve z_end[g] = AL z_in[g] + f[g] over g = 0..G-1 hierarchically.
+
+    f: (..., G, 2); z0: (..., 2). Returns (z_in (..., G, 2), z_final (..., 2)).
+
+    Two levels: an associative scan over the fixed-size within-frame axis,
+    then a sequential ``lax.scan`` across frames. This makes chunked
+    streaming *bit-identical* to one-shot processing for any frame-aligned
+    chunking — the determinism contract the reference's CDC discipline
+    approximates (SURVEY.md §5.2).
+    """
+    cmats, cvecs = _within_frame_prefix(AL, f, frame_blocks)
+    z_final, z_starts = _frame_chain(
+        cmats[..., -1, :, :], cvecs[..., -1, :, :], z0
+    )
+    return _z_in_from_prefix(cmats, cvecs, z_starts), z_final
 
 
 def sosfilt_blocked(
@@ -219,6 +246,295 @@ def sosfilt_blocked(
         )
         zf_out.append(z_final)
         v = y
+    zf = jnp.stack(zf_out, axis=-2)
+    return v.reshape(*lead, G * L), zf
+
+
+def sos_to_composite_statespace(sos: np.ndarray):
+    """Compose the whole cascade into one m = 2S state linear system (host f64).
+
+    Series interconnection of the per-section TDF-II systems: the composite
+    state is the per-section states stacked section-major, so it reshapes
+    1:1 to/from the scipy ``zi`` (S, 2) convention. Returns (A (m,m), B (m,),
+    C (m,), D ()) float64.
+    """
+    sos = np.asarray(sos, np.float64)
+    S = sos.shape[0]
+    m = 2 * S
+    A = np.zeros((m, m))
+    Bv = np.zeros(m)
+    R = np.zeros(m)  # y_{s-1} = R . z[n-1] + g * u[n]
+    g = 1.0
+    for s in range(S):
+        b0, b1, b2, a0, a1, a2 = sos[s]
+        b0, b1, b2, a1, a2 = b0 / a0, b1 / a0, b2 / a0, a1 / a0, a2 / a0
+        As = np.array([[-a1, 1.0], [-a2, 0.0]])
+        Bs = np.array([b1 - a1 * b0, b2 - a2 * b0])
+        Cs = np.array([1.0, 0.0])
+        sl = slice(2 * s, 2 * s + 2)
+        A[sl, :] = np.outer(Bs, R)
+        A[sl, sl] += As
+        Bv[sl] = Bs * g
+        R_new = b0 * R
+        R_new[sl] += Cs
+        R, g = R_new, b0 * g
+    return A, Bv, R, g
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class BlockedSOSComposite:
+    """Precomputed blocked operator for the composite (single-system) cascade.
+
+    The high-throughput form: per frame of B blocks x L samples,
+
+      y_zs   = x @ T^T                  one (L,L) Toeplitz matmul per block
+      zhat   = f_flat @ W^T             one (B*m, B*m) causal block-Toeplitz
+                                        matmul per frame (zero-state chain)
+      z_end[j] = APow[j] z_start + zhat[j]     (APow[j] = A^(j+1), constant)
+      y      = y_zs + z_in @ M^T
+
+    All heavy terms are dense constant matmuls (MXU); the only remaining
+    sequential work is the per-frame chain z_{f+1} = A^B z_f + zhat[B-1],
+    one 12-dim affine step per frame.
+
+    Leaves: T (L,L), M (L,m), P (m,L), APow (B,m,m), W (B*m,B*m), ALB (m,m).
+    """
+
+    T: Any
+    M: Any
+    P: Any
+    APow: Any
+    W: Any
+    ALB: Any
+
+    @property
+    def block(self) -> int:
+        return self.T.shape[0]
+
+    @property
+    def state_dim(self) -> int:
+        return self.M.shape[1]
+
+    @property
+    def frame_blocks(self) -> int:
+        return self.APow.shape[0]
+
+
+def precompute_composite(
+    sos: np.ndarray, block: int = 128, frame_blocks: int = 128, dtype=jnp.float32
+) -> BlockedSOSComposite:
+    """Build the composite blocked operator (host-side, float64 internals)."""
+    A, Bv, C, D = sos_to_composite_statespace(sos)
+    m = A.shape[0]
+    L, B = block, frame_blocks
+
+    # Sample-level powers A^0..A^L (for h, M, P and the block transition).
+    pows = np.empty((L + 1, m, m))
+    pows[0] = np.eye(m)
+    for k in range(1, L + 1):
+        pows[k] = A @ pows[k - 1]
+
+    # Impulse response h[0] = D, h[n] = C A^(n-1) B.
+    h = np.empty(L)
+    h[0] = D
+    h[1:] = np.einsum("i,kij,j->k", C, pows[: L - 1], Bv)
+    n_idx = np.arange(L)[:, None]
+    k_idx = np.arange(L)[None, :]
+    delta = n_idx - k_idx
+    T = np.where(delta >= 0, h[np.clip(delta, 0, L - 1)], 0.0)
+
+    # M[n] = C A^n ; P[:, k] = A^(L-1-k) B.
+    M = np.einsum("i,nij->nj", C, pows[:L])
+    P = np.einsum("kij,j->ik", pows[L - 1 :: -1], Bv)
+
+    # Block-level powers AL^0..AL^B of the per-block transition AL = A^L.
+    AL = pows[L]
+    alpows = np.empty((B + 1, m, m))
+    alpows[0] = np.eye(m)
+    for k in range(1, B + 1):
+        alpows[k] = AL @ alpows[k - 1]
+
+    # W[j*m+a, i*m+b] = (AL^(j-i))[a, b] for i <= j else 0.
+    dj = np.arange(B)[:, None] - np.arange(B)[None, :]
+    Wb = np.where(
+        (dj >= 0)[:, :, None, None], alpows[np.clip(dj, 0, B)], 0.0
+    )  # (B, B, m, m)
+    W = Wb.transpose(0, 2, 1, 3).reshape(B * m, B * m)
+
+    as_j = lambda a: jnp.asarray(a, dtype=dtype)
+    return BlockedSOSComposite(
+        T=as_j(T),
+        M=as_j(M),
+        P=as_j(P),
+        APow=as_j(alpows[1 : B + 1]),
+        W=as_j(W),
+        ALB=as_j(alpows[B]),
+    )
+
+
+def _composite_frame_terms(op: BlockedSOSComposite, v, precision):
+    """Shared per-frame parallel work for the composite cascade.
+
+    v: (..., F, B, L) windowed input blocks. Returns (y_zs, zhat) with
+    y_zs (..., F, B, L) and zhat (..., F, B, m) the within-frame zero-state
+    chain values.
+    """
+    m = op.state_dim
+    B = op.frame_blocks
+    y_zs = jnp.einsum("...bl,nl->...bn", v, op.T, precision=precision)
+    f = jnp.einsum("...bl,cl->...bc", v, op.P, precision=precision)
+    lead = f.shape[:-2]
+    zhat_flat = jnp.einsum(
+        "...i,ji->...j", f.reshape(*lead, B * m), op.W, precision=precision
+    )
+    return y_zs, zhat_flat.reshape(*lead, B, m)
+
+
+def _composite_emit(op, y_zs, zhat, z_starts, precision):
+    """Assemble outputs given per-frame start states.
+
+    z_starts: (..., F, m). Returns y (..., F, B, L).
+    """
+    # z_end[j] = APow[j] z_start + zhat[j]; z_in[0] = z_start, else z_end[j-1].
+    z_end = (
+        jnp.einsum("jab,...b->...ja", op.APow, z_starts, precision=precision)
+        + zhat
+    )
+    z_in = jnp.concatenate([z_starts[..., None, :], z_end[..., :-1, :]], axis=-2)
+    return y_zs + jnp.einsum("nm,...bm->...bn", op.M, z_in, precision=precision)
+
+
+def sosfilt_blocked_composite(
+    op: BlockedSOSComposite,
+    x: jnp.ndarray,
+    zi: jnp.ndarray,
+    precision=Precision.HIGHEST,
+):
+    """Composite-cascade filter: x (..., T), T a multiple of B*L (frame size).
+
+    zi: (..., S, 2) scipy-convention state. Returns (y, zf) with identical
+    interface to ``sosfilt_blocked``. Chunked streaming at frame granularity
+    is bit-identical to one-shot processing (canonical per-frame math + a
+    sequential frame chain).
+    """
+    L, B, m = op.block, op.frame_blocks, op.state_dim
+    lead = x.shape[:-1]
+    F = x.shape[-1] // (B * L)
+    v = x.reshape(*lead, F, B, L)
+    z0 = zi.reshape(*lead, m)
+
+    y_zs, zhat = _composite_frame_terms(op, v, precision)
+
+    # Sequential chain across frames: z_{f+1} = ALB z_f + zhat[f, -1].
+    def step(z, w):
+        return jnp.einsum("ab,...b->...a", op.ALB, z) + w, z
+
+    w_frames = jnp.moveaxis(zhat[..., -1, :], len(lead), 0)  # (F, ..., m)
+    z_final, z_starts = jax.lax.scan(step, z0, w_frames)
+    z_starts = jnp.moveaxis(z_starts, 0, len(lead))  # (..., F, m)
+
+    y = _composite_emit(op, y_zs, zhat, z_starts, precision)
+    return y.reshape(*lead, F * B * L), z_final.reshape(*lead, m // 2, 2)
+
+
+def sosfilt_blocked_composite_timesharded(
+    op: BlockedSOSComposite,
+    x_local: jnp.ndarray,
+    zi: jnp.ndarray,
+    *,
+    time_axis: str,
+    precision=Precision.HIGHEST,
+):
+    """Time-sharded composite cascade (frames sharded over ``time_axis``).
+
+    Only the per-frame m-vector summaries cross the interconnect; every
+    device replays the identical global frame chain and selects its slice,
+    so results are bit-identical to the unsharded composite path.
+    """
+    L, B, m = op.block, op.frame_blocks, op.state_dim
+    lead = x_local.shape[:-1]
+    F_local = x_local.shape[-1] // (B * L)
+    v = x_local.reshape(*lead, F_local, B, L)
+    z0 = zi.reshape(*lead, m)
+    frame_ax = len(lead)
+
+    y_zs, zhat = _composite_frame_terms(op, v, precision)
+
+    w_local = zhat[..., -1, :]  # (..., F_local, m)
+    w_all = jax.lax.all_gather(w_local, time_axis, axis=frame_ax, tiled=True)
+
+    def step(z, w):
+        return jnp.einsum("ab,...b->...a", op.ALB, z) + w, z
+
+    wF = jnp.moveaxis(w_all, frame_ax, 0)
+    z_final, z_starts_all = jax.lax.scan(step, z0, wF)
+    z_starts_all = jnp.moveaxis(z_starts_all, 0, frame_ax)
+
+    t_idx = jax.lax.axis_index(time_axis)
+    z_starts = jax.lax.dynamic_slice_in_dim(
+        z_starts_all, t_idx * F_local, F_local, axis=frame_ax
+    )
+    y = _composite_emit(op, y_zs, zhat, z_starts, precision)
+    return (
+        y.reshape(*lead, F_local * B * L),
+        z_final.reshape(*lead, m // 2, 2),
+    )
+
+
+def sosfilt_blocked_timesharded(
+    op: BlockedSOS,
+    x_local: jnp.ndarray,
+    zi: jnp.ndarray,
+    *,
+    time_axis: str,
+    frame_blocks: int,
+    precision=Precision.HIGHEST,
+):
+    """Time-sharded cascade: each device holds a contiguous slice of frames.
+
+    Runs inside ``shard_map`` with mesh axis ``time_axis``. The TPU-native
+    replacement for the reference's single-stream sequencing: local MXU work
+    is embarrassingly parallel; only the per-frame 2-state summaries (a few
+    hundred bytes) cross the interconnect via ``all_gather``, after which
+    every device replays the *identical* global frame chain and selects its
+    slice — so the result is bit-identical to the single-device pipeline
+    (SURVEY.md §2.7 sequence-parallel row, §5.7).
+
+    x_local: (..., T_local); zi: (..., S, 2) GLOBAL stream-head state
+    (replicated). Returns (y_local, zf_global).
+    """
+    L = op.block
+    S = op.n_sections
+    lead = x_local.shape[:-1]
+    G = x_local.shape[-1] // L
+    F_local = G // frame_blocks
+    t_idx = jax.lax.axis_index(time_axis)
+    v = x_local.reshape(*lead, G, L)
+    zf_out = []
+    frame_ax = len(lead)  # axis of F in (..., F, 2, 2)
+    for s in range(S):
+        z0 = zi[..., s, :]
+        y_zs = jnp.einsum("...gl,nl->...gn", v, op.T[s], precision=precision)
+        f = jnp.einsum("...gl,cl->...gc", v, op.P[s], precision=precision)
+        cmats, cvecs = _within_frame_prefix(op.AL[s], f, frame_blocks)
+        # Tiny per-frame summaries -> every device, in frame order.
+        m_all = jax.lax.all_gather(
+            cmats[..., -1, :, :], time_axis, axis=frame_ax, tiled=True
+        )
+        v_all = jax.lax.all_gather(
+            cvecs[..., -1, :, :], time_axis, axis=frame_ax, tiled=True
+        )
+        # Replicated global chain (identical op order on every device).
+        z_final, z_starts_all = _frame_chain(m_all, v_all, z0)
+        z_starts = jax.lax.dynamic_slice_in_dim(
+            z_starts_all, t_idx * F_local, F_local, axis=frame_ax
+        )
+        z_in = _z_in_from_prefix(cmats, cvecs, z_starts)
+        v = y_zs + jnp.einsum(
+            "nc,...gc->...gn", op.M[s], z_in, precision=precision
+        )
+        zf_out.append(z_final)
     zf = jnp.stack(zf_out, axis=-2)
     return v.reshape(*lead, G * L), zf
 
@@ -279,6 +595,27 @@ def sosfilt_q15_scan(sos_x64: jnp.ndarray, x_q15: jnp.ndarray, zi: jnp.ndarray):
 
     zf, y = jax.lax.scan(sample_step, zi, jnp.moveaxis(x_q15, -1, 0))
     return jnp.moveaxis(y, 0, -1), zf
+
+
+def pad_sos(sos: np.ndarray, n_sections: int) -> np.ndarray:
+    """Pad an SOS cascade to exactly ``n_sections`` with identity sections.
+
+    Mirrors the reference GUI, which pads/truncates designs to its fixed
+    2-section wire format with identity sections [64,0,0,64,0,0]
+    (``fft_analyzer_gui.py:1185-1192``). Padding keeps the engine's state
+    shape static so coefficient reloads never recompile. More sections than
+    ``n_sections`` is an error (the design doesn't fit the engine).
+    """
+    sos = np.atleast_2d(np.asarray(sos, dtype=np.float64))
+    if sos.shape[0] > n_sections:
+        raise ValueError(
+            f"design has {sos.shape[0]} sections; engine supports at most "
+            f"{n_sections} (order {2 * n_sections})"
+        )
+    if sos.shape[0] < n_sections:
+        pad = sos_identity(n_sections - sos.shape[0])
+        sos = np.concatenate([sos, pad], axis=0)
+    return sos
 
 
 def sos_identity(n_sections: int = 6) -> np.ndarray:

@@ -48,6 +48,7 @@ def process_stream(
     mode_index: int,
     cfg: PipelineConfig,
     outputs: str = "magnitude",
+    time_axis: str | None = None,
 ):
     """Process a stream chunk x (..., channels, T), T a multiple of fft_size.
 
@@ -55,12 +56,19 @@ def process_stream(
     ``mode_index``: 0 bypass / 1 fixed / 2 custom (static — each mode is its
     own compiled program, mirroring the reference's datapath mux
     ``src/command_control.vhd:81-120``).
+
+    ``time_axis``: when running inside ``shard_map`` with the stream's frame
+    axis sharded over a mesh axis of that name, the IIR state chain exchanges
+    per-frame summaries over the interconnect and stays bit-identical to the
+    unsharded run; counters then account for the global stream.
     """
     n = cfg.fft_size
     prec = _precision(cfg)
     t = x.shape[-1]
     n_frames = t // n
     lead = x.shape[:-1]  # (..., channels)
+    t_global = t if time_axis is None else t * jax.lax.psum(1, time_axis)
+    n_frames_global = t_global // n
 
     # 1. Window over the continuous stream. With frame-aligned hops the
     #    phase is static 0; keep the general path for hop != n later.
@@ -73,13 +81,14 @@ def process_stream(
         zf = state.sos_state
     else:
         op = op_fixed if mode_index == 1 else op_custom
-        y, zf = biquad.sosfilt_blocked(
-            op,
-            xw,
-            state.sos_state,
-            precision=prec,
-            frame_blocks=n // cfg.iir_block,
-        )
+        if time_axis is None:
+            y, zf = biquad.sosfilt_blocked_composite(
+                op, xw, state.sos_state, precision=prec
+            )
+        else:
+            y, zf = biquad.sosfilt_blocked_composite_timesharded(
+                op, xw, state.sos_state, time_axis=time_axis, precision=prec
+            )
 
     # 3. Per-frame FFT (real input: the reference zero-pads imag,
     #    src/command_control.vhd:123).
@@ -96,8 +105,8 @@ def process_stream(
 
     new_state = StreamState(
         sos_state=zf,
-        window_phase=(state.window_phase + t) % n,
-        frame_count=state.frame_count + n_frames,
+        window_phase=(state.window_phase + t_global) % n,
+        frame_count=state.frame_count + n_frames_global,
     )
     return out, new_state
 
@@ -115,14 +124,14 @@ class SpectrumPipeline:
             self.cfg.fft_size, self.cfg.rtl_faithful_window
         )
         self.plan = fft.plan_constants(self.cfg.fft_n1, self.cfg.fft_n2)
-        self.op_fixed = jax.jit(biquad.precompute, static_argnums=1)(
-            jnp.asarray(golden.fixed_filter_sos(), jnp.float32), self.cfg.iir_block
+        fb = self.cfg.fft_size // self.cfg.iir_block
+        self.op_fixed = biquad.precompute_composite(
+            golden.fixed_filter_sos(), self.cfg.iir_block, fb
         )
         # Custom bank boots as identity (pass-through) until coefficients are
         # uploaded — the analog of the zeroed coefficient RAM.
-        self.op_custom = jax.jit(biquad.precompute, static_argnums=1)(
-            jnp.asarray(biquad.sos_identity(self.cfg.n_sections), jnp.float32),
-            self.cfg.iir_block,
+        self.op_custom = biquad.precompute_composite(
+            biquad.sos_identity(self.cfg.n_sections), self.cfg.iir_block, fb
         )
         self._jitted = {}
 
@@ -140,7 +149,7 @@ class SpectrumPipeline:
         outside the unit circle) are rejected — the blocked operator raises
         A to the 128th power, which overflows to inf/nan for unstable poles.
         """
-        sos = np.asarray(sos, dtype=np.float64)
+        sos = biquad.pad_sos(sos, self.cfg.n_sections)
         for i, sec in enumerate(sos):
             poles = np.roots(sec[3:6])
             if np.any(np.abs(poles) >= 1.0):
@@ -148,8 +157,8 @@ class SpectrumPipeline:
                     f"SOS section {i} is unstable (|pole| = "
                     f"{np.max(np.abs(poles)):.4f} >= 1); refusing upload"
                 )
-        self.op_custom = jax.jit(biquad.precompute, static_argnums=1)(
-            jnp.asarray(sos, jnp.float32), self.cfg.iir_block
+        self.op_custom = biquad.precompute_composite(
+            sos, self.cfg.iir_block, self.cfg.fft_size // self.cfg.iir_block
         )
 
     def _fn(self, mode_index: int, outputs: str):

@@ -1,0 +1,2 @@
+from tpu_sdr.shard.mesh import make_sdr_mesh  # noqa: F401
+from tpu_sdr.shard.pipeline import ShardedSpectrumPipeline  # noqa: F401

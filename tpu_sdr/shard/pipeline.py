@@ -1,0 +1,146 @@
+"""Sharded spectrum pipeline: shard_map over a (channel, time) mesh.
+
+The distributed equivalent of the reference's single-stream dataflow
+(SURVEY.md §2.8): instead of UART/Ethernet framing between producer and
+consumer, shards exchange only the per-frame IIR state summaries over
+ICI/DCN collectives; spectra come out sharded (channel, frame) and are
+gathered (or packetized per-shard) at the host edge.
+
+Bit-consistency contract: for any mesh shape, outputs and final state are
+bit-identical to the single-device ``SpectrumPipeline`` — validated in
+tests/test_sharding.py on a virtual 8-device CPU mesh.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from tpu_sdr.core.config import FilterMode, PipelineConfig
+from tpu_sdr.kernels import biquad, window, fft
+from tpu_sdr.control import golden
+from tpu_sdr.runtime.state import StreamState
+from tpu_sdr.runtime.stream import process_stream, _MODE_TO_INDEX
+
+
+class ShardedSpectrumPipeline:
+    """Multi-device engine: x (C, T) sharded (channel, time-frames).
+
+    The carried stream-head state is replicated over the time axis (it is
+    the state at the global stream head; every device derives its own
+    entry state from the gathered frame summaries).
+    """
+
+    def __init__(self, cfg: PipelineConfig | None = None, mesh=None):
+        from tpu_sdr.shard.mesh import make_sdr_mesh
+
+        self.cfg = cfg or PipelineConfig()
+        self.mesh = mesh if mesh is not None else make_sdr_mesh()
+        self.hann_w = window.hann_coefficients(
+            self.cfg.fft_size, self.cfg.rtl_faithful_window
+        )
+        self.plan = fft.plan_constants(self.cfg.fft_n1, self.cfg.fft_n2)
+        fb = self.cfg.fft_size // self.cfg.iir_block
+        self.op_fixed = biquad.precompute_composite(
+            golden.fixed_filter_sos(), self.cfg.iir_block, fb
+        )
+        self.op_custom = biquad.precompute_composite(
+            biquad.sos_identity(self.cfg.n_sections), self.cfg.iir_block, fb
+        )
+        self._jitted = {}
+
+    def initial_state(self) -> StreamState:
+        return StreamState.initial(self.cfg.channels, self.cfg.n_sections)
+
+    def upload_sos(self, sos: np.ndarray):
+        sos = biquad.pad_sos(sos, self.cfg.n_sections)
+        for i, sec in enumerate(sos):
+            poles = np.roots(sec[3:6])
+            if np.any(np.abs(poles) >= 1.0):
+                raise ValueError(
+                    f"SOS section {i} is unstable (|pole| = "
+                    f"{np.max(np.abs(poles)):.4f} >= 1); refusing upload"
+                )
+        self.op_custom = biquad.precompute_composite(
+            sos, self.cfg.iir_block, self.cfg.fft_size // self.cfg.iir_block
+        )
+
+    def _fn(self, mode_index: int, outputs: str):
+        key = (mode_index, outputs)
+        if key in self._jitted:
+            return self._jitted[key]
+
+        state_specs = StreamState(
+            sos_state=P("channel", None, None),
+            window_phase=P(),
+            frame_count=P(),
+        )
+        out_specs_map = {
+            "magnitude": {"magnitude": P("channel", "time", None)},
+            "power": {"power": P("channel", "time", None)},
+            "complex": {"re": P("channel", "time", None), "im": P("channel", "time", None)},
+            "all": {
+                "magnitude": P("channel", "time", None),
+                "re": P("channel", "time", None),
+                "im": P("channel", "time", None),
+            },
+        }[outputs]
+
+        body = functools.partial(
+            process_stream,
+            mode_index=mode_index,
+            cfg=self.cfg,
+            outputs=outputs,
+            time_axis="time",
+        )
+
+        shmapped = jax.shard_map(
+            body,
+            mesh=self.mesh,
+            in_specs=(
+                P("channel", "time"),  # x (C, T)
+                state_specs,
+                P(None),  # op_fixed (replicated pytree)
+                P(None),  # op_custom
+                P(None),  # hann_w
+                P(None),  # plan
+            ),
+            out_specs=(out_specs_map, state_specs),
+            check_vma=False,
+        )
+        self._jitted[key] = jax.jit(shmapped)
+        return self._jitted[key]
+
+    def shard_input(self, x) -> jax.Array:
+        """Place host samples (C, T) onto the mesh with the canonical layout.
+
+        The time axis is split into contiguous per-device frame runs —
+        the sharded analog of the reference's sequential frame stream.
+        """
+        x = jnp.asarray(x, jnp.float32)
+        if x.ndim == 1:
+            x = x[None, :]
+        return jax.device_put(
+            x, NamedSharding(self.mesh, P("channel", "time"))
+        )
+
+    def process(
+        self,
+        x,
+        state: StreamState,
+        mode: FilterMode = FilterMode.BYPASS,
+        outputs: str = "magnitude",
+    ):
+        x = self.shard_input(x)
+        tpd = self.mesh.shape["time"] * self.cfg.fft_size
+        if x.shape[-1] % tpd:
+            raise ValueError(
+                f"stream chunk length {x.shape[-1]} must be a multiple of "
+                f"time_shards*fft_size = {tpd}"
+            )
+        fn = self._fn(_MODE_TO_INDEX[FilterMode(mode)], outputs)
+        return fn(x, state, self.op_fixed, self.op_custom, self.hann_w, self.plan)
