@@ -4,15 +4,26 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 Baseline = the reference FPGA's 1 MSPS real-time rate (BASELINE.md);
 target = >= 1 GSPS/chip (BASELINE.json north star).
 
-Run on the real TPU with the ambient environment (single process!).
+Methodology notes (this container's axon TPU tunnel):
+- first call pays a ~5-9 min remote compile (no terminal-side cache);
+  progress goes to stderr so the driver sees liveness;
+- host<->device sync round trips cost ~35 ms each, so naive per-dispatch
+  timing measures the tunnel, not the chip. We time K=2 vs K=22 chained
+  dispatches (state-dependent, so they serialize on device) and take the
+  slope — constant sync/launch overhead cancels, leaving device time.
 """
 
 from __future__ import annotations
 
 import json
+import sys
 import time
 
 import numpy as np
+
+
+def log(msg):
+    print(msg, file=sys.stderr, flush=True)
 
 
 def main():
@@ -20,12 +31,11 @@ def main():
     import jax.numpy as jnp
     import scipy.signal as sps
 
-    from tpu_sdr.core.config import PipelineConfig
+    from tpu_sdr.core.config import FilterMode, PipelineConfig
     from tpu_sdr.runtime import SpectrumPipeline
     from tpu_sdr.runtime.state import StreamState
-    from tpu_sdr.core.config import FilterMode
 
-    dev = jax.devices()[0]
+    log(f"bench: devices = {jax.devices()}")
     # Work size per dispatch: C channels x F frames of 16K samples.
     C, F = 8, 16
     cfg = PipelineConfig(channels=C)
@@ -35,37 +45,44 @@ def main():
     n = cfg.fft_size
     samples_per_dispatch = C * F * n
     rng = np.random.default_rng(0)
-    x_host = rng.standard_normal((C, F * n)).astype(np.float32)
-    x = jax.device_put(jnp.asarray(x_host), dev)
+    x = jnp.asarray(rng.standard_normal((C, F * n)), jnp.float32)
     state = StreamState(
         sos_state=jnp.zeros((C, cfg.n_sections, 2), jnp.float32),
         window_phase=jnp.zeros((), jnp.int32),
         frame_count=jnp.zeros((), jnp.int32),
     )
 
-    # Warmup / compile.
-    out, st = pipe.process(x, state, FilterMode.CUSTOM)
-    jax.block_until_ready(out["magnitude"])
+    log("bench: compiling (first call; may take several minutes on the tunnel)...")
+    t0 = time.time()
+    out, _ = pipe.process(x, state, FilterMode.CUSTOM)
+    float(out["magnitude"].ravel()[0])
+    log(f"bench: compile+first call {time.time() - t0:.1f}s")
 
-    # Timed: chain dispatches with carried state (true streaming behavior).
-    iters = 20
-    t0 = time.perf_counter()
-    st_t = state
-    outs = []
-    for _ in range(iters):
-        out, st_t = pipe.process(x, st_t, FilterMode.CUSTOM)
-        outs.append(out["magnitude"])
-    jax.block_until_ready(outs[-1])
-    dt = time.perf_counter() - t0
+    def run_k(k: int) -> float:
+        st = state
+        t0 = time.perf_counter()
+        for _ in range(k):
+            out, st = pipe.process(x, st, FilterMode.CUSTOM)
+        float(out["magnitude"].ravel()[0])  # one sync at the end
+        return time.perf_counter() - t0
 
-    sps_rate = samples_per_dispatch * iters / dt
+    run_k(3)  # warm the executable/queues
+    t_short = min(run_k(2) for _ in range(3))
+    t_long = min(run_k(22) for _ in range(3))
+    per_dispatch = (t_long - t_short) / 20
+    log(
+        f"bench: K=2 {t_short * 1e3:.1f} ms, K=22 {t_long * 1e3:.1f} ms, "
+        f"per-dispatch {per_dispatch * 1e3:.3f} ms"
+    )
+    rate = samples_per_dispatch / per_dispatch
+
     print(
         json.dumps(
             {
                 "metric": "samples_per_sec_per_chip_window_iir12_fft16k",
-                "value": sps_rate,
+                "value": rate,
                 "unit": "samples/s",
-                "vs_baseline": sps_rate / 1_000_000.0,
+                "vs_baseline": rate / 1_000_000.0,
             }
         )
     )
