@@ -1,0 +1,149 @@
+"""Wire format, packetization, CRC/IP parity, native layer, UDP loopback."""
+
+import numpy as np
+import pytest
+import zlib
+
+from tpu_sdr.transport import (
+    FRAME_SIZE_BYTES,
+    MultiPacketAssembler,
+    crc32_ethernet,
+    decode_frame,
+    frame_to_packets,
+    packets_to_frame,
+    spectrum_to_frame_bytes,
+)
+from tpu_sdr.transport import crc32 as crc32_mod
+from tpu_sdr.transport import ipstack, native
+
+
+def _spectrum(seed=0):
+    rng = np.random.default_rng(seed)
+    re = (rng.standard_normal(16384) * 1000).astype(np.float32)
+    im = (rng.standard_normal(16384) * 1000).astype(np.float32)
+    return re, im
+
+
+def test_frame_roundtrip():
+    re, im = _spectrum()
+    frame = spectrum_to_frame_bytes(re, im)
+    assert len(frame) == FRAME_SIZE_BYTES
+    re2, im2, mag = decode_frame(frame)
+    assert np.max(np.abs(re2 - np.rint(re))) <= 0
+    assert np.allclose(mag, np.sqrt(re2**2 + im2**2))
+
+
+def test_frame_saturation():
+    re = np.array([1e9, -1e9] + [0.0] * 16382, dtype=np.float32)
+    im = np.zeros(16384, dtype=np.float32)
+    r2, _, _ = decode_frame(spectrum_to_frame_bytes(re, im))
+    assert r2[0] == 32767 and r2[1] == -32768
+
+
+def test_packetize_roundtrip_out_of_order():
+    re, im = _spectrum(1)
+    frame = spectrum_to_frame_bytes(re, im)
+    pkts = frame_to_packets(frame)
+    assert len(pkts) == 64 and all(len(p) == 1025 for p in pkts)
+    assert [p[0] for p in pkts] == list(range(64))
+    rng = np.random.default_rng(0)
+    shuffled = [pkts[i] for i in rng.permutation(64)]
+    assert packets_to_frame(shuffled) == frame
+
+
+def test_assembler_eviction():
+    t = [0.0]
+    asm = MultiPacketAssembler(stale_after=3.5, clock=lambda: t[0])
+    re, im = _spectrum(2)
+    pkts = frame_to_packets(spectrum_to_frame_bytes(re, im))
+    for p in pkts[:10]:
+        assert asm.add(p) is None
+    t[0] = 10.0  # stale: partial frame evicted
+    for p in pkts[:-1]:
+        assert asm.add(p) is None
+    out = asm.add(pkts[-1])
+    assert out is not None
+    assert asm.packets_dropped == 10
+    assert asm.frames_assembled == 1
+
+
+def test_crc32_matches_zlib_and_residue():
+    data = b"The quick brown fox jumps over the lazy dog" * 7
+    assert crc32_ethernet(data) == zlib.crc32(data)
+    frame = data + crc32_mod.fcs_bytes(data)
+    assert crc32_mod.check_frame(frame)
+    corrupted = bytearray(frame)
+    corrupted[3] ^= 0x40
+    assert not crc32_mod.check_frame(bytes(corrupted))
+
+
+def test_ip_header_matches_reference_rom():
+    """Static fields must equal head_data.mif; dynamic fields per RTL rules."""
+    payload_len = 1025
+    hdr = ipstack.build_header(payload_len, frame_id=7)
+    assert len(hdr) == 42
+    assert hdr[0:6] == bytes.fromhex("FFFFFFFFFFFF")  # dst MAC
+    assert hdr[6:12] == bytes.fromhex("001122334455")  # src MAC
+    assert hdr[12:14] == b"\x08\x00"  # IPv4
+    assert hdr[14] == 0x45
+    assert hdr[22] == 64  # TTL
+    assert hdr[23] == 0x11  # UDP
+    assert hdr[26:30] == bytes([169, 254, 252, 255])  # src IP
+    assert hdr[30:34] == bytes([255, 255, 255, 255])  # dst IP
+    parsed = ipstack.parse_header(hdr + b"\x00" * payload_len)
+    assert parsed["checksum_ok"]
+    assert parsed["ip_id"] == 7
+    assert parsed["src_port"] == 5005 and parsed["dst_port"] == 6006
+    assert parsed["udp_len"] == 8 + payload_len
+    assert parsed["ip_len"] == 28 + payload_len
+    assert parsed["udp_checksum"] == 0  # hardware sends 0
+
+
+def test_full_ethernet_frame_fcs():
+    re, im = _spectrum(3)
+    pkt = frame_to_packets(spectrum_to_frame_bytes(re, im))[0]
+    wire = ipstack.build_ethernet_frame(pkt, frame_id=0)
+    assert crc32_mod.check_frame(wire)
+
+
+@pytest.mark.skipif(not native.available(), reason="no C++ toolchain")
+class TestNativeParity:
+    def test_crc_parity(self):
+        data = bytes(np.random.default_rng(0).integers(0, 256, 100_000, dtype=np.uint8))
+        assert native.crc32_ethernet(data) == crc32_ethernet(data)
+        assert native.crc32_raw(data) == crc32_mod.crc32_update_raw(data)
+
+    def test_frame_parity(self):
+        re, im = _spectrum(4)
+        assert native.spectrum_to_frame_bytes(re, im) == spectrum_to_frame_bytes(re, im)
+
+    def test_packetize_parity(self):
+        re, im = _spectrum(5)
+        frame = spectrum_to_frame_bytes(re, im)
+        assert native.frame_to_packets(frame) == frame_to_packets(frame)
+
+
+def test_udp_loopback_end_to_end():
+    """Sender -> OS loopback -> receiver -> decoded spectra."""
+    from tpu_sdr.transport.udp_stream import UdpSpectrumReceiver, UdpSpectrumSender
+    import time
+
+    got = []
+    rx = UdpSpectrumReceiver(
+        port=0, bind_ip="127.0.0.1", fps_cap=0.0,
+        on_frame=lambda re, im, mag: got.append(mag.copy()),
+    )
+    rx.fps_cap = 1e9  # no rate limit for the test
+    rx.start()
+    tx = UdpSpectrumSender("127.0.0.1", rx.port)
+    re, im = _spectrum(6)
+    for _ in range(3):
+        tx.send_spectrum(re, im)
+    deadline = time.time() + 5.0
+    while len(got) < 3 and time.time() < deadline:
+        time.sleep(0.02)
+    rx.stop(); tx.close()
+    assert len(got) == 3
+    expected = np.sqrt(np.rint(re) ** 2 + np.rint(im) ** 2)
+    assert np.allclose(got[0], expected)
+    assert rx.frames_received == 3

@@ -1,0 +1,218 @@
+"""SpectrumAnalyzer — the system facade (FPGA top-level + command plane).
+
+Plays the role of ``imp/dsp_system_top.vhd`` + ``src/command_control.vhd``:
+owns the engine (single-device or sharded), the runtime mode/comm state, the
+byte-protocol decoder, and the output framing hook. A host that used to talk
+to the FPGA over UART bytes can drive this object byte-for-byte
+(``handle_bytes``); a native host uses the typed methods directly.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+from typing import Callable
+
+import numpy as np
+
+from tpu_sdr.core.config import CommMode, FilterMode, PipelineConfig
+from tpu_sdr.control import designer as designer_mod
+from tpu_sdr.control.commands import Command, CommandDecoder, DecodedEvent
+from tpu_sdr.runtime.state import StreamState
+
+
+@dataclasses.dataclass
+class AnalyzerStats:
+    """Host-side observability counters (the GUI stats-tile contract,
+    ``fft_analyzer_gui.py:439-455``)."""
+
+    frames_produced: int = 0
+    samples_consumed: int = 0
+    commands_handled: int = 0
+    coefficient_uploads: int = 0
+    resets: int = 0
+    last_peak_bin: int = -1
+    last_peak_mag: float = 0.0
+    started_at: float | None = None
+
+    def as_dict(self) -> dict:
+        return dataclasses.asdict(self)
+
+
+class SpectrumAnalyzer:
+    """High-level runtime-reconfigurable spectrum analyzer.
+
+    Typical native use::
+
+        sa = SpectrumAnalyzer(PipelineConfig())
+        sa.start()
+        sa.upload_filter(design_iir_filter(...).sos)
+        sa.set_filter_mode(FilterMode.CUSTOM)
+        spectra = sa.process(samples)          # (C, F, N) magnitudes
+
+    Wire-compatible use (the FPGA byte protocol)::
+
+        sa.handle_bytes(bytes([0xB1, 0x55]))   # bypass + start
+        sa.handle_bytes(b"\\xf1" + twelve_coeff_bytes)
+    """
+
+    def __init__(
+        self,
+        cfg: PipelineConfig | None = None,
+        mesh=None,
+        on_spectrum: Callable[[np.ndarray, int], None] | None = None,
+    ):
+        self.cfg = cfg or PipelineConfig()
+        if mesh is not None:
+            from tpu_sdr.shard import ShardedSpectrumPipeline
+
+            self.pipe = ShardedSpectrumPipeline(self.cfg, mesh)
+        else:
+            from tpu_sdr.runtime import SpectrumPipeline
+
+            self.pipe = SpectrumPipeline(self.cfg)
+        self.decoder = CommandDecoder()
+        self.filter_mode = FilterMode.BYPASS  # reset default, command_control.vhd:31
+        self.comm_mode = CommMode.ETHERNET  # default, sequ2.vhd:82-96
+        self.running = False
+        self.uart_streaming = False
+        self.state = self._fresh_state()
+        self.stats = AnalyzerStats()
+        self.custom_sos: np.ndarray | None = None
+        # host edge: called with (magnitude_frame (N,), frame_index) per frame
+        self.on_spectrum = on_spectrum
+
+    # ------------------------------------------------------------------
+    # typed control API
+    # ------------------------------------------------------------------
+
+    def _fresh_state(self) -> StreamState:
+        return StreamState.initial(self.cfg.channels, self.cfg.n_sections)
+
+    def start(self):
+        """0x55: begin acquisition."""
+        self.running = True
+        if self.stats.started_at is None:
+            self.stats.started_at = time.time()
+
+    def stop(self):
+        self.running = False
+
+    def reset(self):
+        """0xFF: global reset — stream state zeroed, datapath mux to BYPASS
+        (the RTL reset default). Coefficients survive reset, as the
+        coefficient RAM does in hardware (``src/coeff_cdc.vhd:34-46``)."""
+        self.state = self._fresh_state()
+        self.running = False
+        self.uart_streaming = False
+        self.filter_mode = FilterMode.BYPASS
+        self.decoder.reset()
+        self.stats.resets += 1
+
+    def set_filter_mode(self, mode: FilterMode):
+        self.filter_mode = FilterMode(mode)
+
+    def set_comm_mode(self, mode: CommMode):
+        self.comm_mode = CommMode(mode)
+
+    def upload_filter(self, sos: np.ndarray):
+        """Runtime coefficient reload (the 0xF1 path, typed form)."""
+        self.pipe.upload_sos(sos)
+        self.custom_sos = np.atleast_2d(np.asarray(sos, np.float64))
+        self.stats.coefficient_uploads += 1
+
+    # ------------------------------------------------------------------
+    # wire protocol
+    # ------------------------------------------------------------------
+
+    def handle_bytes(self, data: bytes) -> list[DecodedEvent]:
+        """Feed raw command bytes (the UART RX path)."""
+        events = self.decoder.feed(data)
+        for ev in events:
+            self._apply_event(ev)
+        return events
+
+    def _apply_event(self, ev: DecodedEvent):
+        if ev.kind == "coefficients":
+            sos = designer_mod.wire_bytes_to_sos(ev.coefficients)
+            self.upload_filter(sos)
+            return
+        if ev.kind != "command":
+            return
+        self.stats.commands_handled += 1
+        c = ev.command
+        if c == Command.START:
+            self.start()
+        elif c == Command.RESET:
+            self.reset()
+        elif c == Command.MODE_FIXED:
+            self.set_filter_mode(FilterMode.FIXED)
+        elif c == Command.MODE_CUSTOM:
+            self.set_filter_mode(FilterMode.CUSTOM)
+        elif c == Command.MODE_BYPASS:
+            self.set_filter_mode(FilterMode.BYPASS)
+        elif c == Command.COMM_ETH:
+            self.set_comm_mode(CommMode.ETHERNET)
+        elif c == Command.COMM_UART:
+            self.set_comm_mode(CommMode.UART)
+        elif c == Command.DATA_REQ:
+            self.uart_streaming = True
+
+    # ------------------------------------------------------------------
+    # datapath
+    # ------------------------------------------------------------------
+
+    def process(self, samples, outputs: str = "magnitude"):
+        """Run a frame-aligned chunk through the datapath.
+
+        Returns the output dict (or None when not started — the FPGA ignores
+        samples before 0x55). Updates carried state, counters, and pushes
+        per-frame magnitudes to ``on_spectrum`` when attached.
+        """
+        if not self.running:
+            return None
+        out, self.state = self.pipe.process(
+            samples, self.state, self.filter_mode, outputs
+        )
+        x = np.asarray(samples)
+        t = x.shape[-1]
+        n_frames = t // self.cfg.fft_size
+        self.stats.samples_consumed += int(np.prod(x.shape))
+        if "magnitude" in out:
+            mags = np.asarray(out["magnitude"])  # (C, F, N)
+            first = self.stats.frames_produced
+            self.stats.frames_produced += n_frames
+            half = mags[0, -1][: self.cfg.fft_size // 2]
+            peak = int(np.argmax(half))
+            self.stats.last_peak_bin = peak
+            self.stats.last_peak_mag = float(half[peak])
+            if self.on_spectrum is not None:
+                for f in range(mags.shape[1]):
+                    self.on_spectrum(mags[0, f], first + f)
+        else:
+            self.stats.frames_produced += n_frames
+        return out
+
+    # ------------------------------------------------------------------
+    # checkpoint / resume (SURVEY.md §5.4: state is a pytree by construction)
+    # ------------------------------------------------------------------
+
+    def checkpoint(self) -> dict:
+        return {
+            "state": self.state.to_numpy(),
+            "filter_mode": int(self.filter_mode),
+            "comm_mode": int(self.comm_mode),
+            "running": self.running,
+            "custom_sos": None
+            if self.custom_sos is None
+            else self.custom_sos.tolist(),
+            "stats": self.stats.as_dict(),
+        }
+
+    def restore(self, ckpt: dict):
+        self.state = StreamState.from_numpy(ckpt["state"])
+        self.filter_mode = FilterMode(ckpt["filter_mode"])
+        self.comm_mode = CommMode(ckpt["comm_mode"])
+        self.running = bool(ckpt["running"])
+        if ckpt.get("custom_sos") is not None:
+            self.upload_filter(np.asarray(ckpt["custom_sos"]))

@@ -1,0 +1,117 @@
+"""UDP spectrum streaming — the live host-edge transport.
+
+Sender: emits each spectrum frame as 64 x 1025-byte datagrams (count byte +
+1024 data), exactly the FPGA's wire behavior minus the raw-Ethernet
+encapsulation (the OS provides IP/UDP; ``tpu_sdr.transport.ipstack`` can
+produce the byte-identical raw frames where a raw socket is available).
+Receiver: binds the GUI's port, filters by expected source, reassembles with
+stale-slot eviction and a display-rate limiter — the contract of
+``fft_analyzer_gui.py:281-292,308-460``.
+"""
+
+from __future__ import annotations
+
+import socket
+import threading
+import time
+from typing import Callable
+
+from tpu_sdr.transport import native
+from tpu_sdr.transport.framing import (
+    ETHERNET_PAYLOAD_SIZE,
+    MultiPacketAssembler,
+    decode_frame,
+)
+
+
+class UdpSpectrumSender:
+    """Fire-and-forget spectrum transmitter (no retransmit, like the FPGA)."""
+
+    def __init__(self, host: str = "127.0.0.1", port: int = 6006):
+        self.addr = (host, port)
+        self.sock = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
+        self.sock.setsockopt(socket.SOL_SOCKET, socket.SO_SNDBUF, 1 << 20)
+        self.frames_sent = 0
+
+    def send_spectrum(self, re, im, scale: float = 1.0):
+        frame = native.spectrum_to_frame_bytes(re, im, scale)
+        self.send_frame_bytes(frame)
+
+    def send_frame_bytes(self, frame: bytes):
+        for pkt in native.frame_to_packets(frame):
+            self.sock.sendto(pkt, self.addr)
+        self.frames_sent += 1
+
+    def close(self):
+        self.sock.close()
+
+
+class UdpSpectrumReceiver:
+    """Threaded receiver: socket -> assembler -> rate-limited callback.
+
+    ``on_frame(re, im, magnitude)`` fires at most ``fps_cap`` times/second
+    with decoded float spectra; every assembled frame still counts in stats
+    (``frames_received`` vs ``frames_displayed`` — the GUI's distinction).
+    """
+
+    def __init__(
+        self,
+        port: int = 6006,
+        bind_ip: str = "0.0.0.0",
+        expected_src: tuple[str, int] | None = None,
+        fps_cap: float = 30.0,
+        on_frame: Callable | None = None,
+    ):
+        self.sock = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
+        self.sock.setsockopt(socket.SOL_SOCKET, socket.SO_RCVBUF, 1 << 22)
+        self.sock.bind((bind_ip, port))
+        self.sock.settimeout(0.25)
+        self.expected_src = expected_src
+        self.fps_cap = fps_cap
+        self.on_frame = on_frame
+        self.assembler = MultiPacketAssembler()
+        self.frames_received = 0
+        self.frames_displayed = 0
+        self.packets_filtered = 0
+        self._last_emit = 0.0
+        self._stop = threading.Event()
+        self._thread: threading.Thread | None = None
+
+    @property
+    def port(self) -> int:
+        return self.sock.getsockname()[1]
+
+    def start(self):
+        self._thread = threading.Thread(target=self._run, daemon=True)
+        self._thread.start()
+
+    def _run(self):
+        while not self._stop.is_set():
+            try:
+                data, src = self.sock.recvfrom(2048)
+            except socket.timeout:
+                continue
+            except OSError:
+                break
+            if self.expected_src is not None and src != self.expected_src:
+                self.packets_filtered += 1
+                continue
+            if len(data) != ETHERNET_PAYLOAD_SIZE:
+                continue
+            frame = self.assembler.add(data)
+            if frame is None:
+                continue
+            self.frames_received += 1
+            now = time.monotonic()
+            if self.fps_cap > 0 and now - self._last_emit < 1.0 / self.fps_cap:
+                continue  # rate limit: frame counted, not displayed
+            self._last_emit = now
+            self.frames_displayed += 1
+            if self.on_frame is not None:
+                self.on_frame(*decode_frame(frame))
+
+    def stop(self):
+        self._stop.set()
+        if self._thread is not None:
+            self._thread.join(timeout=2.0)
+        self.sock.close()
