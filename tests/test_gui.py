@@ -1,0 +1,129 @@
+"""GUI backend + stdlib server: API endpoints, SSE events, designer flow."""
+
+import json
+import threading
+import time
+import urllib.request
+
+import numpy as np
+import pytest
+
+from tpu_sdr.control import SpectrumAnalyzer
+from tpu_sdr.core.config import FilterMode, PipelineConfig
+from tpu_sdr.gui.backend import GuiBackend
+from tpu_sdr.gui.server import serve
+from tpu_sdr.runtime.source import SyntheticSource
+
+
+@pytest.fixture(scope="module")
+def server():
+    backend = GuiBackend(
+        analyzer=SpectrumAnalyzer(PipelineConfig(channels=1)),
+        source=SyntheticSource(tones_hz=((100_000.0, 0.5),), noise=0.005),
+        display_fps=1000.0,
+    )
+    srv, backend = serve(backend, port=0, bind="127.0.0.1", block=False)
+    yield srv, backend
+    backend.stop_receiver()
+    srv.shutdown()
+
+
+def _post(srv, route, body=None):
+    port = srv.server_address[1]
+    req = urllib.request.Request(
+        f"http://127.0.0.1:{port}/api/{route}",
+        data=json.dumps(body or {}).encode(),
+        headers={"Content-Type": "application/json"},
+        method="POST",
+    )
+    with urllib.request.urlopen(req, timeout=5) as r:
+        return json.loads(r.read())
+
+
+def _get(srv, path):
+    port = srv.server_address[1]
+    with urllib.request.urlopen(f"http://127.0.0.1:{port}{path}", timeout=5) as r:
+        return r.read()
+
+
+def test_index_served(server):
+    srv, _ = server
+    html = _get(srv, "/").decode()
+    assert "Real-Time FFT Analyzer" in html
+    assert "EventSource" in html  # live transport wired
+
+
+def test_state_endpoint(server):
+    srv, _ = server
+    st = json.loads(_get(srv, "/api/state"))
+    assert st["config"]["fft_size"] == 16384
+    assert st["config"]["hz_per_bin"] == pytest.approx(61.035, rel=1e-3)
+
+
+def test_frame_events_flow(server):
+    srv, backend = server
+    q = backend.subscribe()
+    deadline = time.time() + 30
+    frame = None
+    while time.time() < deadline:
+        try:
+            ev, payload = q.get(timeout=1.0)
+        except Exception:
+            continue
+        if ev == "frame_data":
+            frame = json.loads(payload)
+            break
+    backend.unsubscribe(q)
+    assert frame is not None, "no frame_data event"
+    assert abs(frame["peak_freq_khz"] - 100.0) < 1.0
+    assert len(frame["magnitude"]) <= 2048
+
+
+def test_designer_preview_and_apply(server):
+    srv, backend = server
+    _post(srv, "update_filter_config", {"kind": "elliptic", "order": 6,
+                                        "cutoff_hz": 150000.0})
+    p = _post(srv, "generate_filter_preview")
+    assert p["ok"]
+    assert len(p["mag_db"]) == len(p["freqs_hz"])
+    assert len(p["sos"]) == 3  # order 6 -> 3 sections
+    r = _post(srv, "apply_filter_to_fpga")
+    assert r["ok"]
+    assert backend.sa.filter_mode == FilterMode.CUSTOM
+    # response preview should show a lowpass: DC near 0 dB, deep stopband
+    mags = np.array(p["mag_db"])
+    assert mags[0] > -6 and mags[-1] < -40
+
+
+def test_designer_invalid_cutoff_clean_error(server):
+    srv, _ = server
+    _post(srv, "update_filter_config", {"cutoff_hz": 900000.0, "kind": "butterworth", "order": 4})
+    p = _post(srv, "generate_filter_preview")
+    assert not p["ok"]
+    assert "cutoff" in p["error"]
+
+
+def test_mode_and_range_endpoints(server):
+    srv, backend = server
+    _post(srv, "set_filter_type", {"mode": "bypass"})
+    assert backend.sa.filter_mode == FilterMode.BYPASS
+    _post(srv, "apply_frequency_range", {"lo_khz": 50, "hi_khz": 200})
+    assert backend.freq_range_khz == (50.0, 200.0)
+    _post(srv, "fpga_reset")
+    assert backend.sa.stats.resets >= 1
+    # restart for other tests
+    _post(srv, "start_receiver")
+
+
+def test_bad_json_400(server):
+    srv, _ = server
+    port = srv.server_address[1]
+    req = urllib.request.Request(
+        f"http://127.0.0.1:{port}/api/set_mode",
+        data=b"not json",
+        headers={"Content-Type": "application/json"},
+        method="POST",
+    )
+    with pytest.raises(urllib.error.HTTPError) as e:
+        urllib.request.urlopen(req, timeout=5)
+    assert e.value.code == 400

@@ -1,0 +1,254 @@
+"""GUI backend: analyzer + source + event fan-out (the Flask app's brain).
+
+Replaces the reference's Flask/SocketIO + PyQt receiver plumbing
+(``scripts/fft_analyzer_gui.py``) with a plain-threaded backend that any
+front-end transport (our stdlib SSE server, or flask_socketio if installed)
+can sit on. Event payloads keep the reference's vocabulary: ``frame_data``
+carries magnitude + peak/FPS stats (``fft_analyzer_gui.py:439-455``),
+``receiver_status`` carries command acknowledgements.
+"""
+
+from __future__ import annotations
+
+import json
+import queue
+import threading
+import time
+
+import numpy as np
+
+from tpu_sdr.control import SpectrumAnalyzer, designer as designer_mod
+from tpu_sdr.core.config import CommMode, FilterMode, PipelineConfig
+
+
+class GuiBackend:
+    def __init__(
+        self,
+        analyzer: SpectrumAnalyzer | None = None,
+        source=None,
+        frames_per_dispatch: int = 2,
+        display_fps: float = 30.0,
+        display_points: int = 2048,
+        pace: bool = False,
+    ):
+        from tpu_sdr.runtime.source import SyntheticSource
+
+        self.sa = analyzer or SpectrumAnalyzer(PipelineConfig(channels=1))
+        self.source = source or SyntheticSource(
+            tones_hz=((100_000.0, 0.5), (250_000.0, 0.2)), noise=0.01
+        )
+        self.frames_per_dispatch = frames_per_dispatch
+        self.display_fps = display_fps
+        self.display_points = display_points
+        self.pace = pace
+        self.freq_range_khz = (0.0, self.sa.cfg.sample_rate / 2000.0)
+        self.filter_config = {
+            "kind": "butterworth",
+            "btype": "lowpass",
+            "order": 4,
+            "cutoff_hz": 100_000.0,
+            "cutoff2_hz": 200_000.0,
+            "ripple_db": 1.0,
+            "attenuation_db": 60.0,
+        }
+        self._subscribers: list[queue.Queue] = []
+        self._sub_lock = threading.Lock()
+        self._stop = threading.Event()
+        self._thread: threading.Thread | None = None
+        self._last_emit = 0.0
+        self._fps_window: list[float] = []
+
+    # ---------------- event fan-out ----------------
+
+    def subscribe(self) -> queue.Queue:
+        q: queue.Queue = queue.Queue(maxsize=8)
+        with self._sub_lock:
+            self._subscribers.append(q)
+        return q
+
+    def unsubscribe(self, q: queue.Queue):
+        with self._sub_lock:
+            if q in self._subscribers:
+                self._subscribers.remove(q)
+
+    def emit(self, event: str, payload: dict):
+        msg = (event, json.dumps(payload))
+        with self._sub_lock:
+            subs = list(self._subscribers)
+        for q in subs:
+            try:
+                q.put_nowait(msg)
+            except queue.Full:
+                pass  # slow client: drop (display data is disposable)
+
+    def status(self, message: str, ok: bool = True):
+        self.emit("receiver_status", {"ok": ok, "message": message})
+
+    # ---------------- acquisition loop ----------------
+
+    def start_receiver(self):
+        if self._thread is not None and self._thread.is_alive():
+            self.status("receiver already running")
+            return
+        self._stop.clear()
+        self.sa.start()
+        self._thread = threading.Thread(target=self._loop, daemon=True)
+        self._thread.start()
+        self.status("receiver started")
+
+    def stop_receiver(self):
+        self._stop.set()
+        if self._thread is not None:
+            self._thread.join(timeout=3.0)
+            self._thread = None
+        self.sa.stop()
+        self.status("receiver stopped")
+
+    def _loop(self):
+        n = self.sa.cfg.fft_size
+        chunk = self.frames_per_dispatch * n
+        while not self._stop.is_set():
+            x = self.source.read(chunk, pace=self.pace)
+            out = self.sa.process(x)
+            if out is None:
+                time.sleep(0.01)
+                continue
+            mags = np.asarray(out["magnitude"])  # (C, F, N)
+            now = time.monotonic()
+            self._fps_window = [t for t in self._fps_window + [now] if now - t < 1.0]
+            if now - self._last_emit < 1.0 / self.display_fps:
+                continue
+            self._last_emit = now
+            self._emit_frame(mags[0, -1])
+
+    def _emit_frame(self, mag: np.ndarray):
+        n = self.sa.cfg.fft_size
+        fs = self.sa.cfg.sample_rate
+        half = mag[: n // 2]
+        lo_khz, hi_khz = self.freq_range_khz
+        lo = int(np.clip(lo_khz * 1000 * n / fs, 0, n // 2 - 1))
+        hi = int(np.clip(hi_khz * 1000 * n / fs, lo + 1, n // 2))
+        window = half[lo:hi]
+        # Peak-preserving decimation for display (max-pool buckets).
+        pts = min(self.display_points, hi - lo)
+        edges = np.linspace(0, hi - lo, pts + 1).astype(int)
+        dec = np.maximum.reduceat(window, edges[:-1])
+        freqs_khz = (lo + edges[:-1] * 1.0) * fs / n / 1000.0
+        peak = int(np.argmax(window))
+        incoming_fps = len(self._fps_window) * 1.0 / self.frames_per_dispatch
+        self.emit(
+            "frame_data",
+            {
+                "freqs_khz": np.round(freqs_khz, 3).tolist(),
+                "magnitude": np.round(dec.astype(np.float64), 4).tolist(),
+                "peak_bin": lo + peak,
+                "peak_freq_khz": (lo + peak) * fs / n / 1000.0,
+                "peak_mag": float(window[peak]),
+                "frames_received": self.sa.stats.frames_produced,
+                "incoming_fps": round(self.sa.stats.frames_produced and incoming_fps, 2),
+                "filter_mode": int(self.sa.filter_mode),
+                "comm_mode": int(self.sa.comm_mode),
+            },
+        )
+
+    # ---------------- command handlers (the SocketIO event surface) -------
+
+    def set_mode(self, mode: str):
+        """'ethernet' | 'uart' — mirrors the GUI's set_mode full-reset dance
+        (``fft_analyzer_gui.py:1003-1053``)."""
+        m = CommMode.ETHERNET if mode.lower().startswith("eth") else CommMode.UART
+        self.sa.reset()
+        self.sa.set_comm_mode(m)
+        self.sa.start()
+        self.status(f"comm mode -> {m.name}")
+
+    def fpga_reset(self):
+        self.sa.reset()
+        self.status("analyzer reset")
+
+    def set_filter_type(self, mode: str):
+        fm = {
+            "fixed": FilterMode.FIXED,
+            "custom": FilterMode.CUSTOM,
+            "bypass": FilterMode.BYPASS,
+        }[mode.lower()]
+        self.sa.set_filter_mode(fm)
+        self.status(f"filter mode -> {fm.name}")
+
+    def apply_frequency_range(self, lo_khz: float, hi_khz: float):
+        nyq_khz = self.sa.cfg.sample_rate / 2000.0
+        lo = float(np.clip(lo_khz, 0.0, nyq_khz - 1))
+        hi = float(np.clip(hi_khz, lo + 1, nyq_khz))
+        self.freq_range_khz = (lo, hi)
+        self.status(f"frequency range {lo:.0f}-{hi:.0f} kHz")
+
+    def update_filter_config(self, cfg: dict):
+        self.filter_config.update(cfg)
+        self.status("filter config updated")
+
+    def _design(self):
+        c = self.filter_config
+        cutoff = (
+            (float(c["cutoff_hz"]), float(c["cutoff2_hz"]))
+            if c["btype"] in ("bandpass", "bandstop")
+            else float(c["cutoff_hz"])
+        )
+        return designer_mod.design_iir_filter(
+            kind=c["kind"],
+            btype=c["btype"],
+            order=int(c["order"]),
+            fs=self.sa.cfg.sample_rate,
+            cutoff_hz=cutoff,
+            ripple_db=float(c["ripple_db"]),
+            attenuation_db=float(c["attenuation_db"]),
+        )
+
+    def generate_filter_preview(self) -> dict:
+        """Design + response arrays (client renders; no matplotlib needed)."""
+        try:
+            d = self._design()
+        except ValueError as e:
+            self.status(f"design error: {e}", ok=False)
+            return {"ok": False, "error": str(e)}
+        w, mag_db = d.frequency_response()
+        wq, mag_q_db = d.quantized_response()
+        preview = {
+            "ok": True,
+            "freqs_hz": np.round(w, 1).tolist(),
+            "mag_db": np.round(mag_db, 2).tolist(),
+            "mag_db_quantized": np.round(mag_q_db, 2).tolist(),
+            "sos": np.round(d.sos, 6).tolist(),
+            "sos_q": d.sos_q.tolist(),
+        }
+        self.emit("filter_preview", preview)
+        return preview
+
+    def apply_filter(self) -> dict:
+        try:
+            d = self._design()
+            self.sa.upload_filter(d.sos)
+            self.sa.set_filter_mode(FilterMode.CUSTOM)
+        except ValueError as e:
+            self.status(f"filter apply failed: {e}", ok=False)
+            return {"ok": False, "error": str(e)}
+        self.status(
+            f"applied {d.kind} {d.btype} order {d.order} "
+            f"(upload #{self.sa.stats.coefficient_uploads})"
+        )
+        return {"ok": True}
+
+    def get_state(self) -> dict:
+        return {
+            "running": self.sa.running,
+            "filter_mode": self.sa.filter_mode.name,
+            "comm_mode": self.sa.comm_mode.name,
+            "freq_range_khz": self.freq_range_khz,
+            "filter_config": self.filter_config,
+            "stats": self.sa.stats.as_dict(),
+            "config": {
+                "fft_size": self.sa.cfg.fft_size,
+                "sample_rate": self.sa.cfg.sample_rate,
+                "hz_per_bin": self.sa.cfg.hz_per_bin,
+                "channels": self.sa.cfg.channels,
+            },
+        }

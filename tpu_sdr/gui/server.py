@@ -1,0 +1,162 @@
+"""Stdlib web server for the live analyzer GUI (no Flask dependency).
+
+Serves the self-contained front-end, a Server-Sent-Events stream for
+``frame_data`` / ``receiver_status`` / ``filter_preview`` events, and JSON
+POST endpoints mirroring the reference's SocketIO event set
+(``fft_analyzer_gui.py:989-1234``):
+
+  POST /api/start_receiver      POST /api/stop_receiver
+  POST /api/set_mode            {"mode": "ethernet"|"uart"}
+  POST /api/fpga_reset
+  POST /api/set_filter_type     {"mode": "fixed"|"custom"|"bypass"}
+  POST /api/apply_frequency_range {"lo_khz": .., "hi_khz": ..}
+  POST /api/update_filter_config  {designer fields}
+  POST /api/generate_filter_preview
+  POST /api/apply_filter_to_fpga
+  GET  /api/state               GET /events (SSE)
+
+Run: ``python -m tpu_sdr.gui.server [port]`` — starts a synthetic-source
+demo analyzer on http://localhost:5000.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import queue
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+from tpu_sdr.gui.backend import GuiBackend
+
+_INDEX = os.path.join(os.path.dirname(__file__), "templates", "index.html")
+
+
+def _make_handler(backend: GuiBackend):
+    class Handler(BaseHTTPRequestHandler):
+        protocol_version = "HTTP/1.1"
+
+        def log_message(self, fmt, *args):  # quiet
+            pass
+
+        def _json(self, obj, code=200):
+            body = json.dumps(obj).encode()
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def do_GET(self):
+            if self.path in ("/", "/index.html"):
+                with open(_INDEX, "rb") as f:
+                    body = f.read()
+                self.send_response(200)
+                self.send_header("Content-Type", "text/html; charset=utf-8")
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+            elif self.path == "/api/state":
+                self._json(backend.get_state())
+            elif self.path == "/events":
+                self.send_response(200)
+                self.send_header("Content-Type", "text/event-stream")
+                self.send_header("Cache-Control", "no-cache")
+                self.send_header("Connection", "close")
+                self.end_headers()
+                q = backend.subscribe()
+                try:
+                    while True:
+                        try:
+                            event, payload = q.get(timeout=15.0)
+                        except queue.Empty:
+                            self.wfile.write(b": keepalive\n\n")
+                            self.wfile.flush()
+                            continue
+                        msg = f"event: {event}\ndata: {payload}\n\n".encode()
+                        self.wfile.write(msg)
+                        self.wfile.flush()
+                except (BrokenPipeError, ConnectionResetError, OSError):
+                    pass
+                finally:
+                    backend.unsubscribe(q)
+            else:
+                self._json({"error": "not found"}, 404)
+
+        def do_POST(self):
+            length = int(self.headers.get("Content-Length", 0) or 0)
+            raw = self.rfile.read(length) if length else b"{}"
+            try:
+                args = json.loads(raw or b"{}")
+            except json.JSONDecodeError:
+                self._json({"ok": False, "error": "invalid JSON body"}, 400)
+                return
+            route = self.path
+            try:
+                if route == "/api/start_receiver":
+                    backend.start_receiver()
+                    self._json({"ok": True})
+                elif route == "/api/stop_receiver":
+                    backend.stop_receiver()
+                    self._json({"ok": True})
+                elif route == "/api/set_mode":
+                    backend.set_mode(str(args.get("mode", "ethernet")))
+                    self._json({"ok": True})
+                elif route == "/api/fpga_reset":
+                    backend.fpga_reset()
+                    self._json({"ok": True})
+                elif route == "/api/set_filter_type":
+                    backend.set_filter_type(str(args.get("mode", "bypass")))
+                    self._json({"ok": True})
+                elif route == "/api/apply_frequency_range":
+                    backend.apply_frequency_range(
+                        float(args.get("lo_khz", 0)),
+                        float(args.get("hi_khz", 500)),
+                    )
+                    self._json({"ok": True})
+                elif route == "/api/update_filter_config":
+                    backend.update_filter_config(dict(args))
+                    self._json({"ok": True})
+                elif route == "/api/generate_filter_preview":
+                    self._json(backend.generate_filter_preview())
+                elif route == "/api/apply_filter_to_fpga":
+                    self._json(backend.apply_filter())
+                else:
+                    self._json({"error": "not found"}, 404)
+            except (KeyError, ValueError, TypeError) as e:
+                self._json({"ok": False, "error": str(e)}, 400)
+
+    return Handler
+
+
+def serve(
+    backend: GuiBackend | None = None,
+    port: int = 5000,
+    bind: str = "0.0.0.0",
+    start_receiver: bool = True,
+    block: bool = True,
+):
+    """Start the GUI server; returns (server, backend) when block=False."""
+    backend = backend or GuiBackend()
+    server = ThreadingHTTPServer((bind, port), _make_handler(backend))
+    if start_receiver:
+        backend.start_receiver()
+    if block:
+        try:
+            server.serve_forever()
+        finally:
+            backend.stop_receiver()
+    else:
+        t = threading.Thread(target=server.serve_forever, daemon=True)
+        t.start()
+    return server, backend
+
+
+if __name__ == "__main__":
+    import sys
+
+    port = int(sys.argv[1]) if len(sys.argv) > 1 else 5000
+    print(f"tpu_sdr GUI on http://localhost:{port}")
+    # Demo: pace the synthetic source to its nominal 1 MSPS (the unpaced
+    # path exists for throughput benchmarking; a demo shouldn't spin a core).
+    serve(GuiBackend(pace=True), port=port)

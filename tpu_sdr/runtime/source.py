@@ -1,0 +1,106 @@
+"""Sample sources — the acquisition front-end (XADC replacement).
+
+The reference acquires from the XADC at 1 MSPS, 12-bit, sign-extended
+(``imp/dsp_system_top.vhd:412-435``). Software equivalents:
+
+- ``SyntheticSource``: tone/multitone + noise generator with optional
+  12-bit quantization emulating the ADC transfer function;
+- ``FileSource``: playback of a recorded capture (.npy or raw int16/float32),
+  looped, for reproducible demos;
+- ``CallbackSource``: adapter for external ingest (sockets, SDR hardware).
+
+Sources produce frame-aligned float32 blocks shaped (channels, T); pacing to
+real time is the caller's choice (``pace=True`` sleeps to the nominal rate —
+the GUI demo does; the bench never does).
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Callable, Sequence
+
+import numpy as np
+
+from tpu_sdr.core import qformat as qf
+
+
+class SyntheticSource:
+    """Multi-tone + noise generator with phase continuity across blocks."""
+
+    def __init__(
+        self,
+        tones_hz: Sequence[tuple[float, float]] = ((100_000.0, 0.5),),
+        fs: float = 1_000_000.0,
+        noise: float = 0.0,
+        channels: int = 1,
+        adc_bits: int | None = 12,
+        seed: int = 0,
+    ):
+        self.tones = list(tones_hz)
+        self.fs = fs
+        self.noise = noise
+        self.channels = channels
+        self.adc_bits = adc_bits
+        self.rng = np.random.default_rng(seed)
+        self.n = 0  # absolute sample index (phase continuity)
+
+    def set_tones(self, tones_hz: Sequence[tuple[float, float]]):
+        self.tones = list(tones_hz)
+
+    def read(self, n_samples: int, pace: bool = False) -> np.ndarray:
+        t = (self.n + np.arange(n_samples)) / self.fs
+        x = np.zeros(n_samples, dtype=np.float64)
+        for f, a in self.tones:
+            x += a * np.sin(2 * np.pi * f * t)
+        if self.noise > 0:
+            x = x + self.noise * self.rng.standard_normal(n_samples)
+        self.n += n_samples
+        if self.adc_bits is not None:
+            # Emulate the ADC: clip to [-1,1), quantize to adc_bits levels
+            # (the XADC's 12-bit window, sign-extended — qformat.adc12_to_q16).
+            full = 1 << (self.adc_bits - 1)
+            x = np.clip(np.rint(x * full), -full, full - 1) / full
+        out = np.broadcast_to(x.astype(np.float32), (self.channels, n_samples))
+        if pace:
+            time.sleep(n_samples / self.fs)
+        return np.ascontiguousarray(out)
+
+
+class FileSource:
+    """Looped playback of a capture file (.npy, or raw int16/float32)."""
+
+    def __init__(self, path: str, fs: float = 1_000_000.0, channels: int = 1):
+        if path.endswith(".npy"):
+            data = np.load(path)
+        else:
+            raw = np.fromfile(path, dtype=np.int16)
+            data = raw.astype(np.float32) / qf.Q15_SCALE
+        self.data = np.atleast_2d(np.asarray(data, np.float32))
+        self.fs = fs
+        self.channels = channels
+        self.pos = 0
+
+    def read(self, n_samples: int, pace: bool = False) -> np.ndarray:
+        total = self.data.shape[-1]
+        idx = (self.pos + np.arange(n_samples)) % total
+        self.pos = (self.pos + n_samples) % total
+        out = self.data[:, idx]
+        if out.shape[0] < self.channels:
+            out = np.broadcast_to(out[0], (self.channels, n_samples))
+        if pace:
+            time.sleep(n_samples / self.fs)
+        return np.ascontiguousarray(out)
+
+
+class CallbackSource:
+    """Wrap any ``f(n_samples) -> (channels, n) float32`` callable."""
+
+    def __init__(self, fn: Callable[[int], np.ndarray], fs: float = 1_000_000.0):
+        self.fn = fn
+        self.fs = fs
+
+    def read(self, n_samples: int, pace: bool = False) -> np.ndarray:
+        out = np.asarray(self.fn(n_samples), np.float32)
+        if pace:
+            time.sleep(n_samples / self.fs)
+        return out
