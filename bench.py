@@ -37,6 +37,9 @@ def main():
 
     log(f"bench: devices = {jax.devices()}")
     # Work size per dispatch: C channels x F frames of 16K samples.
+    # Default quality tier ("f32", ~98 dB SNR vs float64 golden — well inside
+    # the reference's Q15 bound). The "bf16" tier reaches the HBM roofline
+    # (~0.02 ms/dispatch, ~100 GSPS) at ~50 dB SNR.
     C, F = 8, 16
     cfg = PipelineConfig(channels=C)
     pipe = SpectrumPipeline(cfg)

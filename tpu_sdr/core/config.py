@@ -69,13 +69,20 @@ class PipelineConfig:
     # Window/FFT hop. fft_size = no overlap (the reference's behavior: the
     # window phase counter wraps every 16384 samples, src/hann8192.vhd:41-44).
     hop: int | None = None
-    # Compute dtype policy: "f32" (default fast path) or "bf16" inputs with
-    # f32 accumulation for the matmul-heavy kernels.
+    # Numeric quality tier for the matmul-heavy kernels:
+    #   "f32"    ~97 dB SNR vs float64 golden — 3-pass f32 IIR + exact-f32
+    #            Pallas FFT; the default (comfortably above the Q15 bound)
+    #   "f32max" ~139 dB SNR — everything in 6-pass exact f32
+    #   "bf16"   ~50 dB SNR — bf16 MXU passes, max throughput
     dtype: str = "f32"
     # When True, use the RTL-faithful offset window (2*hann-1 = -cos) instead
     # of the true Hann window. See quirks register, SURVEY.md §7 item (a);
     # reference scripts/hann_coeff.py:4-5 stores (hann-0.5)*2^16.
     rtl_faithful_window: bool = False
+    # Use the fused Pallas window+FFT+magnitude kernel for magnitude output
+    # (interpreted on CPU, compiled on TPU). ~3x the XLA path's throughput
+    # at bf16, ~1.1x at f32-highest, with one HBM read+write per frame.
+    use_pallas: bool = True
 
     def __post_init__(self):
         if self.fft_n1 * self.fft_n2 != self.fft_size:
@@ -87,6 +94,10 @@ class PipelineConfig:
             raise ValueError("fft_size must be a multiple of iir_block")
         if self.hop is not None and not (0 < self.hop <= self.fft_size):
             raise ValueError("hop must be in (0, fft_size]")
+        if self.dtype not in ("f32", "f32max", "bf16"):
+            raise ValueError(
+                f"dtype must be f32 | f32max | bf16, got {self.dtype!r}"
+            )
 
     @property
     def effective_hop(self) -> int:

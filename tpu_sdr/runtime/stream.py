@@ -34,14 +34,18 @@ _MODE_TO_INDEX = {FilterMode.BYPASS: 0, FilterMode.FIXED: 1, FilterMode.CUSTOM: 
 
 
 def _precision(cfg: PipelineConfig):
-    return Precision.HIGHEST if cfg.dtype == "f32" else Precision.DEFAULT
+    return {
+        "f32max": Precision.HIGHEST,
+        "f32": Precision.HIGH,
+        "bf16": Precision.DEFAULT,
+    }[cfg.dtype]
 
 
 def process_stream(
     x: jnp.ndarray,
     state: StreamState,
-    op_fixed: biquad.BlockedSOS,
-    op_custom: biquad.BlockedSOS,
+    bank_fixed: dict,
+    bank_custom: dict,
     hann_w: jnp.ndarray,
     plan: dict,
     *,
@@ -49,59 +53,141 @@ def process_stream(
     cfg: PipelineConfig,
     outputs: str = "magnitude",
     time_axis: str | None = None,
+    pallas_interpret: bool = False,
 ):
     """Process a stream chunk x (..., channels, T), T a multiple of fft_size.
 
-    Pure jittable function: (x, state, ops) -> (out dict, new state).
+    Pure jittable function: (x, state, banks) -> (out dict, new state).
     ``mode_index``: 0 bypass / 1 fixed / 2 custom (static — each mode is its
     own compiled program, mirroring the reference's datapath mux
-    ``src/command_control.vhd:81-120``).
+    ``src/command_control.vhd:81-120``). Each filter bank is a dict
+    {"op": BlockedSOSComposite, "pp": PallasSOSPlan}.
 
     ``time_axis``: when running inside ``shard_map`` with the stream's frame
     axis sharded over a mesh axis of that name, the IIR state chain exchanges
     per-frame summaries over the interconnect and stays bit-identical to the
     unsharded run; counters then account for the global stream.
+
+    Two execution paths:
+    - Pallas (default for magnitude output at the 16K/128x128 shape): the
+      two-pass kernel pipeline of ``tpu_sdr.kernels.pallas.iir_fft`` — all
+      heavy math in two VMEM-resident kernels, XLA reduced to the 12-dim
+      frame chain (compiles in seconds on the remote-compile tunnel).
+    - XLA: composite blocked einsums (any shape, any outputs).
     """
     n = cfg.fft_size
     prec = _precision(cfg)
+    pstr = "default" if cfg.dtype == "bf16" else "highest"
     t = x.shape[-1]
     n_frames = t // n
     lead = x.shape[:-1]  # (..., channels)
     t_global = t if time_axis is None else t * jax.lax.psum(1, time_axis)
     n_frames_global = t_global // n
 
-    # 1. Window over the continuous stream. With frame-aligned hops the
-    #    phase is static 0; keep the general path for hop != n later.
-    xw = x.reshape(*lead, n_frames, n) * hann_w
-    xw = xw.reshape(*lead, t)
-
-    # 2. IIR filter bank (or bypass).
-    if mode_index == 0:
-        y = xw
-        zf = state.sos_state
-    else:
-        op = op_fixed if mode_index == 1 else op_custom
-        if time_axis is None:
-            y, zf = biquad.sosfilt_blocked_composite(
-                op, xw, state.sos_state, precision=prec
-            )
-        else:
-            y, zf = biquad.sosfilt_blocked_composite_timesharded(
-                op, xw, state.sos_state, time_axis=time_axis, precision=prec
-            )
-
-    # 3. Per-frame FFT (real input: the reference zero-pads imag,
-    #    src/command_control.vhd:123).
-    frames = y.reshape(*lead, n_frames, n)
-    fr, fi = fft.fft_4step(frames, None, plan, precision=prec)
+    pallas_ok = (
+        cfg.use_pallas
+        and outputs == "magnitude"
+        and cfg.fft_n1 == 128
+        and cfg.fft_n2 == 128
+        and cfg.iir_block == 128
+    )
 
     out = {}
-    if outputs in ("magnitude", "all"):
-        out["magnitude"] = magnitude.magnitude(fr, fi)
-    if outputs in ("complex", "all"):
-        out["re"], out["im"] = fr, fi
-    if outputs == "power":
-        out["power"] = magnitude.power(fr, fi)
+    if pallas_ok:
+        from tpu_sdr.kernels.pallas import iir_fft
+
+        bank = bank_fixed if mode_index != 2 else bank_custom
+        pp = bank["pp"]
+        m = pp.state_dim
+        # Pallas-kernel precision: Mosaic supports only default/highest.
+        kprec = "default" if cfg.dtype == "bf16" else "highest"
+        flat = x.reshape(-1, n)  # kernels window internally (reference order)
+        if mode_index == 0:
+            zs = jnp.zeros((flat.shape[0], m), jnp.float32)
+            mag = iir_fft.spectrum_from_state(
+                flat, zs, pp, interpret=pallas_interpret, precision=kprec,
+                bypass=True,
+            )
+            zf = state.sos_state
+        elif cfg.dtype == "f32":
+            # Default tier: XLA 3-pass-f32 window+IIR (compiles in seconds,
+            # ~15 GSPS) feeding the exact-f32 Pallas FFT+magnitude kernel.
+            xw = (x.reshape(*lead, n_frames, n) * hann_w).reshape(*lead, t)
+            op = bank["op"]
+            if time_axis is None:
+                y, zf = biquad.sosfilt_blocked_composite(
+                    op, xw, state.sos_state, precision=Precision.HIGH
+                )
+            else:
+                y, zf = biquad.sosfilt_blocked_composite_timesharded(
+                    op, xw, state.sos_state, time_axis=time_axis,
+                    precision=Precision.HIGH,
+                )
+            zs = jnp.zeros((flat.shape[0], m), jnp.float32)
+            mag = iir_fft.spectrum_from_state(
+                y.reshape(-1, n), zs, pp, interpret=pallas_interpret,
+                precision="highest", bypass=True, apply_window=False,
+            )
+        else:
+            # f32max / bf16 tiers: fully-fused two-pass Pallas pipeline.
+            # Summaries only seed boundary corrections, so they always run
+            # at default precision (no measurable SNR impact).
+            w = iir_fft.iir_summaries(
+                flat, pp, interpret=pallas_interpret, precision="default"
+            ).reshape(*lead, n_frames, m)
+            if time_axis is not None:
+                w = jax.lax.all_gather(w, time_axis, axis=len(lead), tiled=True)
+            z0 = state.sos_state.reshape(*lead, m)
+
+            def step(z, wf):
+                return jnp.einsum("ab,...b->...a", pp.ALB, z) + wf, z
+
+            wF = jnp.moveaxis(w, len(lead), 0)
+            z_final, z_starts = jax.lax.scan(step, z0, wF)
+            z_starts = jnp.moveaxis(z_starts, 0, len(lead))
+            if time_axis is not None:
+                t_idx = jax.lax.axis_index(time_axis)
+                z_starts = jax.lax.dynamic_slice_in_dim(
+                    z_starts, t_idx * n_frames, n_frames, axis=len(lead)
+                )
+            mag = iir_fft.spectrum_from_state(
+                flat,
+                z_starts.reshape(-1, m),
+                pp,
+                interpret=pallas_interpret,
+                precision=kprec,
+            )
+            zf = z_final.reshape(*lead, m // 2, 2)
+        out["magnitude"] = mag.reshape(*lead, n_frames, n)
+    else:
+        # 1. Window over the continuous stream (frame-aligned: phase 0).
+        xw = (x.reshape(*lead, n_frames, n) * hann_w).reshape(*lead, t)
+
+        # 2. IIR filter bank (or bypass).
+        if mode_index == 0:
+            y = xw
+            zf = state.sos_state
+        else:
+            op = (bank_fixed if mode_index == 1 else bank_custom)["op"]
+            if time_axis is None:
+                y, zf = biquad.sosfilt_blocked_composite(
+                    op, xw, state.sos_state, precision=prec
+                )
+            else:
+                y, zf = biquad.sosfilt_blocked_composite_timesharded(
+                    op, xw, state.sos_state, time_axis=time_axis, precision=prec
+                )
+
+        # 3. Per-frame FFT (real input: the reference zero-pads imag,
+        #    src/command_control.vhd:123) + output decode.
+        frames = y.reshape(*lead, n_frames, n)
+        fr, fi = fft.fft_4step(frames, None, plan, precision=prec)
+        if outputs in ("magnitude", "all"):
+            out["magnitude"] = magnitude.magnitude(fr, fi)
+        if outputs in ("complex", "all"):
+            out["re"], out["im"] = fr, fi
+        if outputs == "power":
+            out["power"] = magnitude.power(fr, fi)
 
     new_state = StreamState(
         sos_state=zf,
@@ -124,16 +210,28 @@ class SpectrumPipeline:
             self.cfg.fft_size, self.cfg.rtl_faithful_window
         )
         self.plan = fft.plan_constants(self.cfg.fft_n1, self.cfg.fft_n2)
-        fb = self.cfg.fft_size // self.cfg.iir_block
-        self.op_fixed = biquad.precompute_composite(
-            golden.fixed_filter_sos(), self.cfg.iir_block, fb
-        )
         # Custom bank boots as identity (pass-through) until coefficients are
         # uploaded — the analog of the zeroed coefficient RAM.
-        self.op_custom = biquad.precompute_composite(
-            biquad.sos_identity(self.cfg.n_sections), self.cfg.iir_block, fb
+        self.bank_fixed = self._build_bank(golden.fixed_filter_sos())
+        self.bank_custom = self._build_bank(
+            biquad.sos_identity(self.cfg.n_sections)
         )
         self._jitted = {}
+
+    def _build_bank(self, sos: np.ndarray) -> dict:
+        fb = self.cfg.fft_size // self.cfg.iir_block
+        bank = {
+            "op": biquad.precompute_composite(sos, self.cfg.iir_block, fb)
+        }
+        if self.cfg.use_pallas and self.cfg.iir_block == 128 and fb == 128:
+            from tpu_sdr.kernels.pallas import iir_fft
+
+            bank["pp"] = iir_fft.build_plan(
+                sos, self.hann_w, self.plan, self.cfg.iir_block, fb
+            )
+        else:
+            bank["pp"] = None
+        return bank
 
     def initial_state(self, batch_shape=()) -> StreamState:
         return StreamState.initial(
@@ -157,9 +255,7 @@ class SpectrumPipeline:
                     f"SOS section {i} is unstable (|pole| = "
                     f"{np.max(np.abs(poles)):.4f} >= 1); refusing upload"
                 )
-        self.op_custom = biquad.precompute_composite(
-            sos, self.cfg.iir_block, self.cfg.fft_size // self.cfg.iir_block
-        )
+        self.bank_custom = self._build_bank(sos)
 
     def _fn(self, mode_index: int, outputs: str):
         key = (mode_index, outputs)
@@ -170,6 +266,7 @@ class SpectrumPipeline:
                     mode_index=mode_index,
                     cfg=self.cfg,
                     outputs=outputs,
+                    pallas_interpret=jax.default_backend() == "cpu",
                 )
             )
         return self._jitted[key]
@@ -191,4 +288,6 @@ class SpectrumPipeline:
                 f"fft_size={self.cfg.fft_size} (frame-aligned dispatch)"
             )
         fn = self._fn(_MODE_TO_INDEX[FilterMode(mode)], outputs)
-        return fn(x, state, self.op_fixed, self.op_custom, self.hann_w, self.plan)
+        return fn(
+            x, state, self.bank_fixed, self.bank_custom, self.hann_w, self.plan
+        )

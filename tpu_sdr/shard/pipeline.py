@@ -44,14 +44,26 @@ class ShardedSpectrumPipeline:
             self.cfg.fft_size, self.cfg.rtl_faithful_window
         )
         self.plan = fft.plan_constants(self.cfg.fft_n1, self.cfg.fft_n2)
-        fb = self.cfg.fft_size // self.cfg.iir_block
-        self.op_fixed = biquad.precompute_composite(
-            golden.fixed_filter_sos(), self.cfg.iir_block, fb
-        )
-        self.op_custom = biquad.precompute_composite(
-            biquad.sos_identity(self.cfg.n_sections), self.cfg.iir_block, fb
+        self.bank_fixed = self._build_bank(golden.fixed_filter_sos())
+        self.bank_custom = self._build_bank(
+            biquad.sos_identity(self.cfg.n_sections)
         )
         self._jitted = {}
+
+    def _build_bank(self, sos: np.ndarray) -> dict:
+        fb = self.cfg.fft_size // self.cfg.iir_block
+        bank = {
+            "op": biquad.precompute_composite(sos, self.cfg.iir_block, fb)
+        }
+        if self.cfg.use_pallas and self.cfg.iir_block == 128 and fb == 128:
+            from tpu_sdr.kernels.pallas import iir_fft
+
+            bank["pp"] = iir_fft.build_plan(
+                sos, self.hann_w, self.plan, self.cfg.iir_block, fb
+            )
+        else:
+            bank["pp"] = None
+        return bank
 
     def initial_state(self) -> StreamState:
         return StreamState.initial(self.cfg.channels, self.cfg.n_sections)
@@ -65,9 +77,7 @@ class ShardedSpectrumPipeline:
                     f"SOS section {i} is unstable (|pole| = "
                     f"{np.max(np.abs(poles)):.4f} >= 1); refusing upload"
                 )
-        self.op_custom = biquad.precompute_composite(
-            sos, self.cfg.iir_block, self.cfg.fft_size // self.cfg.iir_block
-        )
+        self.bank_custom = self._build_bank(sos)
 
     def _fn(self, mode_index: int, outputs: str):
         key = (mode_index, outputs)
@@ -96,6 +106,7 @@ class ShardedSpectrumPipeline:
             cfg=self.cfg,
             outputs=outputs,
             time_axis="time",
+            pallas_interpret=jax.default_backend() == "cpu",
         )
 
         shmapped = jax.shard_map(
@@ -104,8 +115,8 @@ class ShardedSpectrumPipeline:
             in_specs=(
                 P("channel", "time"),  # x (C, T)
                 state_specs,
-                P(None),  # op_fixed (replicated pytree)
-                P(None),  # op_custom
+                P(None),  # bank_fixed (replicated pytree)
+                P(None),  # bank_custom
                 P(None),  # hann_w
                 P(None),  # plan
             ),
@@ -143,4 +154,6 @@ class ShardedSpectrumPipeline:
                 f"time_shards*fft_size = {tpd}"
             )
         fn = self._fn(_MODE_TO_INDEX[FilterMode(mode)], outputs)
-        return fn(x, state, self.op_fixed, self.op_custom, self.hann_w, self.plan)
+        return fn(
+            x, state, self.bank_fixed, self.bank_custom, self.hann_w, self.plan
+        )
