@@ -1,0 +1,138 @@
+"""UART transport, waterfall, roofline, distributed helpers, sources."""
+
+import numpy as np
+import pytest
+
+from tpu_sdr.transport.uart_stream import UartDeframer, UartFramer
+from tpu_sdr.transport.framing import FRAME_SIZE_BYTES, spectrum_to_frame_bytes
+from tpu_sdr.runtime.waterfall import Waterfall, decimate_db
+from tpu_sdr.runtime.source import FileSource, SyntheticSource
+from tpu_sdr.bench.roofline import pipeline_cost, roofline_report
+from tpu_sdr.shard.distributed import scaling_efficiency
+from tpu_sdr.core.config import PipelineConfig
+
+
+def _frame(seed=0):
+    rng = np.random.default_rng(seed)
+    re = (rng.standard_normal(16384) * 500).astype(np.float32)
+    im = (rng.standard_normal(16384) * 500).astype(np.float32)
+    return spectrum_to_frame_bytes(re, im)
+
+
+class TestUart:
+    def test_roundtrip_chunked(self):
+        sink = bytearray()
+        tx = UartFramer(sink.extend)
+        frame = _frame()
+        tx.send_frame_bytes(frame)
+        rx = UartDeframer()
+        frames = []
+        # feed in odd-sized chunks like a serial read loop would
+        data = bytes(sink)
+        for off in range(0, len(data), 1237):
+            frames += rx.push(data[off : off + 1237])
+        assert frames == [frame]
+        assert rx.frames_received == 1
+
+    def test_stall_resync(self):
+        t = [0.0]
+        rx = UartDeframer(stall_after=1.0, clock=lambda: t[0])
+        f1, f2 = _frame(1), _frame(2)
+        rx.push(f1[:10_000])  # partial, then the stream stalls
+        t[0] = 5.0
+        frames = rx.push(f2[:40_000])
+        frames += rx.push(f2[40_000:])
+        assert frames == [f2]
+        assert rx.stalls_detected == 1
+        assert rx.bytes_dropped == 10_000
+
+    def test_overflow_trim(self):
+        rx = UartDeframer(max_buffer=2 * FRAME_SIZE_BYTES)
+        junk = bytes(3 * FRAME_SIZE_BYTES + 17)
+        rx.push(junk)
+        assert rx.bytes_dropped > 0
+
+    def test_baud_pacing_rate(self):
+        import time
+
+        sink = bytearray()
+        tx = UartFramer(sink.extend, baud=230400 * 400, chunk=65536)
+        t0 = time.monotonic()
+        tx.send_frame_bytes(_frame())
+        dt = time.monotonic() - t0
+        expected = FRAME_SIZE_BYTES / (230400 * 400 / 10)
+        assert dt >= expected * 0.5
+
+
+class TestWaterfall:
+    def test_decimate_db_preserves_peaks(self):
+        mag = np.ones(16384, np.float32)
+        mag[5000] = 1000.0
+        dec = np.array(decimate_db(mag, points=1024))
+        assert dec.max() == pytest.approx(60.0, abs=0.1)  # 20log10(1000)
+        assert dec.shape == (1024,)
+
+    def test_waterfall_ring_and_traces(self):
+        wf = Waterfall(points=64, depth=4)
+        for i in range(6):
+            row = np.full(64, float(i))
+            wf.push(row)
+        img = wf.image()
+        assert img.shape == (4, 64)
+        assert img[-1][0] == 5.0 and img[0][0] == 2.0  # newest last
+        assert wf.peak_hold[0] == 5.0
+        wf.reset_peak()
+        assert wf.peak_hold[0] == -200.0
+
+
+class TestRoofline:
+    def test_cost_model_sane(self):
+        rep = roofline_report(PipelineConfig())
+        # the four-step design trades FLOPs for MXU residency: ~1.6 kFLOP
+        # per sample (vs ~100 for a radix-2 FFT + 30 MACs of IIR)
+        per_sample = rep["flops_per_frame"] / 16384
+        assert 500 < per_sample < 4000
+        assert rep["bound"] in ("compute", "memory")
+        assert rep["ceiling_samples_per_sec"] > 1e9  # the 1 GSPS target fits
+        names = set(rep["stages"])
+        assert {"fft_4step", "iir_toeplitz", "magnitude"} <= names
+
+    def test_measured_fraction(self):
+        rep = roofline_report(
+            PipelineConfig(), measured_samples_per_sec=5.2e9
+        )
+        assert 0 < rep["fraction_of_ceiling"] <= 1.5
+
+
+class TestDistributedHelpers:
+    def test_scaling_efficiency(self):
+        eff = scaling_efficiency({1: 5e9, 4: 18e9, 8: 32e9})
+        assert eff[1] == 1.0
+        assert eff[4] == pytest.approx(0.9)
+        assert eff[8] == pytest.approx(0.8)
+        with pytest.raises(ValueError):
+            scaling_efficiency({4: 1.0})
+
+
+class TestSources:
+    def test_synthetic_phase_continuity(self):
+        src = SyntheticSource(tones_hz=((100e3, 0.5),), adc_bits=None)
+        a = src.read(10000)[0]
+        b = src.read(10000)[0]
+        whole = SyntheticSource(tones_hz=((100e3, 0.5),), adc_bits=None).read(20000)[0]
+        assert np.allclose(np.concatenate([a, b]), whole, atol=1e-6)
+
+    def test_synthetic_adc_quantization(self):
+        src = SyntheticSource(tones_hz=((100e3, 0.5),), adc_bits=12)
+        x = src.read(4096)[0]
+        # values on the 12-bit grid
+        assert np.allclose(x * 2048, np.round(x * 2048), atol=1e-4)
+
+    def test_file_source_loop(self, tmp_path):
+        data = np.arange(100, dtype=np.float32)
+        p = tmp_path / "cap.npy"
+        np.save(p, data)
+        src = FileSource(str(p))
+        out = src.read(250)[0]
+        assert np.array_equal(out[:100], data)
+        assert np.array_equal(out[100:200], data)

@@ -1,0 +1,107 @@
+"""Roofline model + profiling hooks for the spectrum pipeline.
+
+The observability layer the reference lacks on-device (SURVEY.md §5.1: the
+FPGA has 15 debug LEDs; the GUI has FPS counters). Here: an analytic
+FLOP/byte cost model per pipeline stage, a roofline verdict against chip
+specs, and a thin ``jax.profiler`` trace helper.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import dataclasses
+
+from tpu_sdr.core.config import PipelineConfig
+
+# v5e per-chip peaks (public numbers).
+CHIP_SPECS = {
+    "v5e": {"bf16_tflops": 197.0, "f32_eff_tflops": 25.0, "hbm_gbs": 819.0},
+}
+
+
+@dataclasses.dataclass
+class StageCost:
+    name: str
+    flops_per_frame: float
+    hbm_bytes_per_frame: float
+
+    @property
+    def intensity(self) -> float:
+        return self.flops_per_frame / max(self.hbm_bytes_per_frame, 1.0)
+
+
+def pipeline_cost(cfg: PipelineConfig | None = None) -> list[StageCost]:
+    """Analytic per-frame cost of each stage (nominal FLOPs, fused-HBM bytes)."""
+    cfg = cfg or PipelineConfig()
+    n = cfg.fft_size
+    L = cfg.iir_block
+    B = n // L
+    m = 2 * cfg.n_sections
+    f4 = 4.0  # f32 bytes
+    stages = [
+        StageCost("window", n, 0.0),  # fused: no extra HBM traffic
+        StageCost(
+            "iir_toeplitz", 2.0 * B * L * L, 0.0
+        ),  # y_zs = x @ T^T per block
+        StageCost("iir_forcing", 2.0 * B * L * m, 0.0),
+        StageCost(
+            "iir_scan", 2.0 * 7 * B * m * m + 2.0 * B * m * 2, 0.0
+        ),  # doubling scan + z_in
+        StageCost("iir_inject", 2.0 * B * m * L, 0.0),
+        StageCost(
+            "fft_4step",
+            2.0 * n * cfg.fft_n2 + 4.0 * 2.0 * n  # step1 real (2 matmuls)
+            + 4.0 * n * cfg.fft_n1 * 2.0,  # step2 complex (4 matmuls)
+            0.0,
+        ),
+        StageCost("magnitude", 4.0 * n, 0.0),
+        StageCost("io", 0.0, 2.0 * n * f4),  # one frame in, one mag out
+    ]
+    return stages
+
+
+def roofline_report(
+    cfg: PipelineConfig | None = None,
+    chip: str = "v5e",
+    measured_samples_per_sec: float | None = None,
+) -> dict:
+    """Summarize the pipeline against the chip's compute/memory roofs."""
+    cfg = cfg or PipelineConfig()
+    spec = CHIP_SPECS[chip]
+    stages = pipeline_cost(cfg)
+    n = cfg.fft_size
+    flops = sum(s.flops_per_frame for s in stages)
+    hbm = sum(s.hbm_bytes_per_frame for s in stages)
+    tflops = (
+        spec["bf16_tflops"] if cfg.dtype == "bf16" else spec["f32_eff_tflops"]
+    )
+    t_compute = flops / (tflops * 1e12)
+    t_memory = hbm / (spec["hbm_gbs"] * 1e9)
+    bound = "compute" if t_compute > t_memory else "memory"
+    ceiling_sps = n / max(t_compute, t_memory)
+    report = {
+        "chip": chip,
+        "dtype": cfg.dtype,
+        "flops_per_frame": flops,
+        "hbm_bytes_per_frame": hbm,
+        "arithmetic_intensity": flops / max(hbm, 1.0),
+        "bound": bound,
+        "ceiling_samples_per_sec": ceiling_sps,
+        "stages": {s.name: s.flops_per_frame for s in stages},
+    }
+    if measured_samples_per_sec is not None:
+        report["measured_samples_per_sec"] = measured_samples_per_sec
+        report["fraction_of_ceiling"] = measured_samples_per_sec / ceiling_sps
+    return report
+
+
+@contextlib.contextmanager
+def profiled(logdir: str = "/tmp/tpu_sdr_trace"):
+    """Capture a jax.profiler device trace around a code block."""
+    import jax
+
+    jax.profiler.start_trace(logdir)
+    try:
+        yield logdir
+    finally:
+        jax.profiler.stop_trace()

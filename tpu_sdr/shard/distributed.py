@@ -1,0 +1,89 @@
+"""Multi-host (pod-slice) initialization and scaling helpers.
+
+BASELINE config 5: channels x time-blocks sharded over N >= 2 hosts with
+collective boundary-state exchange. On a real pod slice:
+
+    import tpu_sdr.shard.distributed as dist
+    dist.initialize()                       # jax.distributed under the hood
+    mesh = dist.pod_mesh(channel_per_host=...)  # DCN-aware axis layout
+    pipe = ShardedSpectrumPipeline(cfg, mesh)
+
+Axis placement: the ``channel`` axis never communicates, so it maps to the
+outer (DCN, cross-host) mesh dimension; the ``time`` axis exchanges only
+per-frame 12-float summaries, riding ICI within each host. This is the
+idiomatic inversion of the reference's transport hierarchy (SURVEY.md §2.8):
+chip-to-chip state exchange replaces the FPGA's UART/Ethernet wire, while
+UDP survives only at the host edge for the GUI.
+
+This container has a single chip, so multi-host paths are validated by the
+driver's virtual-device dryrun; the code paths here are the real ones.
+"""
+
+from __future__ import annotations
+
+import os
+
+import jax
+import numpy as np
+
+
+def initialize(
+    coordinator_address: str | None = None,
+    num_processes: int | None = None,
+    process_id: int | None = None,
+):
+    """Bring up jax.distributed (no-op when single-process).
+
+    Arguments default to the standard env (TPU pod metadata or
+    JAX_COORDINATOR_ADDRESS / JAX_NUM_PROCESSES / JAX_PROCESS_ID).
+    """
+    if num_processes is None:
+        num_processes = int(os.environ.get("JAX_NUM_PROCESSES", "1"))
+    if num_processes <= 1 and coordinator_address is None:
+        return False  # single process: nothing to do
+    jax.distributed.initialize(
+        coordinator_address=coordinator_address,
+        num_processes=num_processes,
+        process_id=process_id,
+    )
+    return True
+
+
+def pod_mesh(
+    channel: int | None = None,
+    time: int | None = None,
+) -> jax.sharding.Mesh:
+    """Build the (channel, time) mesh over all devices, hosts-outermost.
+
+    Devices are ordered host-major (jax.devices() groups by process), so
+    reshaping (channel, time) with channel >= n_hosts puts the
+    communication-free channel axis across DCN and the chatty time axis on
+    ICI — the layout the scaling-efficiency target assumes.
+    """
+    devices = np.asarray(jax.devices())
+    n = devices.size
+    n_hosts = max(jax.process_count(), 1)
+    if channel is None and time is None:
+        channel, time = n_hosts, n // n_hosts
+    elif channel is None:
+        channel = n // time
+    elif time is None:
+        time = n // channel
+    if channel * time != n:
+        raise ValueError(f"channel*time = {channel}*{time} != {n} devices")
+    if channel % n_hosts and time % (n // n_hosts):
+        raise ValueError(
+            "mesh axes should align with host boundaries: channel "
+            f"({channel}) not a multiple of hosts ({n_hosts})"
+        )
+    return jax.sharding.Mesh(
+        devices.reshape(channel, time), axis_names=("channel", "time")
+    )
+
+
+def scaling_efficiency(rates_per_n: dict[int, float]) -> dict[int, float]:
+    """samples/s at n devices -> efficiency vs linear scaling from n=1."""
+    if 1 not in rates_per_n:
+        raise ValueError("need the n=1 baseline rate")
+    base = rates_per_n[1]
+    return {n: rates_per_n[n] / (base * n) for n in sorted(rates_per_n)}

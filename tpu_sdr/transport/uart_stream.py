@@ -1,0 +1,114 @@
+"""UART-mode transport: continuous byte-stream spectra + command channel.
+
+The reference's UART path (``imp/uart_tx.vhd`` + ``imp/sequ2.vhd`` UART FSM +
+GUI ``UartReceiver``, SURVEY.md §3.4): after 0x55/0xA5, the FPGA streams
+65,536-byte frames back-to-back at 230,400 baud (~2.84 s/frame, 0.3 FPS);
+the host accumulates bytes, detects stalls (1 s of silence -> buffer reset,
+``fft_analyzer_gui.py:639-644``) and trims overflow.
+
+Here the "wire" is any byte stream (socket pair, pty, file, or a real serial
+port via a file descriptor): ``UartFramer`` turns spectra into the byte
+stream with optional pacing to a baud rate; ``UartDeframer`` reassembles
+frames with the reference's stall/overflow recovery semantics. Command bytes
+flow the other way unchanged (``tpu_sdr.control.commands``).
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Callable
+
+from tpu_sdr.transport import native
+from tpu_sdr.transport.framing import FRAME_SIZE_BYTES, decode_frame
+
+
+class UartFramer:
+    """Spectrum frames -> continuous byte stream (optionally baud-paced).
+
+    ``write``: callable consuming bytes (socket.send, os.write wrapper, ...).
+    ``baud``: when set, throttles to baud/10 bytes/s (8N1 framing overhead,
+    the reference's 230400 -> 23040 B/s => 2.84 s per frame).
+    """
+
+    def __init__(
+        self,
+        write: Callable[[bytes], None],
+        baud: int | None = None,
+        chunk: int = 4096,
+    ):
+        self.write = write
+        self.baud = baud
+        self.chunk = chunk
+        self.frames_sent = 0
+
+    def send_spectrum(self, re, im, scale: float = 1.0):
+        self.send_frame_bytes(native.spectrum_to_frame_bytes(re, im, scale))
+
+    def send_frame_bytes(self, frame: bytes):
+        if len(frame) != FRAME_SIZE_BYTES:
+            raise ValueError(f"frame must be {FRAME_SIZE_BYTES} bytes")
+        if self.baud is None:
+            self.write(frame)
+        else:
+            bps = self.baud / 10.0  # 8N1: 10 wire bits per byte
+            for off in range(0, len(frame), self.chunk):
+                piece = frame[off : off + self.chunk]
+                self.write(piece)
+                time.sleep(len(piece) / bps)
+        self.frames_sent += 1
+
+
+class UartDeframer:
+    """Byte stream -> frames, with the reference's recovery semantics.
+
+    - stall detection: > ``stall_after`` seconds without bytes while a
+      partial frame is buffered -> buffer reset (frame abandoned);
+    - overflow trim: buffer bounded at ``max_buffer`` (oldest bytes kept
+      until a full frame boundary, like the GUI's trim at :687-689).
+
+    Feed with ``push(data)``; complete frames come back as a list.
+    """
+
+    def __init__(
+        self,
+        stall_after: float = 1.0,
+        max_buffer: int = 4 * FRAME_SIZE_BYTES,
+        clock=time.monotonic,
+    ):
+        self.stall_after = stall_after
+        self.max_buffer = max_buffer
+        self.clock = clock
+        self._buf = bytearray()
+        self._last_rx: float | None = None
+        self.frames_received = 0
+        self.stalls_detected = 0
+        self.bytes_dropped = 0
+
+    def push(self, data: bytes) -> list[bytes]:
+        now = self.clock()
+        if (
+            self._buf
+            and self._last_rx is not None
+            and now - self._last_rx > self.stall_after
+            and len(self._buf) % FRAME_SIZE_BYTES != 0
+        ):
+            # stale partial frame: resynchronize (the GUI's stall reset)
+            dropped = len(self._buf)
+            self._buf.clear()
+            self.stalls_detected += 1
+            self.bytes_dropped += dropped
+        self._last_rx = now
+        self._buf.extend(data)
+        if len(self._buf) > self.max_buffer:
+            excess = len(self._buf) - self.max_buffer
+            del self._buf[:excess]
+            self.bytes_dropped += excess
+        frames = []
+        while len(self._buf) >= FRAME_SIZE_BYTES:
+            frames.append(bytes(self._buf[:FRAME_SIZE_BYTES]))
+            del self._buf[:FRAME_SIZE_BYTES]
+            self.frames_received += 1
+        return frames
+
+    def decode(self, frame: bytes):
+        return decode_frame(frame)
