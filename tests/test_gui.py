@@ -127,3 +127,37 @@ def test_bad_json_400(server):
     with pytest.raises(urllib.error.HTTPError) as e:
         urllib.request.urlopen(req, timeout=5)
     assert e.value.code == 400
+
+
+def test_display_modes(server):
+    srv, backend = server
+    _post(srv, "set_display_mode", {"mode": "real"})
+    assert backend.display_mode == "real"
+    # a frame in 'real' mode arrives and decodes
+    import json as _json, time as _time
+    q = backend.subscribe()
+    deadline = _time.time() + 30
+    got = None
+    while _time.time() < deadline:
+        try:
+            ev, payload = q.get(timeout=1.0)
+        except Exception:
+            continue
+        d = _json.loads(payload)
+        if ev == "frame_data" and d.get("display_mode") == "real":
+            got = d
+            break
+    backend.unsubscribe(q)
+    assert got is not None
+    _post(srv, "set_display_mode", {"mode": "magnitude"})
+    # probe: invalid mode -> 400
+    import urllib.request, urllib.error, pytest as _pytest
+    port = srv.server_address[1]
+    req = urllib.request.Request(
+        f"http://127.0.0.1:{port}/api/set_display_mode",
+        data=b'{"mode": "phase-of-the-moon"}',
+        headers={"Content-Type": "application/json"}, method="POST",
+    )
+    with _pytest.raises(urllib.error.HTTPError) as e:
+        urllib.request.urlopen(req, timeout=5)
+    assert e.value.code == 400

@@ -1,0 +1,70 @@
+"""Overlapped (STFT) framing: hop < fft_size with carried history."""
+
+import numpy as np
+import pytest
+import scipy.signal as sps
+
+from tpu_sdr import PipelineConfig, FilterMode
+from tpu_sdr.control import golden
+from tpu_sdr.runtime import SpectrumPipeline
+
+
+@pytest.fixture(scope="module")
+def pipe():
+    p = SpectrumPipeline(PipelineConfig(hop=8192))
+    p.upload_sos(sps.butter(12, 0.3, output="sos"))
+    return p
+
+
+def test_hop_matches_golden_stft(pipe):
+    rng = np.random.default_rng(0)
+    x = rng.standard_normal(4 * 16384).astype(np.float32)
+    out, st = pipe.process(x, pipe.initial_state(), FilterMode.CUSTOM)
+    mag = np.array(out["magnitude"])[0]
+    assert mag.shape == (8, 16384)  # T/hop frames
+    assert int(st.frame_count) == 8
+    yf, _ = sps.sosfilt(
+        sps.butter(12, 0.3, output="sos"), x.astype(np.float64),
+        zi=np.zeros((6, 2)),
+    )
+    ext = np.concatenate([np.zeros(8192), yf])
+    w = golden.hann_true(16384)
+    for k in (0, 3, 7):
+        ref = np.abs(np.fft.fft(ext[k * 8192 : k * 8192 + 16384] * w))
+        assert np.abs(mag[k] - ref).max() / ref.max() < 1e-5
+
+
+def test_hop_chunked_bit_exact(pipe):
+    rng = np.random.default_rng(1)
+    x = rng.standard_normal(4 * 16384).astype(np.float32)
+    out_w, st_w = pipe.process(x, pipe.initial_state(), FilterMode.CUSTOM)
+    st = pipe.initial_state()
+    mags = []
+    for c in np.split(x, 2):
+        o, st = pipe.process(c, st, FilterMode.CUSTOM)
+        mags.append(np.array(o["magnitude"])[0])
+    assert np.array_equal(
+        np.concatenate(mags, 0), np.array(out_w["magnitude"])[0]
+    )
+    assert np.array_equal(np.array(st.history), np.array(st_w.history))
+
+
+def test_hop_bypass_mode(pipe):
+    x = golden.synth_tone(100e3, 2 * 16384).astype(np.float32)
+    out, _ = pipe.process(x, pipe.initial_state(), FilterMode.BYPASS)
+    mag = np.array(out["magnitude"])[0]
+    assert mag.shape == (4, 16384)
+    # steady-state frames (past the zero-history transient) show the tone
+    assert abs(int(np.argmax(mag[3][:8192])) - 1638) <= 1
+
+
+def test_hop_validation():
+    with pytest.raises(ValueError, match="divide"):
+        PipelineConfig(hop=10000)
+    from tpu_sdr.shard import ShardedSpectrumPipeline, make_sdr_mesh
+
+    mesh = make_sdr_mesh(channel=1, time=8)
+    sp = ShardedSpectrumPipeline(PipelineConfig(hop=8192, channels=1), mesh)
+    x = np.zeros((1, 8 * 16384), np.float32)
+    with pytest.raises(NotImplementedError, match="halo"):
+        sp.process(x, sp.initial_state(), FilterMode.BYPASS)

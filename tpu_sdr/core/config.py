@@ -94,6 +94,8 @@ class PipelineConfig:
             raise ValueError("fft_size must be a multiple of iir_block")
         if self.hop is not None and not (0 < self.hop <= self.fft_size):
             raise ValueError("hop must be in (0, fft_size]")
+        if self.hop is not None and self.fft_size % self.hop:
+            raise ValueError("hop must divide fft_size (aligned framing)")
         if self.dtype not in ("f32", "f32max", "bf16"):
             raise ValueError(
                 f"dtype must be f32 | f32max | bf16, got {self.dtype!r}"

@@ -42,6 +42,9 @@ class GuiBackend:
         self.display_points = display_points
         self.pace = pace
         self.freq_range_khz = (0.0, self.sa.cfg.sample_rate / 2000.0)
+        # display_mode: 'magnitude' | 'real' | 'imag' | 'power' — the
+        # reference GUI's plot toggles (index.html:304-306)
+        self.display_mode = "magnitude"
         self.filter_config = {
             "kind": "butterworth",
             "btype": "lowpass",
@@ -109,22 +112,30 @@ class GuiBackend:
         chunk = self.frames_per_dispatch * n
         while not self._stop.is_set():
             x = self.source.read(chunk, pace=self.pace)
-            out = self.sa.process(x)
+            want = "magnitude" if self.display_mode == "magnitude" else "all"
+            out = self.sa.process(x, outputs=want)
             if out is None:
                 time.sleep(0.01)
                 continue
-            mags = np.asarray(out["magnitude"])  # (C, F, N)
+            if self.display_mode == "magnitude":
+                disp = np.asarray(out["magnitude"])[0, -1]
+            elif self.display_mode == "real":
+                disp = np.asarray(out["re"])[0, -1]
+            elif self.display_mode == "imag":
+                disp = np.asarray(out["im"])[0, -1]
+            else:  # power
+                disp = np.asarray(out["magnitude"])[0, -1] ** 2
             now = time.monotonic()
             self._fps_window = [t for t in self._fps_window + [now] if now - t < 1.0]
             if now - self._last_emit < 1.0 / self.display_fps:
                 continue
             self._last_emit = now
-            self._emit_frame(mags[0, -1])
+            self._emit_frame(disp)
 
     def _emit_frame(self, mag: np.ndarray):
         n = self.sa.cfg.fft_size
         fs = self.sa.cfg.sample_rate
-        half = mag[: n // 2]
+        half = np.abs(mag[: n // 2]) if self.display_mode in ("real", "imag") else mag[: n // 2]
         lo_khz, hi_khz = self.freq_range_khz
         lo = int(np.clip(lo_khz * 1000 * n / fs, 0, n // 2 - 1))
         hi = int(np.clip(hi_khz * 1000 * n / fs, lo + 1, n // 2))
@@ -148,6 +159,7 @@ class GuiBackend:
                 "incoming_fps": round(self.sa.stats.frames_produced and incoming_fps, 2),
                 "filter_mode": int(self.sa.filter_mode),
                 "comm_mode": int(self.sa.comm_mode),
+                "display_mode": self.display_mode,
             },
         )
 
@@ -174,6 +186,12 @@ class GuiBackend:
         }[mode.lower()]
         self.sa.set_filter_mode(fm)
         self.status(f"filter mode -> {fm.name}")
+
+    def set_display_mode(self, mode: str):
+        if mode not in ("magnitude", "real", "imag", "power"):
+            raise ValueError(f"unknown display mode {mode!r}")
+        self.display_mode = mode
+        self.status(f"display -> {mode}")
 
     def apply_frequency_range(self, lo_khz: float, hi_khz: float):
         nyq_khz = self.sa.cfg.sample_rate / 2000.0
@@ -244,6 +262,7 @@ class GuiBackend:
             "comm_mode": self.sa.comm_mode.name,
             "freq_range_khz": self.freq_range_khz,
             "filter_config": self.filter_config,
+            "display_mode": self.display_mode,
             "stats": self.sa.stats.as_dict(),
             "config": {
                 "fft_size": self.sa.cfg.fft_size,

@@ -9,6 +9,7 @@ POST endpoints mirroring the reference's SocketIO event set
   POST /api/set_mode            {"mode": "ethernet"|"uart"}
   POST /api/fpga_reset
   POST /api/set_filter_type     {"mode": "fixed"|"custom"|"bypass"}
+  POST /api/set_display_mode    {"mode": "magnitude"|"real"|"imag"|"power"}
   POST /api/apply_frequency_range {"lo_khz": .., "hi_khz": ..}
   POST /api/update_filter_config  {designer fields}
   POST /api/generate_filter_preview
@@ -104,6 +105,9 @@ def _make_handler(backend: GuiBackend):
                     self._json({"ok": True})
                 elif route == "/api/fpga_reset":
                     backend.fpga_reset()
+                    self._json({"ok": True})
+                elif route == "/api/set_display_mode":
+                    backend.set_display_mode(str(args.get("mode", "magnitude")))
                     self._json({"ok": True})
                 elif route == "/api/set_filter_type":
                     backend.set_filter_type(str(args.get("mode", "bypass")))

@@ -32,18 +32,32 @@ class StreamState:
       window_phase () int32 — sample index mod fft_size of the next sample.
       frame_count () int32 — spectra produced so far (the Ethernet IP-ID /
                   mark counter analog).
+      history     (..., channels, fft_size - hop) float32 — trailing filtered
+                  samples for overlapped (hop < fft_size) framing; None when
+                  hop == fft_size (the reference's configuration).
     """
 
     sos_state: Any
     window_phase: Any
     frame_count: Any
+    history: Any = None
 
     @staticmethod
-    def initial(channels: int, n_sections: int = 6, batch_shape=()) -> "StreamState":
+    def initial(
+        channels: int,
+        n_sections: int = 6,
+        batch_shape=(),
+        history_len: int = 0,
+    ) -> "StreamState":
         return StreamState(
             sos_state=jnp.zeros((*batch_shape, channels, n_sections, 2), jnp.float32),
             window_phase=jnp.zeros((), jnp.int32),
             frame_count=jnp.zeros((), jnp.int32),
+            history=(
+                jnp.zeros((*batch_shape, channels, history_len), jnp.float32)
+                if history_len
+                else None
+            ),
         )
 
     def to_numpy(self) -> dict:
@@ -52,12 +66,15 @@ class StreamState:
             "sos_state": np.asarray(self.sos_state),
             "window_phase": np.asarray(self.window_phase),
             "frame_count": np.asarray(self.frame_count),
+            "history": None if self.history is None else np.asarray(self.history),
         }
 
     @staticmethod
     def from_numpy(d: dict) -> "StreamState":
+        h = d.get("history")
         return StreamState(
             sos_state=jnp.asarray(d["sos_state"]),
             window_phase=jnp.asarray(d["window_phase"]),
             frame_count=jnp.asarray(d["frame_count"]),
+            history=None if h is None else jnp.asarray(h),
         )

@@ -76,6 +76,12 @@ def process_stream(
     - XLA: composite blocked einsums (any shape, any outputs).
     """
     n = cfg.fft_size
+    if cfg.effective_hop != n:
+        return _process_stream_hop(
+            x, state, bank_fixed, bank_custom, hann_w, plan,
+            mode_index=mode_index, cfg=cfg, outputs=outputs,
+            time_axis=time_axis, pallas_interpret=pallas_interpret,
+        )
     prec = _precision(cfg)
     pstr = "default" if cfg.dtype == "bf16" else "highest"
     t = x.shape[-1]
@@ -197,6 +203,92 @@ def process_stream(
     return out, new_state
 
 
+def _process_stream_hop(
+    x, state, bank_fixed, bank_custom, hann_w, plan, *,
+    mode_index, cfg, outputs, time_axis, pallas_interpret,
+):
+    """Overlapped (STFT) framing: hop < fft_size, with carried history.
+
+    The reference has no overlap (its window phase counter spans exactly one
+    FFT frame); for hop < N the window-first order is ill-defined, so this
+    mode uses the standard STFT order — IIR on the *continuous* stream, then
+    overlapped framing + window + FFT — a documented divergence
+    (SURVEY.md §7). State carries the last (N - hop) filtered samples so
+    chunked streaming matches a one-shot run exactly.
+    """
+    if time_axis is not None:
+        raise NotImplementedError(
+            "hop < fft_size is not yet supported with time sharding "
+            "(needs halo exchange); use a channel-only mesh"
+        )
+    n = cfg.fft_size
+    hop = cfg.effective_hop
+    prec = _precision(cfg)
+    t = x.shape[-1]
+    lead = x.shape[:-1]
+    n_frames = t // hop
+
+    # 1. IIR on the raw continuous stream.
+    if mode_index == 0:
+        y = x
+        zf = state.sos_state
+    else:
+        op = (bank_fixed if mode_index == 1 else bank_custom)["op"]
+        iir_prec = Precision.HIGH if cfg.dtype == "f32" else prec
+        y, zf = biquad.sosfilt_blocked_composite(
+            op, x, state.sos_state, precision=iir_prec
+        )
+
+    # 2. Overlapped frames from history + this chunk.
+    ext = jnp.concatenate([state.history, y], axis=-1)  # (..., n-hop+t)
+    frames = jnp.stack(
+        [
+            jax.lax.dynamic_slice_in_dim(ext, k * hop, n, axis=-1)
+            for k in range(n_frames)
+        ],
+        axis=-2,
+    )  # (..., F, n)
+    new_history = ext[..., t:]
+
+    # 3. Window + FFT + decode.
+    out = {}
+    pallas_ok = (
+        cfg.use_pallas
+        and outputs == "magnitude"
+        and cfg.fft_n1 == 128
+        and cfg.fft_n2 == 128
+    )
+    if pallas_ok:
+        from tpu_sdr.kernels.pallas import iir_fft
+
+        pp = (bank_fixed if mode_index != 2 else bank_custom)["pp"]
+        kprec = "default" if cfg.dtype == "bf16" else "highest"
+        flat = frames.reshape(-1, n)
+        zs = jnp.zeros((flat.shape[0], pp.state_dim), jnp.float32)
+        mag = iir_fft.spectrum_from_state(
+            flat, zs, pp, interpret=pallas_interpret, precision=kprec,
+            bypass=True, apply_window=True,
+        )
+        out["magnitude"] = mag.reshape(*lead, n_frames, n)
+    else:
+        xw = frames * hann_w
+        fr, fi = fft.fft_4step(xw, None, plan, precision=prec)
+        if outputs in ("magnitude", "all"):
+            out["magnitude"] = magnitude.magnitude(fr, fi)
+        if outputs in ("complex", "all"):
+            out["re"], out["im"] = fr, fi
+        if outputs == "power":
+            out["power"] = magnitude.power(fr, fi)
+
+    new_state = StreamState(
+        sos_state=zf,
+        window_phase=(state.window_phase + t) % n,
+        frame_count=state.frame_count + n_frames,
+        history=new_history,
+    )
+    return out, new_state
+
+
 class SpectrumPipeline:
     """Convenience wrapper owning the device constants + jit cache.
 
@@ -235,7 +327,10 @@ class SpectrumPipeline:
 
     def initial_state(self, batch_shape=()) -> StreamState:
         return StreamState.initial(
-            self.cfg.channels, self.cfg.n_sections, batch_shape
+            self.cfg.channels,
+            self.cfg.n_sections,
+            batch_shape,
+            history_len=self.cfg.fft_size - self.cfg.effective_hop,
         )
 
     def upload_sos(self, sos: np.ndarray):
