@@ -131,12 +131,14 @@ def test_bad_json_400(server):
 
 def test_display_modes(server):
     srv, backend = server
+    _post(srv, "start_receiver", {})
     _post(srv, "set_display_mode", {"mode": "real"})
     assert backend.display_mode == "real"
-    # a frame in 'real' mode arrives and decodes
+    # a frame in 'real' mode arrives and decodes (first one waits out the
+    # outputs="all" jit compile on CPU)
     import json as _json, time as _time
     q = backend.subscribe()
-    deadline = _time.time() + 30
+    deadline = _time.time() + 120
     got = None
     while _time.time() < deadline:
         try:

@@ -90,11 +90,14 @@ class GuiBackend:
     # ---------------- acquisition loop ----------------
 
     def start_receiver(self):
+        # (Re)arm acquisition even if the loop thread survived a reset —
+        # 0xFF stops the analyzer but not the thread (the thread just idles),
+        # and 0x55 must always restart acquisition.
+        self.sa.start()
         if self._thread is not None and self._thread.is_alive():
             self.status("receiver already running")
             return
         self._stop.clear()
-        self.sa.start()
         self._thread = threading.Thread(target=self._loop, daemon=True)
         self._thread.start()
         self.status("receiver started")
@@ -108,20 +111,30 @@ class GuiBackend:
         self.status("receiver stopped")
 
     def _loop(self):
+        try:
+            self._loop_inner()
+        except Exception as e:  # surface, don't die silently
+            self.status(f"receiver loop error: {type(e).__name__}: {e}", ok=False)
+            raise
+
+    def _loop_inner(self):
         n = self.sa.cfg.fft_size
         chunk = self.frames_per_dispatch * n
         while not self._stop.is_set():
             x = self.source.read(chunk, pace=self.pace)
-            want = "magnitude" if self.display_mode == "magnitude" else "all"
+            # snapshot the mode once per iteration: it can be flipped from
+            # the HTTP thread between the request and the decode otherwise
+            mode = self.display_mode
+            want = "magnitude" if mode == "magnitude" else "all"
             out = self.sa.process(x, outputs=want)
             if out is None:
                 time.sleep(0.01)
                 continue
-            if self.display_mode == "magnitude":
+            if mode == "magnitude":
                 disp = np.asarray(out["magnitude"])[0, -1]
-            elif self.display_mode == "real":
+            elif mode == "real":
                 disp = np.asarray(out["re"])[0, -1]
-            elif self.display_mode == "imag":
+            elif mode == "imag":
                 disp = np.asarray(out["im"])[0, -1]
             else:  # power
                 disp = np.asarray(out["magnitude"])[0, -1] ** 2
