@@ -1,0 +1,108 @@
+"""BASELINE configs 3-4: multi-channel filter banks + waterfall output."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+import scipy.signal as sps
+
+from tpu_sdr import PipelineConfig, FilterMode
+from tpu_sdr.control import SpectrumAnalyzer, golden
+from tpu_sdr.runtime import SpectrumPipeline
+from tpu_sdr.runtime.state import StreamState
+from tpu_sdr.runtime.waterfall import Waterfall, decimate_db
+
+
+def _state(C):
+    return StreamState(
+        sos_state=jnp.zeros((C, 6, 2), jnp.float32),
+        window_phase=jnp.zeros((), jnp.int32),
+        frame_count=jnp.zeros((), jnp.int32),
+    )
+
+
+def test_per_channel_bank_matches_per_channel_golden():
+    C = 4
+    pipe = SpectrumPipeline(PipelineConfig(channels=C))
+    bank = np.stack(
+        [sps.butter(12, 0.1 * (c + 1), output="sos") for c in range(C)]
+    )
+    pipe.upload_sos_bank(bank)
+    rng = np.random.default_rng(0)
+    x = rng.standard_normal((C, 2 * 16384)).astype(np.float32)
+    out, st = pipe.process(x, _state(C), FilterMode.CUSTOM)
+    mag = np.array(out["magnitude"])
+    for c in range(C):
+        ref = golden.golden_pipeline(x[c].astype(np.float64), sos=bank[c])[
+            "magnitude"
+        ]
+        mask = ref > ref.max() * 1e-3
+        db = np.abs(20 * np.log10(mag[c][mask] / ref[mask])).max()
+        assert db < 0.01, f"channel {c}: {db} dB"
+    assert np.array(st.sos_state).shape == (C, 6, 2)
+
+
+def test_bank_state_carry():
+    C = 2
+    pipe = SpectrumPipeline(PipelineConfig(channels=C))
+    # heterogeneous orders: passed as a list, padded per channel
+    bank = [sps.cheby1(8, 0.5, 0.2, output="sos"),
+            sps.butter(10, 0.35, output="sos")]
+    pipe.upload_sos_bank(bank)
+    rng = np.random.default_rng(1)
+    x = rng.standard_normal((C, 4 * 16384)).astype(np.float32)
+    out_w, st_w = pipe.process(x, _state(C), FilterMode.CUSTOM)
+    st = _state(C)
+    mags = []
+    for chunk in np.split(x, 2, axis=-1):
+        o, st = pipe.process(chunk, st, FilterMode.CUSTOM)
+        mags.append(np.array(o["magnitude"]))
+    assert np.array_equal(
+        np.concatenate(mags, axis=1), np.array(out_w["magnitude"])
+    )
+
+
+def test_bank_validation():
+    pipe = SpectrumPipeline(PipelineConfig(channels=4))
+    with pytest.raises(ValueError, match="config has 4 channels"):
+        pipe.upload_sos_bank(
+            np.stack([sps.butter(4, 0.2, output="sos")] * 2)
+        )
+    bad = np.stack([sps.butter(4, 0.2, output="sos")] * 4)
+    bad[2, 0, 4] = -2.5
+    bad[2, 0, 5] = 1.6
+    with pytest.raises(ValueError, match="channel 2"):
+        pipe.upload_sos_bank(bad)
+
+
+def test_analyzer_bank_api():
+    C = 2
+    sa = SpectrumAnalyzer(PipelineConfig(channels=C))
+    sa.start()
+    sa.upload_filter_bank(
+        np.stack([sps.butter(6, 0.15, output="sos"),
+                  sps.butter(6, 0.45, output="sos")])
+    )
+    sa.set_filter_mode(FilterMode.CUSTOM)
+    x = np.stack([golden.synth_tone(300e3, 16384)] * 2).astype(np.float32)
+    out = sa.process(x)
+    mag = np.asarray(out["magnitude"])
+    b = 4915  # 300 kHz bin
+    # channel 0 lowpass at 75 kHz kills the tone; channel 1 at 225 kHz... is
+    # also below 300 kHz, but much closer: ch1 passes far more than ch0
+    assert mag[1, 0, b] > 100 * mag[0, 0, b]
+
+
+def test_config4_wideband_waterfall():
+    """Scaled-down config 4: many channels -> waterfall spectrogram."""
+    C = 16
+    pipe = SpectrumPipeline(PipelineConfig(channels=C))
+    rng = np.random.default_rng(3)
+    x = rng.standard_normal((C, 2 * 16384)).astype(np.float32)
+    out, _ = pipe.process(x, _state(C), FilterMode.FIXED)
+    mags = np.array(out["magnitude"])  # (C, F, N)
+    wf = Waterfall(points=1024, depth=32)
+    dec = np.array(decimate_db(jnp.asarray(mags[0])))  # (F, 1024)
+    wf.push(dec)
+    assert wf.row_count == 2
+    assert wf.image().shape == (32, 1024)
+    assert np.isfinite(wf.peak_hold).all()

@@ -121,6 +121,13 @@ class SpectrumAnalyzer:
         self.custom_sos = np.atleast_2d(np.asarray(sos, np.float64))
         self.stats.coefficient_uploads += 1
 
+    def upload_filter_bank(self, sos_bank: np.ndarray):
+        """Per-channel coefficient reload (channels, sections, 6) — the
+        multi-channel filter bank (BASELINE config 3)."""
+        self.pipe.upload_sos_bank(sos_bank)
+        self.custom_sos = np.asarray(sos_bank, np.float64)
+        self.stats.coefficient_uploads += 1
+
     # ------------------------------------------------------------------
     # wire protocol
     # ------------------------------------------------------------------

@@ -438,6 +438,84 @@ def sosfilt_blocked_composite(
     return y.reshape(*lead, F * B * L), z_final.reshape(*lead, m // 2, 2)
 
 
+def precompute_composite_bank(
+    sos_bank: np.ndarray, block: int = 128, frame_blocks: int = 128,
+    dtype=jnp.float32,
+) -> BlockedSOSComposite:
+    """Per-channel composite operators: sos_bank (C, S, 6) -> leaves with a
+    leading channel axis. The BASELINE config-3 'filter bank' — every channel
+    gets its own runtime-reloadable cascade (the reference has one custom
+    bank for its single channel; this is the multi-channel generalization).
+
+    Memory: ~(T + W) = (L^2 + (B*m)^2) * 4 bytes per channel (~9.5 MB at the
+    default shape), so unique-per-channel banks suit O(100) channels; larger
+    channel counts should share filters (``precompute_composite``).
+    """
+    sos_bank = np.atleast_3d(np.asarray(sos_bank, np.float64))
+    ops = [
+        precompute_composite(sos_bank[c], block, frame_blocks, dtype)
+        for c in range(sos_bank.shape[0])
+    ]
+    return BlockedSOSComposite(
+        T=jnp.stack([o.T for o in ops]),
+        M=jnp.stack([o.M for o in ops]),
+        P=jnp.stack([o.P for o in ops]),
+        APow=jnp.stack([o.APow for o in ops]),
+        W=jnp.stack([o.W for o in ops]),
+        ALB=jnp.stack([o.ALB for o in ops]),
+    )
+
+
+def sosfilt_blocked_composite_bank(
+    op: BlockedSOSComposite,
+    x: jnp.ndarray,
+    zi: jnp.ndarray,
+    precision=Precision.HIGHEST,
+):
+    """Per-channel-coefficients cascade: x (..., C, T), zi (..., C, S, 2).
+
+    Same math as ``sosfilt_blocked_composite`` with every constant batched
+    over the channel axis (XLA lowers these to batched MXU matmuls).
+    """
+    L = op.T.shape[-1]
+    B = op.APow.shape[1]
+    m = op.M.shape[-1]
+    C = op.T.shape[0]
+    lead = x.shape[:-2]
+    F = x.shape[-1] // (B * L)
+    v = x.reshape(*lead, C, F, B, L)
+    z0 = zi.reshape(*lead, C, m)
+
+    y_zs = jnp.einsum("...cfbl,cnl->...cfbn", v, op.T, precision=precision)
+    f = jnp.einsum("...cfbl,cml->...cfbm", v, op.P, precision=precision)
+    zhat = jnp.einsum(
+        "...cfi,cji->...cfj",
+        f.reshape(*lead, C, F, B * m),
+        op.W,
+        precision=precision,
+    ).reshape(*lead, C, F, B, m)
+
+    def step(z, w):
+        return jnp.einsum("cab,...cb->...ca", op.ALB, z) + w, z
+
+    w_frames = jnp.moveaxis(zhat[..., -1, :], len(lead) + 1, 0)  # (F, ..., C, m)
+    z_final, z_starts = jax.lax.scan(step, z0, w_frames)
+    z_starts = jnp.moveaxis(z_starts, 0, len(lead) + 1)  # (..., C, F, m)
+
+    z_end = (
+        jnp.einsum("cjab,...cfb->...cfja", op.APow, z_starts, precision=precision)
+        + zhat
+    )
+    z_in = jnp.concatenate(
+        [z_starts[..., None, :], z_end[..., :-1, :]], axis=-2
+    )
+    y = y_zs + jnp.einsum("cnm,...cfbm->...cfbn", op.M, z_in, precision=precision)
+    return (
+        y.reshape(*lead, C, F * B * L),
+        z_final.reshape(*lead, C, m // 2, 2),
+    )
+
+
 def sosfilt_blocked_composite_timesharded(
     op: BlockedSOSComposite,
     x_local: jnp.ndarray,

@@ -41,6 +41,22 @@ def _precision(cfg: PipelineConfig):
     }[cfg.dtype]
 
 
+def _run_iir(op, xw, zi, precision, time_axis):
+    """Dispatch to the right composite variant (shared / per-channel bank)."""
+    if op.T.ndim == 3:  # per-channel bank (leading channel axis)
+        if time_axis is not None:
+            raise NotImplementedError(
+                "per-channel filter banks are not yet supported with time "
+                "sharding; use a channel-only mesh"
+            )
+        return biquad.sosfilt_blocked_composite_bank(op, xw, zi, precision)
+    if time_axis is None:
+        return biquad.sosfilt_blocked_composite(op, xw, zi, precision=precision)
+    return biquad.sosfilt_blocked_composite_timesharded(
+        op, xw, zi, time_axis=time_axis, precision=precision
+    )
+
+
 def process_stream(
     x: jnp.ndarray,
     state: StreamState,
@@ -108,6 +124,7 @@ def process_stream(
         # Pallas-kernel precision: Mosaic supports only default/highest.
         kprec = "default" if cfg.dtype == "bf16" else "highest"
         flat = x.reshape(-1, n)  # kernels window internally (reference order)
+        banked = mode_index == 2 and bank["op"].T.ndim == 3
         if mode_index == 0:
             zs = jnp.zeros((flat.shape[0], m), jnp.float32)
             mag = iir_fft.spectrum_from_state(
@@ -115,20 +132,16 @@ def process_stream(
                 bypass=True,
             )
             zf = state.sos_state
-        elif cfg.dtype == "f32":
+        elif cfg.dtype == "f32" or banked:
             # Default tier: XLA 3-pass-f32 window+IIR (compiles in seconds,
             # ~15 GSPS) feeding the exact-f32 Pallas FFT+magnitude kernel.
             xw = (x.reshape(*lead, n_frames, n) * hann_w).reshape(*lead, t)
-            op = bank["op"]
-            if time_axis is None:
-                y, zf = biquad.sosfilt_blocked_composite(
-                    op, xw, state.sos_state, precision=Precision.HIGH
-                )
-            else:
-                y, zf = biquad.sosfilt_blocked_composite_timesharded(
-                    op, xw, state.sos_state, time_axis=time_axis,
-                    precision=Precision.HIGH,
-                )
+            iir_prec = (
+                Precision.HIGH if cfg.dtype == "f32" else _precision(cfg)
+            )
+            y, zf = _run_iir(
+                bank["op"], xw, state.sos_state, iir_prec, time_axis
+            )
             zs = jnp.zeros((flat.shape[0], m), jnp.float32)
             mag = iir_fft.spectrum_from_state(
                 y.reshape(-1, n), zs, pp, interpret=pallas_interpret,
@@ -175,14 +188,7 @@ def process_stream(
             zf = state.sos_state
         else:
             op = (bank_fixed if mode_index == 1 else bank_custom)["op"]
-            if time_axis is None:
-                y, zf = biquad.sosfilt_blocked_composite(
-                    op, xw, state.sos_state, precision=prec
-                )
-            else:
-                y, zf = biquad.sosfilt_blocked_composite_timesharded(
-                    op, xw, state.sos_state, time_axis=time_axis, precision=prec
-                )
+            y, zf = _run_iir(op, xw, state.sos_state, prec, time_axis)
 
         # 3. Per-frame FFT (real input: the reference zero-pads imag,
         #    src/command_control.vhd:123) + output decode.
@@ -235,9 +241,7 @@ def _process_stream_hop(
     else:
         op = (bank_fixed if mode_index == 1 else bank_custom)["op"]
         iir_prec = Precision.HIGH if cfg.dtype == "f32" else prec
-        y, zf = biquad.sosfilt_blocked_composite(
-            op, x, state.sos_state, precision=iir_prec
-        )
+        y, zf = _run_iir(op, x, state.sos_state, iir_prec, None)
 
     # 2. Overlapped frames from history + this chunk.
     ext = jnp.concatenate([state.history, y], axis=-1)  # (..., n-hop+t)
@@ -351,6 +355,42 @@ class SpectrumPipeline:
                     f"{np.max(np.abs(poles)):.4f} >= 1); refusing upload"
                 )
         self.bank_custom = self._build_bank(sos)
+
+    def upload_sos_bank(self, sos_bank: np.ndarray):
+        """Per-channel coefficient reload.
+
+        ``sos_bank``: (channels, sections, 6) array, or a list of per-channel
+        SOS arrays (orders may differ; each is padded to the engine depth).
+        The BASELINE config-3 filter bank — each channel gets its own
+        cascade, stability-validated per channel.
+        """
+        if isinstance(sos_bank, (list, tuple)):
+            bank_list = [np.atleast_2d(np.asarray(s_, np.float64)) for s_ in sos_bank]
+        else:
+            arr = np.atleast_3d(np.asarray(sos_bank, np.float64))
+            bank_list = [arr[c] for c in range(arr.shape[0])]
+        if len(bank_list) != self.cfg.channels:
+            raise ValueError(
+                f"bank has {len(bank_list)} channel filters; config has "
+                f"{self.cfg.channels} channels"
+            )
+        padded = []
+        for c, sos in enumerate(bank_list):
+            sos = biquad.pad_sos(sos, self.cfg.n_sections)
+            for i, sec in enumerate(sos):
+                poles = np.roots(sec[3:6])
+                if np.any(np.abs(poles) >= 1.0):
+                    raise ValueError(
+                        f"channel {c} section {i} unstable (|pole| = "
+                        f"{np.max(np.abs(poles)):.4f} >= 1); refusing upload"
+                    )
+            padded.append(sos)
+        op = biquad.precompute_composite_bank(
+            np.stack(padded), self.cfg.iir_block,
+            self.cfg.fft_size // self.cfg.iir_block,
+        )
+        # keep the shared-plan pallas FFT for the hybrid epilogue
+        self.bank_custom = {"op": op, "pp": self.bank_fixed["pp"]}
 
     def _fn(self, mode_index: int, outputs: str):
         key = (mode_index, outputs)
