@@ -147,3 +147,27 @@ def test_udp_loopback_end_to_end():
     expected = np.sqrt(np.rint(re) ** 2 + np.rint(im) ** 2)
     assert np.allclose(got[0], expected)
     assert rx.frames_received == 3
+
+
+def test_udp_checksum_parity():
+    """Pseudo-header UDP checksum (the reference's unused udp_utils engine)."""
+    import struct
+
+    payload = b"\x07" + bytes(range(250))
+    c = ipstack.udp_checksum(payload)
+    # verify: checksum over the same data incl. the checksum field == 0
+    udp_len = 8 + len(payload)
+    pseudo = (
+        bytes([169, 254, 252, 255, 255, 255, 255, 255])
+        + struct.pack(">BBH", 0, 0x11, udp_len)
+    )
+    hdr = struct.pack(">HHHH", 5005, 6006, udp_len, c)
+    data = pseudo + hdr + payload
+    if len(data) % 2:
+        data += b"\x00"
+    s = 0
+    for i in range(0, len(data), 2):
+        s += (data[i] << 8) | data[i + 1]
+    while s >> 16:
+        s = (s & 0xFFFF) + (s >> 16)
+    assert s == 0xFFFF

@@ -102,6 +102,39 @@ def build_ethernet_frame(
     return body + fcs_bytes(body)
 
 
+def udp_checksum(
+    payload: bytes,
+    src_ip: str = SRC_IP,
+    dst_ip: str = DST_IP,
+    src_port: int = SRC_PORT,
+    dst_port: int = DST_PORT,
+) -> int:
+    """Full pseudo-header UDP checksum incl. the 0 -> 0xFFFF rule.
+
+    The reference carries an equivalent (unused) engine in
+    ``imp/udp_utils.vhd:24-139`` and transmits 0 on the wire; provided here
+    for completeness and for validating frames from standards-compliant
+    senders.
+    """
+    udp_len = 8 + len(payload)
+    pseudo = (
+        _ip_to_bytes(src_ip)
+        + _ip_to_bytes(dst_ip)
+        + struct.pack(">BBH", 0, PROTO_UDP, udp_len)
+    )
+    udp_hdr = struct.pack(">HHHH", src_port, dst_port, udp_len, 0)
+    data = pseudo + udp_hdr + payload
+    if len(data) % 2:
+        data += b"\x00"
+    s = 0
+    for i in range(0, len(data), 2):
+        s += (data[i] << 8) | data[i + 1]
+    while s >> 16:
+        s = (s & 0xFFFF) + (s >> 16)
+    csum = (~s) & 0xFFFF
+    return 0xFFFF if csum == 0 else csum
+
+
 def parse_header(frame: bytes) -> dict:
     """Parse + validate the 42-byte header; returns fields incl. checksum_ok."""
     if len(frame) < HEADER_LEN:
