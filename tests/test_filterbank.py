@@ -106,3 +106,30 @@ def test_config4_wideband_waterfall():
     assert wf.row_count == 2
     assert wf.image().shape == (32, 1024)
     assert np.isfinite(wf.peak_hold).all()
+
+
+def test_sharded_channel_bank():
+    """Per-channel banks on a channel-sharded mesh == single device."""
+    from tpu_sdr.shard import ShardedSpectrumPipeline, make_sdr_mesh
+
+    C = 8
+    mesh = make_sdr_mesh(channel=8, time=1)
+    sh = ShardedSpectrumPipeline(PipelineConfig(channels=C), mesh)
+    bank = [sps.butter(12, 0.08 * (c + 1), output="sos") for c in range(C)]
+    sh.upload_sos_bank(bank)
+    rng = np.random.default_rng(7)
+    x = rng.standard_normal((C, 2 * 16384)).astype(np.float32)
+    out_s, _ = sh.process(x, _state(C), FilterMode.CUSTOM)
+
+    sg = SpectrumPipeline(PipelineConfig(channels=C))
+    sg.upload_sos_bank(bank)
+    out_1, _ = sg.process(x, _state(C), FilterMode.CUSTOM)
+    assert np.array_equal(
+        np.asarray(out_s["magnitude"]), np.asarray(out_1["magnitude"])
+    )
+
+    with pytest.raises(NotImplementedError, match="channel-only"):
+        sh2 = ShardedSpectrumPipeline(
+            PipelineConfig(channels=2), make_sdr_mesh(channel=2, time=4)
+        )
+        sh2.upload_sos_bank([sps.butter(4, 0.2, output="sos")] * 2)

@@ -79,8 +79,54 @@ class ShardedSpectrumPipeline:
                 )
         self.bank_custom = self._build_bank(sos)
 
+    def upload_sos_bank(self, sos_bank):
+        """Per-channel coefficient reload on a channel-sharded mesh.
+
+        Requires a channel-only mesh (time axis of size 1): per-channel
+        operators shard over the channel axis; combining them with time
+        sharding needs a banked time-sharded kernel (future work).
+        """
+        if self.mesh.shape["time"] != 1:
+            raise NotImplementedError(
+                "per-channel banks require a channel-only mesh "
+                f"(time axis has size {self.mesh.shape['time']})"
+            )
+        if isinstance(sos_bank, (list, tuple)):
+            bank_list = [np.atleast_2d(np.asarray(s_, np.float64)) for s_ in sos_bank]
+        else:
+            arr = np.atleast_3d(np.asarray(sos_bank, np.float64))
+            bank_list = [arr[c] for c in range(arr.shape[0])]
+        if len(bank_list) != self.cfg.channels:
+            raise ValueError(
+                f"bank has {len(bank_list)} channel filters; config has "
+                f"{self.cfg.channels} channels"
+            )
+        padded = []
+        for c, sos in enumerate(bank_list):
+            sos = biquad.pad_sos(sos, self.cfg.n_sections)
+            for i, sec in enumerate(sos):
+                poles = np.roots(sec[3:6])
+                if np.any(np.abs(poles) >= 1.0):
+                    raise ValueError(
+                        f"channel {c} section {i} unstable (|pole| = "
+                        f"{np.max(np.abs(poles)):.4f} >= 1); refusing upload"
+                    )
+            padded.append(sos)
+        fb = self.cfg.fft_size // self.cfg.iir_block
+        op = biquad.precompute_composite_bank(
+            np.stack(padded), self.cfg.iir_block, fb
+        )
+        op = jax.device_put(
+            op,
+            jax.tree_util.tree_map(
+                lambda _: NamedSharding(self.mesh, P("channel")), op
+            ),
+        )
+        self.bank_custom = {"op": op, "pp": self.bank_fixed["pp"]}
+
     def _fn(self, mode_index: int, outputs: str):
-        key = (mode_index, outputs)
+        banked = self.bank_custom["op"].T.ndim == 3
+        key = (mode_index, outputs, banked)
         if key in self._jitted:
             return self._jitted[key]
 
@@ -100,15 +146,28 @@ class ShardedSpectrumPipeline:
             },
         }[outputs]
 
+        # With a single time shard there is nothing to exchange; skip the
+        # collectives entirely (also what per-channel banks require).
+        time_axis = "time" if self.mesh.shape["time"] > 1 else None
         body = functools.partial(
             process_stream,
             mode_index=mode_index,
             cfg=self.cfg,
             outputs=outputs,
-            time_axis="time",
+            time_axis=time_axis,
             pallas_interpret=jax.default_backend() == "cpu",
         )
 
+        custom_spec = (
+            {
+                "op": jax.tree_util.tree_map(
+                    lambda _: P("channel"), self.bank_custom["op"]
+                ),
+                "pp": P(None),
+            }
+            if banked
+            else P(None)
+        )
         shmapped = jax.shard_map(
             body,
             mesh=self.mesh,
@@ -116,7 +175,7 @@ class ShardedSpectrumPipeline:
                 P("channel", "time"),  # x (C, T)
                 state_specs,
                 P(None),  # bank_fixed (replicated pytree)
-                P(None),  # bank_custom
+                custom_spec,  # bank_custom (sharded over channel when banked)
                 P(None),  # hann_w
                 P(None),  # plan
             ),
