@@ -39,8 +39,9 @@ def make_sdr_mesh(
         channel = n // time
     elif time is None:
         time = n // channel
-    if channel * time != n:
-        raise ValueError(f"channel*time = {channel}*{time} != {n} devices")
+    if channel * time > n:
+        raise ValueError(f"channel*time = {channel}*{time} > {n} devices")
+    devices = devices[: channel * time]  # sub-meshes are fine
     return jax.sharding.Mesh(
         devices.reshape(channel, time), axis_names=("channel", "time")
     )
