@@ -70,13 +70,17 @@ def main():
         return time.perf_counter() - t0
 
     run_k(3)  # warm the executable/queues
-    t_short = min(run_k(2) for _ in range(3))
-    t_long = min(run_k(22) for _ in range(3))
-    per_dispatch = (t_long - t_short) / 20
-    log(
-        f"bench: K=2 {t_short * 1e3:.1f} ms, K=22 {t_long * 1e3:.1f} ms, "
-        f"per-dispatch {per_dispatch * 1e3:.3f} ms"
-    )
+    # Repeat the slope estimate; the tunnel adds multi-ms jitter to any
+    # single measurement, so take the median of several slopes.
+    slopes = []
+    for rep in range(5):
+        t_short = min(run_k(2) for _ in range(3))
+        t_long = min(run_k(22) for _ in range(3))
+        slopes.append((t_long - t_short) / 20)
+        log(f"bench: rep {rep}: per-dispatch {slopes[-1] * 1e3:.3f} ms")
+    slopes.sort()
+    per_dispatch = slopes[len(slopes) // 2]
+    log(f"bench: median per-dispatch {per_dispatch * 1e3:.3f} ms")
     rate = samples_per_dispatch / per_dispatch
 
     print(
