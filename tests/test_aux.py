@@ -136,3 +136,33 @@ class TestSources:
         out = src.read(250)[0]
         assert np.array_equal(out[:100], data)
         assert np.array_equal(out[100:200], data)
+
+
+class TestFeeder:
+    def test_double_buffered_staging(self):
+        from tpu_sdr.runtime.feeder import StreamFeeder
+
+        src = SyntheticSource(tones_hz=((100e3, 0.5),), adc_bits=None)
+        ref = SyntheticSource(tones_hz=((100e3, 0.5),), adc_bits=None)
+        f = StreamFeeder(src, chunk_samples=4096, depth=2).start()
+        chunks = [np.asarray(f.get()) for _ in range(3)]
+        f.stop()
+        # FIFO order = contiguous stream
+        whole = ref.read(3 * 4096)
+        got = np.concatenate([c[0] for c in chunks])
+        assert np.allclose(got, whole[0], atol=1e-6)
+        assert f.chunks_staged >= 3
+
+    def test_feeder_error_surfaces(self):
+        from tpu_sdr.runtime.feeder import StreamFeeder
+        from tpu_sdr.runtime.source import CallbackSource
+
+        def boom(n):
+            raise RuntimeError("source died")
+
+        f = StreamFeeder(CallbackSource(boom), chunk_samples=128).start()
+        import pytest as _pytest
+
+        with _pytest.raises(RuntimeError, match="source died"):
+            f.get(timeout=5.0)
+        f.stop()

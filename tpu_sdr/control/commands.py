@@ -24,7 +24,7 @@ from __future__ import annotations
 
 import dataclasses
 import enum
-from typing import Callable
+
 
 
 class Command(enum.IntEnum):

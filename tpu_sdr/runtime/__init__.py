@@ -1,2 +1,3 @@
 from tpu_sdr.runtime.state import StreamState  # noqa: F401
 from tpu_sdr.runtime.stream import SpectrumPipeline  # noqa: F401
+from tpu_sdr.runtime.feeder import StreamFeeder  # noqa: F401

@@ -1,0 +1,94 @@
+"""Double-buffered host->device sample staging — the async-FIFO analog.
+
+The reference decouples its 1 MSPS producer from the burst consumer with a
+dual-clock FIFO (``imp/fifo.vhd``, SURVEY.md §2.7). Here the producer is a
+host sample source and the consumer is the device pipeline; the decoupling
+is a background thread that reads the source and stages chunks on device
+(``jax.device_put``) ahead of consumption, so acquisition, H2D transfer and
+compute overlap. ``depth`` staged chunks play the FIFO-depth role; when the
+consumer stalls, the feeder blocks (backpressure) rather than dropping —
+drop policy belongs to the display edge, not the signal path.
+
+    feeder = StreamFeeder(source, chunk_samples=4 * 16384, pipe=pipe)
+    feeder.start()
+    for _ in range(n):
+        x = feeder.get()              # device-resident, already transferred
+        out, state = pipe.process(x, state, mode)
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+
+import jax
+import jax.numpy as jnp
+
+
+class StreamFeeder:
+    def __init__(
+        self,
+        source,
+        chunk_samples: int,
+        depth: int = 2,
+        sharding=None,
+        pace: bool = False,
+    ):
+        self.source = source
+        self.chunk_samples = chunk_samples
+        self.sharding = sharding
+        self.pace = pace
+        self._q: queue.Queue = queue.Queue(maxsize=depth)
+        self._stop = threading.Event()
+        self._thread: threading.Thread | None = None
+        self._error: BaseException | None = None
+        self.chunks_staged = 0
+
+    def start(self):
+        self._stop.clear()
+        self._thread = threading.Thread(target=self._run, daemon=True)
+        self._thread.start()
+        return self
+
+    def _run(self):
+        try:
+            while not self._stop.is_set():
+                x = self.source.read(self.chunk_samples, pace=self.pace)
+                arr = jnp.asarray(x, jnp.float32)
+                if self.sharding is not None:
+                    arr = jax.device_put(arr, self.sharding)
+                else:
+                    arr = jax.device_put(arr)
+                # block (backpressure) until the consumer frees a slot
+                while not self._stop.is_set():
+                    try:
+                        self._q.put(arr, timeout=0.2)
+                        self.chunks_staged += 1
+                        break
+                    except queue.Full:
+                        continue
+        except BaseException as e:  # surface in get()
+            self._error = e
+
+    def get(self, timeout: float = 30.0):
+        """Next device-resident chunk (FIFO order). Raises feeder errors."""
+        deadline_err = None
+        try:
+            return self._q.get(timeout=timeout)
+        except queue.Empty as e:
+            deadline_err = e
+        if self._error is not None:
+            raise self._error
+        raise TimeoutError("feeder produced no chunk in time") from deadline_err
+
+    def stop(self):
+        self._stop.set()
+        if self._thread is not None:
+            self._thread.join(timeout=2.0)
+            self._thread = None
+        # drain staged chunks so buffers free promptly
+        while True:
+            try:
+                self._q.get_nowait()
+            except queue.Empty:
+                break

@@ -6,7 +6,7 @@ of a 1-sample/cycle pipeline decoupled by FIFOs across clock domains, the
 runtime processes whole batches of 16K-sample frames per dispatch, carrying
 {biquad state, window phase, frame count} across calls. Host<->device rate
 decoupling — the async-FIFO role — is played by JAX's async dispatch queue
-plus double-buffered ``jax.device_put`` in ``tpu_sdr.runtime.feeder``.
+plus the double-buffered stager in ``tpu_sdr.runtime.feeder.StreamFeeder``.
 
 Datapath order matches the reference (SURVEY.md §3.2):
 
@@ -17,7 +17,7 @@ Datapath order matches the reference (SURVEY.md §3.2):
 from __future__ import annotations
 
 import functools
-from typing import Any
+
 
 import jax
 import jax.numpy as jnp
