@@ -163,3 +163,25 @@ def test_display_modes(server):
     with _pytest.raises(urllib.error.HTTPError) as e:
         urllib.request.urlopen(req, timeout=5)
     assert e.value.code == 400
+
+
+def test_waterfall_events(server):
+    srv, backend = server
+    import json as _json, time as _time
+    _post(srv, "start_receiver", {})
+    q = backend.subscribe()
+    deadline = _time.time() + 60
+    got = None
+    while _time.time() < deadline:
+        try:
+            ev, payload = q.get(timeout=1.0)
+        except Exception:
+            continue
+        if ev == "waterfall_row":
+            got = _json.loads(payload)
+            break
+    backend.unsubscribe(q)
+    assert got is not None
+    assert len(got["row_db"]) == backend.waterfall.points
+    assert len(got["peak_hold_db"]) == backend.waterfall.points
+    assert got["rows"] >= 1

@@ -54,6 +54,10 @@ class GuiBackend:
             "ripple_db": 1.0,
             "attenuation_db": 60.0,
         }
+        from tpu_sdr.runtime.waterfall import Waterfall
+
+        self.waterfall = Waterfall(points=512, depth=160)
+        self.waterfall_enabled = True
         self._subscribers: list[queue.Queue] = []
         self._sub_lock = threading.Lock()
         self._stop = threading.Event()
@@ -144,6 +148,10 @@ class GuiBackend:
                 continue
             self._last_emit = now
             self._emit_frame(disp)
+            if self.waterfall_enabled:
+                self._emit_waterfall_row(
+                    np.abs(np.asarray(out["magnitude"])[0, -1])
+                )
 
     def _emit_frame(self, mag: np.ndarray):
         n = self.sa.cfg.fft_size
@@ -173,6 +181,25 @@ class GuiBackend:
                 "filter_mode": int(self.sa.filter_mode),
                 "comm_mode": int(self.sa.comm_mode),
                 "display_mode": self.display_mode,
+            },
+        )
+
+    def _emit_waterfall_row(self, mag: np.ndarray):
+        n = self.sa.cfg.fft_size
+        half = mag[: n // 2]
+        pts = self.waterfall.points
+        edges = np.linspace(0, half.shape[0], pts + 1).astype(int)
+        dec = np.maximum.reduceat(half, edges[:-1])
+        row_db = 20.0 * np.log10(np.maximum(dec, 1e-9))
+        self.waterfall.push(row_db)
+        self.emit(
+            "waterfall_row",
+            {
+                "row_db": np.round(row_db.astype(np.float64), 1).tolist(),
+                "peak_hold_db": np.round(
+                    self.waterfall.peak_hold.astype(np.float64), 1
+                ).tolist(),
+                "rows": self.waterfall.row_count,
             },
         )
 
