@@ -166,3 +166,17 @@ class TestFeeder:
         with _pytest.raises(RuntimeError, match="source died"):
             f.get(timeout=5.0)
         f.stop()
+
+
+def test_uart_overflow_trim_preserves_alignment():
+    """Overflow trim drops whole frames so later frames stay aligned."""
+    rx = UartDeframer(max_buffer=2 * FRAME_SIZE_BYTES)
+    f1, f2, f3, f4 = _frame(11), _frame(12), _frame(13), _frame(14)
+    # one burst of 3.5 frames: overflow by a non-multiple of the frame size
+    burst = f1 + f2 + f3 + f4[: FRAME_SIZE_BYTES // 2]
+    frames = rx.push(burst)
+    # alignment preserved: everything emitted is one of the real frames
+    for fr in frames:
+        assert fr in (f1, f2, f3, f4)
+    frames += rx.push(f4[FRAME_SIZE_BYTES // 2 :])
+    assert frames and frames[-1] == f4

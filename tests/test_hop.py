@@ -68,3 +68,57 @@ def test_hop_validation():
     x = np.zeros((1, 8 * 16384), np.float32)
     with pytest.raises(NotImplementedError, match="halo"):
         sp.process(x, sp.initial_state(), FilterMode.BYPASS)
+
+
+def test_hop_sharded_channel_only_mesh():
+    """Hop mode works on a channel-only mesh with carried history (was a
+    crash: sharded initial_state allocated no history)."""
+    from tpu_sdr.shard import ShardedSpectrumPipeline, make_sdr_mesh
+    from tpu_sdr.runtime import SpectrumPipeline
+
+    C = 4
+    mesh = make_sdr_mesh(channel=4, time=1)
+    sh = ShardedSpectrumPipeline(PipelineConfig(channels=C, hop=8192), mesh)
+    sg = SpectrumPipeline(PipelineConfig(channels=C, hop=8192))
+    sos = sps.butter(8, 0.25, output="sos")
+    sh.upload_sos(sos)
+    sg.upload_sos(sos)
+    rng = np.random.default_rng(11)
+    x = rng.standard_normal((C, 2 * 16384)).astype(np.float32)
+    out_s, st_s = sh.process(x, sh.initial_state(), FilterMode.CUSTOM)
+    out_1, st_1 = sg.process(x, sg.initial_state(), FilterMode.CUSTOM)
+    assert np.array_equal(
+        np.asarray(out_s["magnitude"]), np.asarray(out_1["magnitude"])
+    )
+    assert np.asarray(st_s.history).shape == (C, 8192)
+
+
+def test_hop_nonstandard_iir_block_falls_back():
+    """hop + iir_block != 128: the Pallas gate must decline (was a None
+    dereference) and the XLA path must produce correct spectra."""
+    cfg = PipelineConfig(hop=8192, iir_block=64)
+    pipe = SpectrumPipeline(cfg)
+    sos = sps.butter(8, 0.25, output="sos")
+    pipe.upload_sos(sos)
+    x = golden.synth_tone(100e3, 2 * 16384).astype(np.float32)
+    out, _ = pipe.process(x, pipe.initial_state(), FilterMode.CUSTOM)
+    mag = np.array(out["magnitude"])[0]
+    assert mag.shape == (4, 16384)
+    assert np.isfinite(mag).all()
+
+
+def test_analyzer_hop_frame_count():
+    """frames_produced counts hop frames, not fft_size frames."""
+    from tpu_sdr.control import SpectrumAnalyzer
+
+    idxs = []
+    sa = SpectrumAnalyzer(
+        PipelineConfig(channels=1, hop=8192),
+        on_spectrum=lambda mag, i: idxs.append(i),
+    )
+    sa.start()
+    x = np.zeros((1, 2 * 16384), np.float32)
+    sa.process(x)
+    sa.process(x)
+    assert sa.stats.frames_produced == 8
+    assert idxs == list(range(8))

@@ -171,3 +171,15 @@ def test_udp_checksum_parity():
     while s >> 16:
         s = (s & 0xFFFF) + (s >> 16)
     assert s == 0xFFFF
+
+
+def test_native_rejects_bad_lengths():
+    """The C++ wrappers enforce the same validation as the NumPy fallback."""
+    if not native.available():
+        pytest.skip("no C++ toolchain")
+    with pytest.raises(ValueError, match="frame must be"):
+        native.frame_to_packets(b"\x00" * 1024)
+    with pytest.raises(ValueError, match="equal-length"):
+        native.spectrum_to_frame_bytes(
+            np.zeros(16384, np.float32), np.zeros(100, np.float32)
+        )

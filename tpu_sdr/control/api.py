@@ -87,7 +87,8 @@ class SpectrumAnalyzer:
     # ------------------------------------------------------------------
 
     def _fresh_state(self) -> StreamState:
-        return StreamState.initial(self.cfg.channels, self.cfg.n_sections)
+        # the pipeline knows its own state shape (incl. hop history)
+        return self.pipe.initial_state()
 
     def start(self):
         """0x55: begin acquisition."""
@@ -183,7 +184,7 @@ class SpectrumAnalyzer:
         )
         x = np.asarray(samples)
         t = x.shape[-1]
-        n_frames = t // self.cfg.fft_size
+        n_frames = t // self.cfg.effective_hop  # frames per chunk (hop-aware)
         self.stats.samples_consumed += int(np.prod(x.shape))
         if "magnitude" in out:
             mags = np.asarray(out["magnitude"])  # (C, F, N)

@@ -167,7 +167,9 @@ class GuiBackend:
         dec = np.maximum.reduceat(window, edges[:-1])
         freqs_khz = (lo + edges[:-1] * 1.0) * fs / n / 1000.0
         peak = int(np.argmax(window))
-        incoming_fps = len(self._fps_window) * 1.0 / self.frames_per_dispatch
+        # one _fps_window stamp per dispatch; each dispatch carries
+        # frames_per_dispatch frames
+        incoming_fps = len(self._fps_window) * float(self.frames_per_dispatch)
         self.emit(
             "frame_data",
             {

@@ -130,11 +130,18 @@ def precompute(sos: jnp.ndarray, block: int = 128) -> BlockedSOS:
     return BlockedSOS(T=T, M=M, P=P, AL=AL)
 
 
+def _small_mm(a, b):
+    """Exact-f32 small matmul via elementwise ops (bare ``@`` lowers to bf16
+    MXU passes on TPU; these tiny state products feed long recurrences, so
+    they stay on the VPU in full f32)."""
+    return jnp.sum(a[..., :, :, None] * b[..., None, :, :], axis=-2)
+
+
 def _affine_combine(left, right):
     """Compose affine maps: right after left. Elements: (mat, vec[...,2,1])."""
     m1, v1 = left
     m2, v2 = right
-    return m2 @ m1, m2 @ v1 + v2
+    return _small_mm(m2, m1), _small_mm(m2, v1) + v2
 
 
 def _within_frame_prefix(AL, f, frame_blocks: int):
@@ -170,7 +177,7 @@ def _frame_chain(m_frames, v_frames, z0):
 
     def step(z, mv):
         m, v = mv
-        return m @ z + v, z
+        return _small_mm(m, z) + v, z
 
     mF = jnp.moveaxis(m_frames, len(lead), 0)
     vF = jnp.moveaxis(v_frames, len(lead), 0)
@@ -188,7 +195,7 @@ def _z_in_from_prefix(cmats, cvecs, z_starts):
     lead = cmats.shape[:-4]
     F, B = cmats.shape[-4], cmats.shape[-3]
     zs = z_starts[..., :, None, :, :]  # (..., F, 1, 2, 1)
-    z_end_within = cmats @ zs + cvecs  # (..., F, B, 2, 1)
+    z_end_within = _small_mm(cmats, zs) + cvecs  # (..., F, B, 2, 1)
     z_in = jnp.concatenate([zs, z_end_within[..., :-1, :, :]], axis=-3)
     return z_in[..., 0].reshape(*lead, F * B, 2)
 
@@ -428,7 +435,7 @@ def sosfilt_blocked_composite(
 
     # Sequential chain across frames: z_{f+1} = ALB z_f + zhat[f, -1].
     def step(z, w):
-        return jnp.einsum("ab,...b->...a", op.ALB, z) + w, z
+        return jnp.sum(op.ALB * z[..., None, :], axis=-1) + w, z
 
     w_frames = jnp.moveaxis(zhat[..., -1, :], len(lead), 0)  # (F, ..., m)
     z_final, z_starts = jax.lax.scan(step, z0, w_frames)
@@ -496,7 +503,7 @@ def sosfilt_blocked_composite_bank(
     ).reshape(*lead, C, F, B, m)
 
     def step(z, w):
-        return jnp.einsum("cab,...cb->...ca", op.ALB, z) + w, z
+        return jnp.sum(op.ALB * z[..., None, :], axis=-1) + w, z
 
     w_frames = jnp.moveaxis(zhat[..., -1, :], len(lead) + 1, 0)  # (F, ..., C, m)
     z_final, z_starts = jax.lax.scan(step, z0, w_frames)
@@ -543,7 +550,7 @@ def sosfilt_blocked_composite_timesharded(
     w_all = jax.lax.all_gather(w_local, time_axis, axis=frame_ax, tiled=True)
 
     def step(z, w):
-        return jnp.einsum("ab,...b->...a", op.ALB, z) + w, z
+        return jnp.sum(op.ALB * z[..., None, :], axis=-1) + w, z
 
     wF = jnp.moveaxis(w_all, frame_ax, 0)
     z_final, z_starts_all = jax.lax.scan(step, z0, wF)

@@ -361,7 +361,7 @@ def frame_chain(w_frames: jnp.ndarray, z0: jnp.ndarray, ALB: jnp.ndarray):
     """
 
     def step(z, w):
-        return ALB @ z + w, z
+        return jnp.sum(ALB * z[..., None, :], axis=-1) + w, z
 
     z_final, z_starts = jax.lax.scan(step, z0, w_frames)
     return z_starts, z_final

@@ -1,0 +1,75 @@
+"""Filter-bank construction shared by the single-device and sharded engines.
+
+One implementation of SOS validation, padding, and operator building (the
+0xF1-upload backend), so stability rules and wire-padding semantics cannot
+drift between engines.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from tpu_sdr.core.config import PipelineConfig
+from tpu_sdr.kernels import biquad
+
+
+def validate_stable(sos: np.ndarray, label: str = "SOS"):
+    """Reject sections with poles on/outside the unit circle — the blocked
+    operator raises A to the 128th power, which overflows for unstable poles.
+    """
+    for i, sec in enumerate(np.atleast_2d(sos)):
+        poles = np.roots(sec[3:6])
+        if np.any(np.abs(poles) >= 1.0):
+            raise ValueError(
+                f"{label} section {i} is unstable (|pole| = "
+                f"{np.max(np.abs(poles)):.4f} >= 1); refusing upload"
+            )
+
+
+def prepare_sos(sos, n_sections: int) -> np.ndarray:
+    """Pad to the engine's section count and validate stability."""
+    sos = biquad.pad_sos(sos, n_sections)
+    validate_stable(sos)
+    return sos
+
+
+def prepare_bank(sos_bank, channels: int, n_sections: int) -> np.ndarray:
+    """Normalize a per-channel bank: (C, S, 6) array or list of designs
+    (orders may differ; each padded per channel), stability-validated.
+    """
+    if isinstance(sos_bank, (list, tuple)):
+        bank_list = [np.atleast_2d(np.asarray(s, np.float64)) for s in sos_bank]
+    else:
+        arr = np.atleast_3d(np.asarray(sos_bank, np.float64))
+        bank_list = [arr[c] for c in range(arr.shape[0])]
+    if len(bank_list) != channels:
+        raise ValueError(
+            f"bank has {len(bank_list)} channel filters; config has "
+            f"{channels} channels"
+        )
+    padded = []
+    for c, sos in enumerate(bank_list):
+        sos = biquad.pad_sos(sos, n_sections)
+        validate_stable(sos, label=f"channel {c}")
+        padded.append(sos)
+    return np.stack(padded)
+
+
+def build_bank(cfg: PipelineConfig, hann_w, fft_plan, sos) -> dict:
+    """Build one {op, pp} filter bank for a shared (non-per-channel) cascade."""
+    fb = cfg.fft_size // cfg.iir_block
+    bank = {"op": biquad.precompute_composite(sos, cfg.iir_block, fb)}
+    if cfg.use_pallas and cfg.iir_block == 128 and fb == 128:
+        from tpu_sdr.kernels.pallas import iir_fft
+
+        bank["pp"] = iir_fft.build_plan(sos, hann_w, fft_plan, cfg.iir_block, fb)
+    else:
+        bank["pp"] = None
+    return bank
+
+
+def build_channel_bank_op(cfg: PipelineConfig, sos_bank_padded: np.ndarray):
+    """Per-channel composite operator stack from a prepared (C, S, 6) bank."""
+    return biquad.precompute_composite_bank(
+        sos_bank_padded, cfg.iir_block, cfg.fft_size // cfg.iir_block
+    )

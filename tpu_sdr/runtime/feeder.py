@@ -71,15 +71,21 @@ class StreamFeeder:
             self._error = e
 
     def get(self, timeout: float = 30.0):
-        """Next device-resident chunk (FIFO order). Raises feeder errors."""
-        deadline_err = None
-        try:
-            return self._q.get(timeout=timeout)
-        except queue.Empty as e:
-            deadline_err = e
-        if self._error is not None:
-            raise self._error
-        raise TimeoutError("feeder produced no chunk in time") from deadline_err
+        """Next device-resident chunk (FIFO order). Raises feeder errors
+        promptly (short-poll so a dead producer fails fast)."""
+        import time as _time
+
+        deadline = _time.monotonic() + timeout
+        while True:
+            if self._error is not None:
+                raise self._error
+            remaining = deadline - _time.monotonic()
+            if remaining <= 0:
+                raise TimeoutError("feeder produced no chunk in time")
+            try:
+                return self._q.get(timeout=min(0.2, remaining))
+            except queue.Empty:
+                continue
 
     def stop(self):
         self._stop.set()

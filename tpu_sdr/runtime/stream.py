@@ -159,7 +159,9 @@ def process_stream(
             z0 = state.sos_state.reshape(*lead, m)
 
             def step(z, wf):
-                return jnp.einsum("ab,...b->...a", pp.ALB, z) + wf, z
+                # elementwise matvec: exact f32 on the VPU (a bare einsum
+                # would lower to bf16 MXU passes on TPU)
+                return jnp.sum(pp.ALB * z[..., None, :], axis=-1) + wf, z
 
             wF = jnp.moveaxis(w, len(lead), 0)
             z_final, z_starts = jax.lax.scan(step, z0, wF)
@@ -261,6 +263,7 @@ def _process_stream_hop(
         and outputs == "magnitude"
         and cfg.fft_n1 == 128
         and cfg.fft_n2 == 128
+        and cfg.iir_block == 128
     )
     if pallas_ok:
         from tpu_sdr.kernels.pallas import iir_fft
@@ -315,19 +318,9 @@ class SpectrumPipeline:
         self._jitted = {}
 
     def _build_bank(self, sos: np.ndarray) -> dict:
-        fb = self.cfg.fft_size // self.cfg.iir_block
-        bank = {
-            "op": biquad.precompute_composite(sos, self.cfg.iir_block, fb)
-        }
-        if self.cfg.use_pallas and self.cfg.iir_block == 128 and fb == 128:
-            from tpu_sdr.kernels.pallas import iir_fft
+        from tpu_sdr.runtime import banks
 
-            bank["pp"] = iir_fft.build_plan(
-                sos, self.hann_w, self.plan, self.cfg.iir_block, fb
-            )
-        else:
-            bank["pp"] = None
-        return bank
+        return banks.build_bank(self.cfg, self.hann_w, self.plan, sos)
 
     def initial_state(self, batch_shape=()) -> StreamState:
         return StreamState.initial(
@@ -346,15 +339,11 @@ class SpectrumPipeline:
         outside the unit circle) are rejected — the blocked operator raises
         A to the 128th power, which overflows to inf/nan for unstable poles.
         """
-        sos = biquad.pad_sos(sos, self.cfg.n_sections)
-        for i, sec in enumerate(sos):
-            poles = np.roots(sec[3:6])
-            if np.any(np.abs(poles) >= 1.0):
-                raise ValueError(
-                    f"SOS section {i} is unstable (|pole| = "
-                    f"{np.max(np.abs(poles)):.4f} >= 1); refusing upload"
-                )
-        self.bank_custom = self._build_bank(sos)
+        from tpu_sdr.runtime import banks
+
+        self.bank_custom = self._build_bank(
+            banks.prepare_sos(sos, self.cfg.n_sections)
+        )
 
     def upload_sos_bank(self, sos_bank: np.ndarray):
         """Per-channel coefficient reload.
@@ -364,31 +353,12 @@ class SpectrumPipeline:
         The BASELINE config-3 filter bank — each channel gets its own
         cascade, stability-validated per channel.
         """
-        if isinstance(sos_bank, (list, tuple)):
-            bank_list = [np.atleast_2d(np.asarray(s_, np.float64)) for s_ in sos_bank]
-        else:
-            arr = np.atleast_3d(np.asarray(sos_bank, np.float64))
-            bank_list = [arr[c] for c in range(arr.shape[0])]
-        if len(bank_list) != self.cfg.channels:
-            raise ValueError(
-                f"bank has {len(bank_list)} channel filters; config has "
-                f"{self.cfg.channels} channels"
-            )
-        padded = []
-        for c, sos in enumerate(bank_list):
-            sos = biquad.pad_sos(sos, self.cfg.n_sections)
-            for i, sec in enumerate(sos):
-                poles = np.roots(sec[3:6])
-                if np.any(np.abs(poles) >= 1.0):
-                    raise ValueError(
-                        f"channel {c} section {i} unstable (|pole| = "
-                        f"{np.max(np.abs(poles)):.4f} >= 1); refusing upload"
-                    )
-            padded.append(sos)
-        op = biquad.precompute_composite_bank(
-            np.stack(padded), self.cfg.iir_block,
-            self.cfg.fft_size // self.cfg.iir_block,
+        from tpu_sdr.runtime import banks
+
+        padded = banks.prepare_bank(
+            sos_bank, self.cfg.channels, self.cfg.n_sections
         )
+        op = banks.build_channel_bank_op(self.cfg, padded)
         # keep the shared-plan pallas FFT for the hybrid epilogue
         self.bank_custom = {"op": op, "pp": self.bank_fixed["pp"]}
 

@@ -71,10 +71,16 @@ def pod_mesh(
         time = n // channel
     if channel * time != n:
         raise ValueError(f"channel*time = {channel}*{time} != {n} devices")
-    if channel % n_hosts and time % (n // n_hosts):
-        raise ValueError(
-            "mesh axes should align with host boundaries: channel "
-            f"({channel}) not a multiple of hosts ({n_hosts})"
+    if n_hosts > 1 and channel % n_hosts:
+        # With host-major device order, channel % hosts != 0 makes channel
+        # rows span hosts, putting the chatty time axis on DCN.
+        import warnings
+
+        warnings.warn(
+            f"channel axis ({channel}) is not a multiple of hosts "
+            f"({n_hosts}); the time axis will cross DCN, hurting the "
+            "state-exchange latency",
+            stacklevel=2,
         )
     return jax.sharding.Mesh(
         devices.reshape(channel, time), axis_names=("channel", "time")

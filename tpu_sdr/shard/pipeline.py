@@ -51,33 +51,23 @@ class ShardedSpectrumPipeline:
         self._jitted = {}
 
     def _build_bank(self, sos: np.ndarray) -> dict:
-        fb = self.cfg.fft_size // self.cfg.iir_block
-        bank = {
-            "op": biquad.precompute_composite(sos, self.cfg.iir_block, fb)
-        }
-        if self.cfg.use_pallas and self.cfg.iir_block == 128 and fb == 128:
-            from tpu_sdr.kernels.pallas import iir_fft
+        from tpu_sdr.runtime import banks
 
-            bank["pp"] = iir_fft.build_plan(
-                sos, self.hann_w, self.plan, self.cfg.iir_block, fb
-            )
-        else:
-            bank["pp"] = None
-        return bank
+        return banks.build_bank(self.cfg, self.hann_w, self.plan, sos)
 
     def initial_state(self) -> StreamState:
-        return StreamState.initial(self.cfg.channels, self.cfg.n_sections)
+        return StreamState.initial(
+            self.cfg.channels,
+            self.cfg.n_sections,
+            history_len=self.cfg.fft_size - self.cfg.effective_hop,
+        )
 
     def upload_sos(self, sos: np.ndarray):
-        sos = biquad.pad_sos(sos, self.cfg.n_sections)
-        for i, sec in enumerate(sos):
-            poles = np.roots(sec[3:6])
-            if np.any(np.abs(poles) >= 1.0):
-                raise ValueError(
-                    f"SOS section {i} is unstable (|pole| = "
-                    f"{np.max(np.abs(poles)):.4f} >= 1); refusing upload"
-                )
-        self.bank_custom = self._build_bank(sos)
+        from tpu_sdr.runtime import banks
+
+        self.bank_custom = self._build_bank(
+            banks.prepare_sos(sos, self.cfg.n_sections)
+        )
 
     def upload_sos_bank(self, sos_bank):
         """Per-channel coefficient reload on a channel-sharded mesh.
@@ -91,31 +81,12 @@ class ShardedSpectrumPipeline:
                 "per-channel banks require a channel-only mesh "
                 f"(time axis has size {self.mesh.shape['time']})"
             )
-        if isinstance(sos_bank, (list, tuple)):
-            bank_list = [np.atleast_2d(np.asarray(s_, np.float64)) for s_ in sos_bank]
-        else:
-            arr = np.atleast_3d(np.asarray(sos_bank, np.float64))
-            bank_list = [arr[c] for c in range(arr.shape[0])]
-        if len(bank_list) != self.cfg.channels:
-            raise ValueError(
-                f"bank has {len(bank_list)} channel filters; config has "
-                f"{self.cfg.channels} channels"
-            )
-        padded = []
-        for c, sos in enumerate(bank_list):
-            sos = biquad.pad_sos(sos, self.cfg.n_sections)
-            for i, sec in enumerate(sos):
-                poles = np.roots(sec[3:6])
-                if np.any(np.abs(poles) >= 1.0):
-                    raise ValueError(
-                        f"channel {c} section {i} unstable (|pole| = "
-                        f"{np.max(np.abs(poles)):.4f} >= 1); refusing upload"
-                    )
-            padded.append(sos)
-        fb = self.cfg.fft_size // self.cfg.iir_block
-        op = biquad.precompute_composite_bank(
-            np.stack(padded), self.cfg.iir_block, fb
+        from tpu_sdr.runtime import banks
+
+        padded = banks.prepare_bank(
+            sos_bank, self.cfg.channels, self.cfg.n_sections
         )
+        op = banks.build_channel_bank_op(self.cfg, padded)
         op = jax.device_put(
             op,
             jax.tree_util.tree_map(
@@ -134,6 +105,11 @@ class ShardedSpectrumPipeline:
             sos_state=P("channel", None, None),
             window_phase=P(),
             frame_count=P(),
+            history=(
+                P("channel", None)
+                if self.cfg.effective_hop != self.cfg.fft_size
+                else None
+            ),
         )
         out_specs_map = {
             "magnitude": {"magnitude": P("channel", "time", None)},

@@ -41,11 +41,7 @@ def crc32_ethernet(data: bytes, crc: int = 0xFFFFFFFF) -> int:
     (``imp/crc_generator.vhd:84-86``): init all-ones, reflected processing,
     final inversion. The returned value is appended little-endian as the FCS.
     """
-    c = crc
-    for b in data:
-        c = _TABLE[(c ^ b) & 0xFF] ^ (c >> 8)
-        c &= 0xFFFFFFFF
-    return c ^ 0xFFFFFFFF
+    return crc32_update_raw(data, crc) ^ 0xFFFFFFFF
 
 
 def crc32_update_raw(data: bytes, crc: int = 0xFFFFFFFF) -> int:

@@ -105,6 +105,8 @@ def spectrum_to_frame_bytes(re, im, scale: float = 1.0) -> bytes:
         return py(re, im, scale)
     re = np.ascontiguousarray(re, dtype=np.float32)
     im = np.ascontiguousarray(im, dtype=np.float32)
+    if re.shape != im.shape or re.ndim != 1:
+        raise ValueError(f"re/im must be equal-length 1-D, got {re.shape}/{im.shape}")
     out = np.empty(2 * re.shape[-1], dtype=np.int16)
     lib.quantize_interleave(
         re.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
@@ -122,6 +124,10 @@ def frame_to_packets(frame: bytes, packets: int = 64, data_size: int = 1024):
         from tpu_sdr.transport.framing import frame_to_packets as py
 
         return py(frame)
+    if len(frame) != packets * data_size:
+        raise ValueError(
+            f"frame must be {packets * data_size} bytes, got {len(frame)}"
+        )
     out = np.empty(packets * (data_size + 1), dtype=np.uint8)
     lib.packetize(
         frame, out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), packets, data_size

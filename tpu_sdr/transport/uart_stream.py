@@ -100,7 +100,12 @@ class UartDeframer:
         self._last_rx = now
         self._buf.extend(data)
         if len(self._buf) > self.max_buffer:
+            # trim whole frames from the head so alignment survives the
+            # overflow (dropping an arbitrary byte count would shift every
+            # subsequent frame boundary permanently)
             excess = len(self._buf) - self.max_buffer
+            excess = -(-excess // FRAME_SIZE_BYTES) * FRAME_SIZE_BYTES
+            excess = min(excess, len(self._buf))
             del self._buf[:excess]
             self.bytes_dropped += excess
         frames = []
