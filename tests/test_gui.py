@@ -185,3 +185,18 @@ def test_waterfall_events(server):
     assert len(got["row_db"]) == backend.waterfall.points
     assert len(got["peak_hold_db"]) == backend.waterfall.points
     assert got["rows"] >= 1
+
+
+def test_command_console(server):
+    srv, backend = server
+    r = _post(srv, "send_command", {"hex": "b1 55"})
+    assert r["ok"] and r["events"] == ["MODE_BYPASS", "START"]
+    assert backend.sa.running
+    # coefficient upload through the console, split across two sends
+    r = _post(srv, "send_command", {"hex": "f1 40 00 00 40 00 00"})
+    assert r["ok"] and any("awaiting" in e for e in r["events"])
+    r = _post(srv, "send_command", {"hex": "40 00 00 40 00 00"})
+    assert r["ok"] and r["events"] == ["COEFFICIENTS[12]"]
+    # probe: garbage hex -> clean error
+    r = _post(srv, "send_command", {"hex": "zz"})
+    assert not r["ok"]

@@ -235,6 +235,28 @@ class GuiBackend:
         self.display_mode = mode
         self.status(f"display -> {mode}")
 
+    def send_command_bytes(self, hex_str: str) -> dict:
+        """Raw command console: hex bytes straight into the wire decoder
+        (the reference GUI's command console, e.g. '55', 'b1 55', 'f1 40...')."""
+        try:
+            data = bytes.fromhex(hex_str.replace("0x", "").replace(",", " "))
+        except ValueError as e:
+            self.status(f"bad hex: {e}", ok=False)
+            return {"ok": False, "error": str(e)}
+        events = self.sa.handle_bytes(data)
+        desc = []
+        for ev in events:
+            if ev.kind == "command":
+                desc.append(ev.command.name)
+            elif ev.kind == "coefficients":
+                desc.append(f"COEFFICIENTS[{len(ev.coefficients)}]")
+            else:
+                desc.append(f"ignored(0x{ev.raw:02X})")
+        if self.sa.decoder.busy:
+            desc.append("(awaiting coefficient bytes...)")
+        self.status(f"cmd {hex_str} -> {', '.join(desc) or 'no event'}")
+        return {"ok": True, "events": desc}
+
     def apply_frequency_range(self, lo_khz: float, hi_khz: float):
         nyq_khz = self.sa.cfg.sample_rate / 2000.0
         lo = float(np.clip(lo_khz, 0.0, nyq_khz - 1))

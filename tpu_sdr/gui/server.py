@@ -10,6 +10,7 @@ POST endpoints mirroring the reference's SocketIO event set
   POST /api/fpga_reset
   POST /api/set_filter_type     {"mode": "fixed"|"custom"|"bypass"}
   POST /api/set_display_mode    {"mode": "magnitude"|"real"|"imag"|"power"}
+  POST /api/send_command        {"hex": "b1 55"}  (raw command console)
   POST /api/apply_frequency_range {"lo_khz": .., "hi_khz": ..}
   POST /api/update_filter_config  {designer fields}
   POST /api/generate_filter_preview
@@ -106,6 +107,10 @@ def _make_handler(backend: GuiBackend):
                 elif route == "/api/fpga_reset":
                     backend.fpga_reset()
                     self._json({"ok": True})
+                elif route == "/api/send_command":
+                    self._json(
+                        backend.send_command_bytes(str(args.get("hex", "")))
+                    )
                 elif route == "/api/set_display_mode":
                     backend.set_display_mode(str(args.get("mode", "magnitude")))
                     self._json({"ok": True})
