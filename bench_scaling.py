@@ -1,0 +1,95 @@
+"""Scaling-efficiency harness (BASELINE config 5).
+
+Measures sustained samples/s of the sharded pipeline at several mesh sizes
+and reports efficiency vs linear scaling — the >=90%-at-4-hosts target's
+measurement tool. On a real pod slice run one process per host with
+``tpu_sdr.shard.distributed.initialize()``; in this container it validates
+the harness on virtual CPU devices (set
+``XLA_FLAGS=--xla_force_host_platform_device_count=8 JAX_PLATFORMS=cpu``).
+
+Prints one JSON line: {"rates": {n: samples/s}, "efficiency": {n: frac}}.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def log(msg):
+    print(msg, file=sys.stderr, flush=True)
+
+
+def measure(mesh, cfg, frames_per_shard: int = 4) -> float:
+    import jax
+    import jax.numpy as jnp
+    import scipy.signal as sps
+
+    from tpu_sdr.core.config import FilterMode
+    from tpu_sdr.runtime.state import StreamState
+    from tpu_sdr.shard import ShardedSpectrumPipeline
+
+    pipe = ShardedSpectrumPipeline(cfg, mesh)
+    pipe.upload_sos(sps.butter(12, 0.25, output="sos"))
+    C = cfg.channels
+    t_shards = mesh.shape["time"]
+    T = frames_per_shard * t_shards * cfg.fft_size
+    x = np.random.default_rng(0).standard_normal((C, T)).astype(np.float32)
+    st = StreamState(
+        sos_state=jnp.zeros((C, cfg.n_sections, 2), jnp.float32),
+        window_phase=jnp.zeros((), jnp.int32),
+        frame_count=jnp.zeros((), jnp.int32),
+    )
+    out, z = pipe.process(x, st, FilterMode.CUSTOM)
+    float(np.asarray(out["magnitude"]).ravel()[0])
+
+    def run_k(k):
+        z = st
+        t0 = time.perf_counter()
+        for _ in range(k):
+            out, z = pipe.process(x, z, FilterMode.CUSTOM)
+        float(np.asarray(out["magnitude"]).ravel()[0])
+        return time.perf_counter() - t0
+
+    run_k(2)
+    t_short = min(run_k(1) for _ in range(3))
+    t_long = min(run_k(7) for _ in range(3))
+    per = (t_long - t_short) / 6
+    return C * T / per
+
+
+def main():
+    import jax
+
+    from tpu_sdr.core.config import PipelineConfig
+    from tpu_sdr.shard import make_sdr_mesh
+    from tpu_sdr.shard.distributed import scaling_efficiency
+
+    n = len(jax.devices())
+    log(f"devices: {n}")
+    sizes = [s for s in (1, 2, 4, 8, 16, 32) if s <= n]
+    rates = {}
+    for s in sizes:
+        # split the axes: channels outermost (communication-free)
+        channel = max(1, s // 4)
+        time_ax = s // channel
+        mesh = make_sdr_mesh(channel=channel, time=time_ax)
+        cfg = PipelineConfig(channels=max(2, 2 * channel))
+        rates[s] = measure(mesh, cfg)
+        log(f"n={s} mesh=({channel},{time_ax}): {rates[s] / 1e9:.2f} GSPS")
+    eff = scaling_efficiency(rates)
+    print(
+        json.dumps(
+            {
+                "rates_samples_per_sec": {str(k): v for k, v in rates.items()},
+                "efficiency_vs_linear": {str(k): round(v, 3) for k, v in eff.items()},
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
