@@ -16,6 +16,14 @@ if "xla_force_host_platform_device_count" not in flags:
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
 
+# The axon sitecustomize (ambient PYTHONPATH) registers the TPU platform at
+# interpreter startup and pins jax_platforms before this file runs; the env
+# var alone is then ignored. config.update still wins as long as no backend
+# has been initialized, so force CPU explicitly too.
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
