@@ -97,37 +97,47 @@ class BlockedSOS:
         return self.T.shape[1]
 
 
-def precompute(sos: jnp.ndarray, block: int = 128) -> BlockedSOS:
-    """Build the blocked operator from SOS coefficients (jittable)."""
-    A, B, C, D = sos_to_statespace(sos)
+def precompute(sos, block: int = 128) -> BlockedSOS:
+    """Build the blocked operator from SOS coefficients (host-side f64).
+
+    Matrix powers accumulate error fast in low precision (an earlier
+    on-device version silently used bf16 einsums on TPU), so the constants
+    are computed in float64 on the host like ``precompute_composite``.
+    """
+    sos = np.atleast_2d(np.asarray(sos, np.float64))
+    S = sos.shape[0]
     L = block
+    a0 = sos[:, 3:4]
+    b0, b1, b2 = (sos[:, i] / a0[:, 0] for i in range(3))
+    a1, a2 = sos[:, 4] / a0[:, 0], sos[:, 5] / a0[:, 0]
+    A = np.zeros((S, 2, 2))
+    A[:, 0, 0] = -a1
+    A[:, 0, 1] = 1.0
+    A[:, 1, 0] = -a2
+    B = np.stack([b1 - a1 * b0, b2 - a2 * b0], axis=-1)
+    C = np.zeros((S, 2))
+    C[:, 0] = 1.0
+    D = b0
 
-    # Powers A^0 .. A^L, stacked: (L+1, S, 2, 2).
-    def step(Ak, _):
-        nxt = jnp.einsum("sij,sjk->sik", A, Ak)
-        return nxt, Ak
+    Aks = np.empty((L + 1, S, 2, 2))
+    Aks[0] = np.eye(2)
+    for k in range(1, L + 1):
+        Aks[k] = np.einsum("sij,sjk->sik", A, Aks[k - 1])
 
-    _, Aks = jax.lax.scan(step, jnp.broadcast_to(jnp.eye(2, dtype=A.dtype), A.shape), None, length=L + 1)
+    cab = np.einsum("sc,kscd,sd->ks", C, Aks[: L - 1], B)  # (L-1, S)
+    h = np.concatenate([D[None, :], cab], axis=0).T  # (S, L)
 
-    # Impulse response h[0] = D, h[m] = C A^(m-1) B  (m = 1..L-1): (S, L)
-    cab = jnp.einsum("sc,kscd,sd->ks", C, Aks[: L - 1], B)  # (L-1, S)
-    h = jnp.concatenate([D[None, :], cab], axis=0).T  # (S, L)
+    delta = np.arange(L)[:, None] - np.arange(L)[None, :]
+    gathered = h[:, np.clip(delta, 0, L - 1)]  # (S, L, L)
+    T = np.where(delta[None] >= 0, gathered, 0.0)
 
-    # Toeplitz: T[s, n, k] = h[s, n-k] for n >= k.
-    n_idx = jnp.arange(L)[:, None]
-    k_idx = jnp.arange(L)[None, :]
-    delta = n_idx - k_idx  # (L, L)
-    gathered = h[:, jnp.clip(delta, 0, L - 1)]  # (S, L, L)
-    T = jnp.where(delta[None] >= 0, gathered, 0.0)
+    M = np.einsum("sc,nscd->snd", C, Aks[:L])
+    P = np.einsum("kscd,sd->sck", Aks[L - 1 :: -1], B)
 
-    # M[s, n, :] = C A^n : (S, L, 2)
-    M = jnp.einsum("sc,nscd->snd", C, Aks[:L])
-
-    # P[s, :, k] = A^(L-1-k) B : (S, 2, L)
-    P = jnp.einsum("kscd,sd->sck", Aks[L - 1 :: -1], B)
-
-    AL = Aks[L]
-    return BlockedSOS(T=T, M=M, P=P, AL=AL)
+    as_j = lambda a: jnp.asarray(a, jnp.float32)
+    return BlockedSOS(
+        T=as_j(T), M=as_j(M), P=as_j(P), AL=as_j(Aks[L])
+    )
 
 
 def _small_mm(a, b):
