@@ -1,0 +1,76 @@
+"""Q15-faithful integer pipeline — the bit-exact validation path.
+
+The fast pipeline computes in float (within the Q15 SNR envelope); this mode
+reproduces the reference's integer arithmetic exactly where it is defined
+(SURVEY.md §2.6 contract):
+
+- window: int16 ROM (= clip(round((hann-0.5)*2^16))) with the RTL's
+  (x*w)>>15 + half-LSB rounding — bit-exact vs ``golden.rtl_window_q15``;
+- IIR: x64 int8 coefficients, >>6 round-half-away, int16 saturation
+  (the *intended* /64 scale; the RTL's /128 quirk is modeled separately in
+  ``golden.rtl_biquad12_quirky``) — bit-exact vs
+  ``golden.sosfilt_q15_intended``;
+- FFT/magnitude: float over the integer samples (the reference IP's exact
+  per-stage truncation schedule is proprietary; our accuracy tests bound the
+  difference within the Q15 quantization SNR instead).
+
+Inherently sequential (saturation is nonlinear) — this is a correctness
+oracle and A/B tool, not a throughput path.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tpu_sdr.core.config import PipelineConfig
+from tpu_sdr.core import qformat as qf
+from tpu_sdr.kernels import biquad, fft, magnitude, window
+
+
+class Q15Pipeline:
+    """Bit-faithful integer chain: q15 samples -> q15 filtered -> spectra."""
+
+    def __init__(self, cfg: PipelineConfig | None = None):
+        self.cfg = cfg or PipelineConfig()
+        n = self.cfg.fft_size
+        self.rom = window.hann_q16_rom(n)
+        self.plan = fft.plan_constants(self.cfg.fft_n1, self.cfg.fft_n2)
+        self.sos_q: np.ndarray | None = None
+        self._jit = jax.jit(self._process)
+
+    def upload_sos_q(self, sos_x64: np.ndarray):
+        """Quantized coefficients, int8 x64 (the wire format's payload)."""
+        sos_x64 = np.atleast_2d(np.asarray(sos_x64))
+        self.sos_q = biquad.pad_sos(
+            sos_x64.astype(np.float64) / qf.COEFF_SCALE, self.cfg.n_sections
+        ) * qf.COEFF_SCALE
+        self.sos_q = np.rint(self.sos_q).astype(np.int32)
+
+    def _process(self, x_q15, zi, sos_q):
+        n = self.cfg.fft_size
+        lead = x_q15.shape[:-1]
+        frames = x_q15.reshape(*lead, -1, n)
+        xw = window.window_q15(frames, self.rom)  # bit-exact RTL window
+        y, zf = biquad.sosfilt_q15_scan(
+            sos_q, xw.reshape(*lead, -1), zi
+        )  # bit-exact intended integer filter
+        yf = y.reshape(*lead, -1, n).astype(jnp.float32)
+        fr, fi = fft.fft_4step(yf, None, self.plan, precision="highest")
+        return {
+            "windowed_q15": xw,
+            "filtered_q15": y.reshape(*lead, -1, n),
+            "magnitude": magnitude.magnitude(fr, fi),
+        }, zf
+
+    def process(self, x_q15, zi=None):
+        """x_q15 (..., T) int16 (frame-aligned). Returns (out dict, zf)."""
+        if self.sos_q is None:
+            raise ValueError("upload_sos_q first")
+        x = jnp.asarray(x_q15, jnp.int16)
+        if x.ndim == 1:
+            x = x[None, :]
+        if zi is None:
+            zi = jnp.zeros((*x.shape[:-1], self.cfg.n_sections, 2), jnp.int32)
+        return self._jit(x, zi, jnp.asarray(self.sos_q, jnp.int32))
