@@ -40,7 +40,7 @@ def main():
     # Default quality tier ("f32", ~98 dB SNR vs float64 golden — well inside
     # the reference's Q15 bound). The "bf16" tier reaches the HBM roofline
     # (~0.02 ms/dispatch, ~100 GSPS) at ~50 dB SNR.
-    C, F = 8, 16
+    C, F = 8, 64  # 8.4 Msamples/dispatch amortizes the tunnel's per-launch cost
     cfg = PipelineConfig(channels=C)
     pipe = SpectrumPipeline(cfg)
     pipe.upload_sos(sps.butter(12, 0.25, output="sos"))
@@ -70,13 +70,14 @@ def main():
         return time.perf_counter() - t0
 
     run_k(3)  # warm the executable/queues
-    # Repeat the slope estimate; the tunnel adds multi-ms jitter to any
-    # single measurement, so take the median of several slopes.
+    # Slope-time K=2 vs K=202 chained dispatches: the tunnel adds multi-ms
+    # jitter per sync, so the long batch must accumulate enough device time
+    # (~200 dispatches) to dominate it; median of several slopes on top.
     slopes = []
     for rep in range(5):
-        t_short = min(run_k(2) for _ in range(3))
-        t_long = min(run_k(22) for _ in range(3))
-        slopes.append((t_long - t_short) / 20)
+        t_short = min(run_k(2) for _ in range(2))
+        t_long = min(run_k(52) for _ in range(2))
+        slopes.append((t_long - t_short) / 50)
         log(f"bench: rep {rep}: per-dispatch {slopes[-1] * 1e3:.3f} ms")
     slopes.sort()
     per_dispatch = slopes[len(slopes) // 2]
