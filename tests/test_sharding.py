@@ -113,3 +113,49 @@ def test_bypass_mode_sharded(single):
 def test_mesh_validation():
     with pytest.raises(ValueError):
         make_sdr_mesh(channel=3, time=3)
+
+
+def test_intra_fft_sharding():
+    """TP-like single-frame FFT sharding == unsharded four-step (SURVEY §2.7)."""
+    import jax
+    from jax.sharding import PartitionSpec as P
+    from tpu_sdr.kernels import fft
+
+    plan = fft.plan_constants(128, 128)
+    rng = np.random.default_rng(0)
+    x = rng.standard_normal((128, 128)).astype(np.float32)  # one 16K frame
+
+    mesh = jax.make_mesh((8,), ("fft",))
+    fn = jax.jit(
+        jax.shard_map(
+            lambda xl: fft.fft_4step_sharded(xl, None, plan, "fft"),
+            mesh=mesh,
+            in_specs=P(None, "fft"),
+            out_specs=(P("fft"), P("fft")),
+            check_vma=False,
+        )
+    )
+    sr, si = fn(jnp.asarray(x))
+    fr, fi = fft.fft_4step(jnp.asarray(x.reshape(-1)), None, plan)
+    ref = np.asarray(fr) + 1j * np.asarray(fi)
+    got = np.asarray(sr).reshape(-1) + 1j * np.asarray(si).reshape(-1)
+    assert np.max(np.abs(got - ref)) / np.abs(ref).max() < 1e-5
+
+    # complex input too
+    xi = rng.standard_normal((128, 128)).astype(np.float32)
+    fn2 = jax.jit(
+        jax.shard_map(
+            lambda xl, xil: fft.fft_4step_sharded(xl, xil, plan, "fft"),
+            mesh=mesh,
+            in_specs=(P(None, "fft"), P(None, "fft")),
+            out_specs=(P("fft"), P("fft")),
+            check_vma=False,
+        )
+    )
+    sr2, si2 = fn2(jnp.asarray(x), jnp.asarray(xi))
+    fr2, fi2 = fft.fft_4step(
+        jnp.asarray(x.reshape(-1)), jnp.asarray(xi.reshape(-1)), plan
+    )
+    ref2 = np.asarray(fr2) + 1j * np.asarray(fi2)
+    got2 = np.asarray(sr2).reshape(-1) + 1j * np.asarray(si2).reshape(-1)
+    assert np.max(np.abs(got2 - ref2)) / np.abs(ref2).max() < 1e-5

@@ -112,6 +112,69 @@ def ifft_4step(xr, xi, plan, precision=Precision.HIGHEST):
     return yr / n, -yi / n
 
 
+def fft_4step_sharded(
+    xr_local: jnp.ndarray,
+    xi_local: jnp.ndarray | None,
+    plan: dict,
+    axis_name: str,
+    precision=Precision.HIGHEST,
+):
+    """Single-frame FFT sharded ACROSS devices (TP-like intra-FFT sharding).
+
+    The SURVEY.md §2.7 row: the 16K frame's n1 axis is split over the mesh
+    axis, step-1 column DFTs and the twiddle are local, and the step-3
+    contraction over n1 becomes partial products combined with a
+    ``reduce_scatter`` over k1 — the four-step's transpose/all-to-all in
+    collective form. Use for latency-critical single-stream operation; the
+    throughput path shards whole frames instead (``tpu_sdr.shard``).
+
+    Runs inside ``shard_map``. xr_local: (..., n2, n1/D) — the local column
+    shard (n1 split contiguously by device index). Returns (re, im) each
+    (..., (n1/D) * n2): the k1-contiguous shard of the natural-order
+    spectrum (concatenating shards over the axis yields the full spectrum).
+    """
+    n2, n1 = plan["w2r"].shape[0], plan["w1r"].shape[0]
+    d = jax.lax.psum(1, axis_name)
+    idx = jax.lax.axis_index(axis_name)
+    n1l = xr_local.shape[-1]
+    lead = xr_local.shape[:-2]
+
+    # Local slices of the replicated twiddle / W1 planes.
+    twr = jax.lax.dynamic_slice_in_dim(plan["twr"], idx * n1l, n1l, axis=1)
+    twi = jax.lax.dynamic_slice_in_dim(plan["twi"], idx * n1l, n1l, axis=1)
+    w1r_cols = jax.lax.dynamic_slice_in_dim(plan["w1r"], idx * n1l, n1l, axis=1)
+    w1i_cols = jax.lax.dynamic_slice_in_dim(plan["w1i"], idx * n1l, n1l, axis=1)
+
+    # Step 1 (local): column DFTs over the full n2 (present locally).
+    c1 = "kn,...nj->...kj"
+    if xi_local is None:
+        yr = jnp.einsum(c1, plan["w2r"], xr_local, precision=precision)
+        yi = jnp.einsum(c1, plan["w2i"], xr_local, precision=precision)
+    else:
+        yr, yi = _cmatmul(
+            plan["w2r"], plan["w2i"], xr_local, xi_local, c1, precision
+        )
+    # Step 2 (local): twiddle on the local columns.
+    tr = yr * twr - yi * twi
+    ti = yr * twi + yi * twr
+    # Step 3: partial contraction over the local n1 columns...
+    c3 = "...kn,jn->...kj"
+    zr_part, zi_part = _cmatmul(tr, ti, w1r_cols, w1i_cols, c3, precision)
+    # ...combined across devices; scatter over k1 so the result stays
+    # sharded (this is the four-step transpose as a collective).
+    zr = jax.lax.psum_scatter(
+        jnp.swapaxes(zr_part, -1, -2), axis_name, scatter_dimension=len(lead),
+        tiled=True,
+    )  # (..., k1/D, k2)
+    zi = jax.lax.psum_scatter(
+        jnp.swapaxes(zi_part, -1, -2), axis_name, scatter_dimension=len(lead),
+        tiled=True,
+    )
+    # Natural order k = n2*k1 + k2: flattening (k1_local, k2) is already the
+    # contiguous local slice of the spectrum.
+    return zr.reshape(*lead, n1l * n2), zi.reshape(*lead, n1l * n2)
+
+
 def fft_golden_check(xr, xi=None):
     """NumPy oracle with matching signature (host-side, tests only)."""
     x = np.asarray(xr, np.float64)
