@@ -5,7 +5,12 @@ reproduces the reference's integer arithmetic exactly where it is defined
 (SURVEY.md §2.6 contract):
 
 - window: int16 ROM (= clip(round((hann-0.5)*2^16))) with the RTL's
-  (x*w)>>15 + half-LSB rounding — bit-exact vs ``golden.rtl_window_q15``;
+  (x*w)>>15 + half-LSB rounding — bit-exact vs ``golden.rtl_window_q15``.
+  NOTE: this deliberately includes the RTL's offset-window quirk (the ROM
+  encodes hann-0.5, so the effective window is -cos): pure tones appear
+  split into the two ADJACENT bins with the center suppressed, exactly as
+  on the real FPGA — A/B against the float pipeline (true Hann) makes the
+  quirk visible (quirks register item (a), SURVEY.md §7);
 - IIR: x64 int8 coefficients, >>6 round-half-away, int16 saturation
   (the *intended* /64 scale; the RTL's /128 quirk is modeled separately in
   ``golden.rtl_biquad12_quirky``) — bit-exact vs
