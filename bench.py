@@ -70,9 +70,10 @@ def main():
         return time.perf_counter() - t0
 
     run_k(3)  # warm the executable/queues
-    # Slope-time K=2 vs K=202 chained dispatches: the tunnel adds multi-ms
+    # Slope-time K=2 vs K=52 chained dispatches: the tunnel adds multi-ms
     # jitter per sync, so the long batch must accumulate enough device time
-    # (~200 dispatches) to dominate it; median of several slopes on top.
+    # (50 extra 8.4-Msample dispatches) to dominate it; median of several
+    # slopes on top.
     slopes = []
     for rep in range(5):
         t_short = min(run_k(2) for _ in range(2))

@@ -47,27 +47,6 @@ import numpy as np
 Precision = jax.lax.Precision
 
 
-def sos_to_statespace(sos: jnp.ndarray):
-    """(S, 6) SOS rows [b0 b1 b2 a0 a1 a2] -> per-section (A, B, C, D).
-
-    Returns A (S,2,2), B (S,2), C (S,2), D (S,). a0 is normalized away.
-    """
-    sos = jnp.asarray(sos, dtype=jnp.float32)
-    a0 = sos[:, 3:4]
-    b0, b1, b2 = (sos[:, i] / a0[:, 0] for i in range(3))
-    a1, a2 = sos[:, 4] / a0[:, 0], sos[:, 5] / a0[:, 0]
-    zeros = jnp.zeros_like(a1)
-    ones = jnp.ones_like(a1)
-    A = jnp.stack(
-        [jnp.stack([-a1, ones], axis=-1), jnp.stack([-a2, zeros], axis=-1)],
-        axis=-2,
-    )
-    B = jnp.stack([b1 - a1 * b0, b2 - a2 * b0], axis=-1)
-    C = jnp.stack([ones, zeros], axis=-1)
-    D = b0
-    return A, B, C, D
-
-
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass(frozen=True)
 class BlockedSOS:

@@ -133,10 +133,14 @@ def fft_4step_sharded(
     (..., (n1/D) * n2): the k1-contiguous shard of the natural-order
     spectrum (concatenating shards over the axis yields the full spectrum).
     """
-    n2, n1 = plan["w2r"].shape[0], plan["w1r"].shape[0]
-    d = jax.lax.psum(1, axis_name)
+    n1 = plan["w1r"].shape[0]
+    n2 = plan["w2r"].shape[0]
     idx = jax.lax.axis_index(axis_name)
     n1l = xr_local.shape[-1]
+    if n1 % n1l:
+        raise ValueError(
+            f"local shard width {n1l} must divide n1 = {n1}"
+        )
     lead = xr_local.shape[:-2]
 
     # Local slices of the replicated twiddle / W1 planes.

@@ -77,6 +77,12 @@ class StreamFeeder:
 
         deadline = _time.monotonic() + timeout
         while True:
+            # drain already-staged chunks before surfacing a producer error:
+            # data transferred before the failure is still valid signal
+            try:
+                return self._q.get_nowait()
+            except queue.Empty:
+                pass
             if self._error is not None:
                 raise self._error
             remaining = deadline - _time.monotonic()

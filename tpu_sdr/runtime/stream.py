@@ -132,9 +132,11 @@ def process_stream(
                 bypass=True,
             )
             zf = state.sos_state
-        elif cfg.dtype == "f32" or banked:
-            # Default tier: XLA 3-pass-f32 window+IIR (compiles in seconds,
-            # ~15 GSPS) feeding the exact-f32 Pallas FFT+magnitude kernel.
+        elif cfg.dtype in ("f32", "bf16") or banked:
+            # Hybrid structure: XLA window+IIR (3-pass f32 for the f32 tier,
+            # bf16 passes for the bf16 tier — both compile in seconds and
+            # outrun the two-pass kernels at production dispatch sizes)
+            # feeding the fused Pallas FFT+magnitude kernel.
             xw = (x.reshape(*lead, n_frames, n) * hann_w).reshape(*lead, t)
             iir_prec = (
                 Precision.HIGH if cfg.dtype == "f32" else _precision(cfg)
@@ -145,10 +147,10 @@ def process_stream(
             zs = jnp.zeros((flat.shape[0], m), jnp.float32)
             mag = iir_fft.spectrum_from_state(
                 y.reshape(-1, n), zs, pp, interpret=pallas_interpret,
-                precision="highest", bypass=True, apply_window=False,
+                precision=kprec, bypass=True, apply_window=False,
             )
         else:
-            # f32max / bf16 tiers: fully-fused two-pass Pallas pipeline.
+            # f32max tier: fully-fused two-pass Pallas pipeline, exact f32.
             # Summaries only seed boundary corrections, so they always run
             # at default precision (no measurable SNR impact).
             w = iir_fft.iir_summaries(

@@ -107,6 +107,10 @@ def spectrum_to_frame_bytes(re, im, scale: float = 1.0) -> bytes:
     im = np.ascontiguousarray(im, dtype=np.float32)
     if re.shape != im.shape or re.ndim != 1:
         raise ValueError(f"re/im must be equal-length 1-D, got {re.shape}/{im.shape}")
+    from tpu_sdr.transport.framing import N_BINS
+
+    if re.shape[-1] != N_BINS:
+        raise ValueError(f"expected {N_BINS} bins, got {re.shape[-1]}")
     out = np.empty(2 * re.shape[-1], dtype=np.int16)
     lib.quantize_interleave(
         re.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
