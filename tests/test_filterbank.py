@@ -37,7 +37,9 @@ def test_per_channel_bank_matches_per_channel_golden():
         ]
         mask = ref > ref.max() * 1e-3
         db = np.abs(20 * np.log10(mag[c][mask] / ref[mask])).max()
-        assert db < 0.01, f"channel {c}: {db} dB"
+        # 0.05 dB: 20x tighter than the 1 dB product contract, loose enough
+        # for the f32 tier's 3-pass (bf16-split) FFT matmuls.
+        assert db < 0.05, f"channel {c}: {db} dB"
     assert np.array(st.sos_state).shape == (C, 6, 2)
 
 

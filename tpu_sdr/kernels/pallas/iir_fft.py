@@ -45,6 +45,7 @@ from tpu_sdr.kernels import biquad
 
 LOG2B = 7  # B = 128 blocks per frame
 MAX_GROUP = 8  # frames per grid step
+HALF_K2 = 72  # half-spectrum rows: k2 in [0, 64] padded to a sublane multiple
 
 
 @jax.tree_util.register_dataclass
@@ -76,6 +77,15 @@ class PallasSOSPlan:
     w2i: Any
     twr: Any
     twi: Any
+    # Half-spectrum constants (real input): rows k2 in [0, 64] of the step-1
+    # DFT and twiddle planes, zero-padded to HALF_K2 sublanes. The FFT input
+    # is always real here (the reference zero-pads imag,
+    # src/command_control.vhd:123), so X[N-k] = conj(X[k]) and magnitudes for
+    # k2 > 64 are mirrors of computed rows — both DFT passes run at ~56%.
+    w2r_h: Any
+    w2i_h: Any
+    twr_h: Any
+    twi_h: Any
 
     @property
     def state_dim(self) -> int:
@@ -128,6 +138,13 @@ def build_plan(
     n2 = fft_plan["w2r"].shape[0]
     twr = np.tile(np.asarray(fft_plan["twr"]), (1, G))
     twi = np.tile(np.asarray(fft_plan["twi"]), (1, G))
+
+    def half_rows(a2d: np.ndarray) -> np.ndarray:
+        # rows k2 in [0, n2/2] zero-padded to HALF_K2 sublanes
+        out = np.zeros((HALF_K2, a2d.shape[1]))
+        out[: n2 // 2 + 1] = np.asarray(a2d)[: n2 // 2 + 1]
+        return out
+
     return PallasSOSPlan(
         T=as_j(T),
         PT=as_j(P.T),
@@ -142,17 +159,44 @@ def build_plan(
         w1r=fft_plan["w1r"], w1i=fft_plan["w1i"],
         w2r=fft_plan["w2r"], w2i=fft_plan["w2i"],
         twr=as_j(twr), twi=as_j(twi),
+        w2r_h=as_j(half_rows(fft_plan["w2r"])),
+        w2i_h=as_j(half_rows(fft_plan["w2i"])),
+        twr_h=as_j(half_rows(twr)),
+        twi_h=as_j(half_rows(twi)),
     )
 
 
+def _split2(a):
+    """f32 -> (hi, lo) bf16 pair with hi + lo ~= a (16 mantissa bits)."""
+    hi = a.astype(jnp.bfloat16)
+    lo = (a - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    return hi, lo
+
+
 def _dot(a, b, precision):
+    if precision == "high3":
+        # Manual 3-pass bf16 emulation of XLA Precision.HIGH (Mosaic only
+        # exposes default/highest): hi*hi + hi*lo + lo*hi, f32 accumulate.
+        ah, al = _split2(a)
+        bh, bl = _split2(b)
+        d = lambda x, y: jnp.dot(
+            x, y, preferred_element_type=jnp.float32, precision="default"
+        )
+        return d(ah, bh) + (d(ah, bl) + d(al, bh))
     return jnp.dot(a, b, preferred_element_type=jnp.float32, precision=precision)
 
 
 def _dotT(a, b, precision):
+    dn = (((1,), (1,)), ((), ()))
+    if precision == "high3":
+        ah, al = _split2(a)
+        bh, bl = _split2(b)
+        d = lambda x, y: jax.lax.dot_general(
+            x, y, dn, preferred_element_type=jnp.float32, precision="default"
+        )
+        return d(ah, bh) + (d(ah, bl) + d(al, bh))
     return jax.lax.dot_general(
-        a, b, (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32, precision=precision,
+        a, b, dn, preferred_element_type=jnp.float32, precision=precision,
     )
 
 
@@ -189,15 +233,21 @@ def _stack_to_rows(yl, G, B, L):
 
 
 def _fft_mag(y, plan_refs, G, B, L, precision):
-    """Four-step FFT + magnitude on frame-stacked y (G*B, L) = (G, n2, n1)."""
+    """Four-step FFT + magnitude on frame-stacked y (G*B, L) = (G, n2, n1).
+
+    With half-spectrum plan refs (w2/tw rows = HALF_K2), only k2 in [0, 64]
+    is computed — both DFT matmuls and the twiddle shrink to ~56% — and the
+    caller mirrors magnitudes for k2 > 64 (real input => |X[N-k]| = |X[k]|).
+    """
     w2r, w2i, twr, twi, w1r, w1i = plan_refs
+    k2 = w2r.shape[0]  # n2 (full) or HALF_K2 (half-spectrum)
     yl = _stack_to_lanes(y, G, B, L)  # (n2, G*n1)
     yr = _dot(w2r[:], yl, precision)  # (k2, G*n1)
     yi = _dot(w2i[:], yl, precision)
     tr = yr * twr[:] - yi * twi[:]
     ti = yr * twi[:] + yi * twr[:]
-    trs = _stack_to_rows(tr, G, B, L)  # (G*k2, n1)
-    tis = _stack_to_rows(ti, G, B, L)
+    trs = _stack_to_rows(tr, G, k2, L)  # (G*k2, n1)
+    tis = _stack_to_rows(ti, G, k2, L)
     zr = _dotT(trs, w1r[:], precision) - _dotT(tis, w1i[:], precision)
     zi = _dotT(trs, w1i[:], precision) + _dotT(tis, w1r[:], precision)
     return jnp.sqrt(zr * zr + zi * zi)  # (G*k2, k1)
@@ -215,7 +265,7 @@ def _summaries_kernel(x_ref, win_ref, pt_ref, alpows_ref, v_ref, eye_ref,
 def _spectrum_kernel(
     x_ref, zs_ref, win_ref, t_ref, pt_ref, mt_ref, al1t_ref, alpows_ref,
     u_ref, w2r_ref, w2i_ref, twr_ref, twi_ref, w1r_ref, w1i_ref, out_ref,
-    *, G, B, m, precision, bypass, apply_window,
+    *, G, B, m, precision, bypass, apply_window, half,
 ):
     L = x_ref.shape[2]
     if apply_window:
@@ -242,9 +292,18 @@ def _spectrum_kernel(
         (w2r_ref, w2i_ref, twr_ref, twi_ref, w1r_ref, w1i_ref),
         G, B, L, precision,
     )
-    # natural order: out[f, k1, k2] = mag[f*B + k2, k1]
-    for fi in range(G):
-        out_ref[fi] = mag[fi * B : (fi + 1) * B, :].T
+    if half:
+        # mag (G*HALF_K2, k1): rows k2 in [0, 64] per frame. Mosaic has no
+        # rev lowering, so the mirror + transpose to natural order happen in
+        # a fused XLA epilogue (see spectrum_from_state); the kernel just
+        # stores the computed half, (k2, k1)-ordered.
+        h = mag.shape[0] // G
+        for fi in range(G):
+            out_ref[fi] = mag[fi * h : fi * h + h]
+    else:
+        # natural order: out[f, k1, k2] = mag[f*B + k2, k1]
+        for fi in range(G):
+            out_ref[fi] = mag[fi * B : (fi + 1) * B, :].T
 
 
 def _pick_group(F: int) -> int:
@@ -296,7 +355,9 @@ def iir_summaries(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("interpret", "precision", "bypass", "apply_window"),
+    static_argnames=(
+        "interpret", "precision", "bypass", "apply_window", "half_spectrum"
+    ),
 )
 def spectrum_from_state(
     x: jnp.ndarray,
@@ -306,21 +367,41 @@ def spectrum_from_state(
     precision: str = "highest",
     bypass: bool = False,
     apply_window: bool = True,
+    half_spectrum: bool = False,
 ):
-    """x (F, N) frames + per-frame entry states (F, m) -> magnitudes (F, N)."""
+    """x (F, N) frames + per-frame entry states (F, m) -> magnitudes (F, N).
+
+    ``precision``: "default" | "high3" (manual 3-pass bf16 splits, ~XLA
+    Precision.HIGH) | "highest" (exact f32, 6 passes).
+
+    ``half_spectrum``: exploit the real input (conjugate symmetry) — compute
+    k2 in [0, 64] only and mirror magnitudes for the rest. Exact math and
+    ~44% less MXU work on paper, but measured NEUTRAL-to-slower on v5e (the
+    kernel is VPU/layout-bound at low precisions, and the 72-row tiles plus
+    the XLA mirror epilogue eat the matmul savings at high ones) — kept as a
+    measured-honest option, off by default.
+    """
     F = x.shape[0]
     n2, n1 = plan.win.shape
     m = plan.state_dim
     n = n1 * n2
     G = _pick_group(F)
     B = n2
+    if half_spectrum:
+        w2r, w2i = plan.w2r_h, plan.w2i_h
+        twr, twi = plan.twr_h, plan.twi_h
+    else:
+        w2r, w2i = plan.w2r, plan.w2i
+        twr, twi = plan.twr, plan.twi
+    k2 = w2r.shape[0]
+    out_rows = k2 if half_spectrum else n1
     zs_pad = jnp.pad(z_starts, ((0, 0), (0, 128 - m)))[:, None, :]
     out = pl.pallas_call(
         functools.partial(
             _spectrum_kernel, G=G, B=B, m=m, precision=precision,
-            bypass=bypass, apply_window=apply_window,
+            bypass=bypass, apply_window=apply_window, half=half_spectrum,
         ),
-        out_shape=jax.ShapeDtypeStruct((F, n1, n2), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((F, out_rows, n2), jnp.float32),
         grid=(F // G,),
         in_specs=[
             pl.BlockSpec((G, n2, n1), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
@@ -332,24 +413,33 @@ def spectrum_from_state(
             _vspec(plan.AL1T.shape),
             _vspec(plan.ALpowsT.shape),
             _vspec((G * B, G)),
-            _vspec(plan.w2r.shape),
-            _vspec(plan.w2i.shape),
-            _vspec((n2, G * n1)),
-            _vspec((n2, G * n1)),
+            _vspec(w2r.shape),
+            _vspec(w2i.shape),
+            _vspec((k2, G * n1)),
+            _vspec((k2, G * n1)),
             _vspec(plan.w1r.shape),
             _vspec(plan.w1i.shape),
         ],
         out_specs=pl.BlockSpec(
-            (G, n1, n2), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+            (G, out_rows, n2), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
         ),
         interpret=interpret,
     )(
         x.reshape(F, n2, n1), zs_pad, plan.win, plan.T, plan.PT, plan.MT,
         plan.AL1T, plan.ALpowsT, plan.U[: G * B, :G],
-        plan.w2r, plan.w2i,
-        plan.twr[:, : G * n1], plan.twi[:, : G * n1],
+        w2r, w2i,
+        twr[:, : G * n1], twi[:, : G * n1],
         plan.w1r, plan.w1i,
     )
+    if half_spectrum:
+        # Mirror the conjugate-symmetric half (real input) and emit natural
+        # order k = n2*k1 + k2: for k2 in [65, 127],
+        # |X[k1, k2]| = |X[127-k1, 128-k2]| — a double flip of rows 1..63.
+        # Pure layout ops; XLA fuses them into the output copy.
+        hn = n2 // 2
+        top = out[:, : hn + 1, :]  # (F, 65, n1) rows k2 = 0..64
+        bot = out[:, hn - 1 : 0 : -1, ::-1]  # (F, 63, n1) rows k2 = 65..127
+        out = jnp.concatenate([top, bot], axis=1).transpose(0, 2, 1)
     return out.reshape(F, n)
 
 
