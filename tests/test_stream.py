@@ -66,6 +66,28 @@ def test_config2_stream_chunks_equal_oneshot(pipe):
     assert np.array_equal(np.array(st.sos_state), np.array(st_whole.sos_state))
 
 
+def test_single_frame_chunks_equal_oneshot(pipe):
+    """1-frame dispatches must also be bit-identical to a batched run.
+
+    Regression: a single-frame single-channel dispatch used to flatten the
+    composite IIR's zhat contraction to an M=1 GEMV whose accumulation order
+    differed from the batched GEMM (bitwise state divergence on CPU); the
+    canonical-math guard in `_composite_frame_terms` pads the frame axis.
+    """
+    rng = np.random.default_rng(17)
+    pipe.upload_sos(sps.butter(12, 0.2, output="sos"))
+    x = rng.standard_normal(4 * 16384).astype(np.float32)
+    out_whole, st_whole = pipe.process(x, pipe.initial_state(), FilterMode.CUSTOM)
+    mags_whole = np.array(out_whole["magnitude"])[0]
+    st = pipe.initial_state()
+    mags = []
+    for chunk in np.split(x, 4):
+        out, st = pipe.process(chunk, st, FilterMode.CUSTOM)
+        mags.append(np.array(out["magnitude"])[0])
+    assert np.array_equal(np.concatenate(mags, axis=0), mags_whole)
+    assert np.array_equal(np.array(st.sos_state), np.array(st_whole.sos_state))
+
+
 def test_fixed_mode_matches_golden_fixed_sos(pipe):
     x = golden.synth_tone(50_000.0, 16384, 1_000_000.0, noise=0.05, seed=9)
     ref = golden.golden_pipeline(x, sos=golden.fixed_filter_sos())["magnitude"][0]

@@ -376,6 +376,16 @@ def _composite_frame_terms(op: BlockedSOSComposite, v, precision):
     y_zs (..., F, B, L) and zhat (..., F, B, m) the within-frame zero-state
     chain values.
     """
+    if int(np.prod(v.shape[:-2])) == 1:
+        # Canonical-math guard: a single-frame single-channel dispatch would
+        # flatten the zhat contraction to an M=1 GEMV, whose accumulation
+        # order differs from the batched GEMM larger dispatches use (observed
+        # bitwise divergence on CPU backends, breaking the chunked==one-shot
+        # bit-identity contract). Duplicate the frame so every dispatch shape
+        # runs the same reduction, then slice the copy away.
+        vv = jnp.concatenate([v, v], axis=-3)
+        y_zs, zhat = _composite_frame_terms(op, vv, precision)
+        return y_zs[..., :1, :, :], zhat[..., :1, :, :]
     m = op.state_dim
     B = op.frame_blocks
     y_zs = jnp.einsum("...bl,nl->...bn", v, op.T, precision=precision)
