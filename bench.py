@@ -70,15 +70,15 @@ def main():
         return time.perf_counter() - t0
 
     run_k(3)  # warm the executable/queues
-    # Slope-time K=2 vs K=52 chained dispatches: the tunnel adds multi-ms
-    # jitter per sync, so the long batch must accumulate enough device time
-    # (50 extra 8.4-Msample dispatches) to dominate it; median of several
-    # slopes on top.
+    # Slope-time K=2 vs K=102 chained dispatches: the tunnel adds multi-ms
+    # jitter per sync and the chip is co-tenanted, so the long batch must
+    # accumulate enough device time (100 extra 8.4-Msample dispatches,
+    # ~50-80 ms) to dominate both; median of several slopes on top.
     slopes = []
-    for rep in range(5):
+    for rep in range(7):
         t_short = min(run_k(2) for _ in range(2))
-        t_long = min(run_k(52) for _ in range(2))
-        slopes.append((t_long - t_short) / 50)
+        t_long = min(run_k(102) for _ in range(2))
+        slopes.append((t_long - t_short) / 100)
         log(f"bench: rep {rep}: per-dispatch {slopes[-1] * 1e3:.3f} ms")
     slopes.sort()
     per_dispatch = slopes[len(slopes) // 2]

@@ -88,6 +88,38 @@ def test_single_frame_chunks_equal_oneshot(pipe):
     assert np.array_equal(np.array(st.sos_state), np.array(st_whole.sos_state))
 
 
+@pytest.mark.parametrize(
+    "cfg_kw",
+    [
+        dict(dtype="f32"),
+        dict(dtype="f32max"),
+        dict(dtype="f32max", fused_two_pass=True),
+        dict(dtype="bf16"),
+    ],
+    ids=["f32", "f32max-hybrid", "f32max-fused", "bf16"],
+)
+def test_quality_tiers_meet_contract_and_chunk_identity(cfg_kw):
+    """Every quality tier (and both f32max structures) meets the 1 dB
+    contract and keeps chunked == one-shot bit-identity."""
+    p = SpectrumPipeline(PipelineConfig(**cfg_kw))
+    sos = sps.butter(12, 0.25, output="sos")
+    p.upload_sos(sos)
+    x = golden.synth_tone(100_000.0, 2 * 16384, 1_000_000.0, noise=0.01)
+    ref = golden.golden_pipeline(x, sos=sos, window="hann")["magnitude"]
+    out, st = p.process(x.astype(np.float32), p.initial_state(), FilterMode.CUSTOM)
+    mag = np.array(out["magnitude"])[0]
+    mask = ref > ref.max() * 1e-3
+    assert np.abs(_db(mag[mask]) - _db(ref[mask])).max() < 1.0
+    # chunked == one-shot (frame-granular)
+    stc = p.initial_state()
+    mags = []
+    for chunk in np.split(x.astype(np.float32), 2):
+        o, stc = p.process(chunk, stc, FilterMode.CUSTOM)
+        mags.append(np.array(o["magnitude"])[0])
+    assert np.array_equal(np.concatenate(mags, axis=0), mag)
+    assert np.array_equal(np.array(stc.sos_state), np.array(st.sos_state))
+
+
 def test_fixed_mode_matches_golden_fixed_sos(pipe):
     x = golden.synth_tone(50_000.0, 16384, 1_000_000.0, noise=0.05, seed=9)
     ref = golden.golden_pipeline(x, sos=golden.fixed_filter_sos())["magnitude"][0]

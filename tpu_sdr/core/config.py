@@ -83,6 +83,12 @@ class PipelineConfig:
     # (interpreted on CPU, compiled on TPU). ~3x the XLA path's throughput
     # at bf16, ~1.1x at f32-highest, with one HBM read+write per frame.
     use_pallas: bool = True
+    # f32max structure: False (default) = hybrid XLA IIR @HIGHEST + Pallas
+    # FFT kernel (measured 9.0 GSPS on v5e); True = the fully-fused two-pass
+    # Pallas pipeline (one HBM read+write per frame, ~4 GSPS — the in-kernel
+    # doubling scan pays 6-pass MXU tiles on (B,12)@(12,12) dots). Keep the
+    # fused variant for HBM-constrained deployments; ignored by other tiers.
+    fused_two_pass: bool = False
 
     def __post_init__(self):
         if self.fft_n1 * self.fft_n2 != self.fft_size:

@@ -232,7 +232,7 @@ def _stack_to_rows(yl, G, B, L):
     )
 
 
-def _fft_mag(y, plan_refs, G, B, L, precision):
+def _fft_mag(y, plan_refs, G, B, L, precision, karatsuba=False):
     """Four-step FFT + magnitude on frame-stacked y (G*B, L) = (G, n2, n1).
 
     With half-spectrum plan refs (w2/tw rows = HALF_K2), only k2 in [0, 64]
@@ -248,8 +248,18 @@ def _fft_mag(y, plan_refs, G, B, L, precision):
     ti = yr * twi[:] + yi * twr[:]
     trs = _stack_to_rows(tr, G, k2, L)  # (G*k2, n1)
     tis = _stack_to_rows(ti, G, k2, L)
-    zr = _dotT(trs, w1r[:], precision) - _dotT(tis, w1i[:], precision)
-    zi = _dotT(trs, w1i[:], precision) + _dotT(tis, w1r[:], precision)
+    if karatsuba:
+        # 3-mult complex matmul: zr = t1 - t2, zi = t3 - t1 - t2 with
+        # t3 = (trs+tis)@(w1r+w1i)^T. One fewer MXU contraction at the cost
+        # of ~1 bit from the cancellation — for the f32/high3 tier only.
+        t1 = _dotT(trs, w1r[:], precision)
+        t2 = _dotT(tis, w1i[:], precision)
+        t3 = _dotT(trs + tis, w1r[:] + w1i[:], precision)
+        zr = t1 - t2
+        zi = t3 - t1 - t2
+    else:
+        zr = _dotT(trs, w1r[:], precision) - _dotT(tis, w1i[:], precision)
+        zi = _dotT(trs, w1i[:], precision) + _dotT(tis, w1r[:], precision)
     return jnp.sqrt(zr * zr + zi * zi)  # (G*k2, k1)
 
 
@@ -265,7 +275,7 @@ def _summaries_kernel(x_ref, win_ref, pt_ref, alpows_ref, v_ref, eye_ref,
 def _spectrum_kernel(
     x_ref, zs_ref, win_ref, t_ref, pt_ref, mt_ref, al1t_ref, alpows_ref,
     u_ref, w2r_ref, w2i_ref, twr_ref, twi_ref, w1r_ref, w1i_ref, out_ref,
-    *, G, B, m, precision, bypass, apply_window, half,
+    *, G, B, m, precision, bypass, apply_window, half, karatsuba,
 ):
     L = x_ref.shape[2]
     if apply_window:
@@ -290,7 +300,7 @@ def _spectrum_kernel(
     mag = _fft_mag(
         y,
         (w2r_ref, w2i_ref, twr_ref, twi_ref, w1r_ref, w1i_ref),
-        G, B, L, precision,
+        G, B, L, precision, karatsuba,
     )
     if half:
         # mag (G*HALF_K2, k1): rows k2 in [0, 64] per frame. Mosaic has no
@@ -356,7 +366,8 @@ def iir_summaries(
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "interpret", "precision", "bypass", "apply_window", "half_spectrum"
+        "interpret", "precision", "bypass", "apply_window", "half_spectrum",
+        "karatsuba",
     ),
 )
 def spectrum_from_state(
@@ -368,6 +379,7 @@ def spectrum_from_state(
     bypass: bool = False,
     apply_window: bool = True,
     half_spectrum: bool = False,
+    karatsuba: bool = False,
 ):
     """x (F, N) frames + per-frame entry states (F, m) -> magnitudes (F, N).
 
@@ -400,6 +412,7 @@ def spectrum_from_state(
         functools.partial(
             _spectrum_kernel, G=G, B=B, m=m, precision=precision,
             bypass=bypass, apply_window=apply_window, half=half_spectrum,
+            karatsuba=karatsuba,
         ),
         out_shape=jax.ShapeDtypeStruct((F, out_rows, n2), jnp.float32),
         grid=(F // G,),

@@ -138,14 +138,15 @@ def process_stream(
             zs = jnp.zeros((flat.shape[0], m), jnp.float32)
             mag = iir_fft.spectrum_from_state(
                 flat, zs, pp, interpret=pallas_interpret, precision=kprec,
-                bypass=True,
+                bypass=True, karatsuba=cfg.dtype == "f32",
             )
             zf = state.sos_state
-        elif cfg.dtype in ("f32", "bf16") or banked:
-            # Hybrid structure: XLA window+IIR (3-pass f32 for the f32 tier,
-            # bf16 passes for the bf16 tier — both compile in seconds and
-            # outrun the two-pass kernels at production dispatch sizes)
-            # feeding the fused Pallas FFT+magnitude kernel.
+        elif not (cfg.dtype == "f32max" and cfg.fused_two_pass) or banked:
+            # Hybrid structure (all tiers by default): XLA window+IIR
+            # (3-pass f32 for the f32 tier, bf16 passes for bf16, 6-pass
+            # exact f32 for f32max) feeding the fused Pallas FFT+magnitude
+            # kernel. Measured faster than the two-pass kernels at
+            # production dispatch sizes for every tier on v5e.
             xw = (x.reshape(*lead, n_frames, n) * hann_w).reshape(*lead, t)
             iir_prec = (
                 Precision.HIGH if cfg.dtype == "f32" else _precision(cfg)
@@ -157,9 +158,11 @@ def process_stream(
             mag = iir_fft.spectrum_from_state(
                 y.reshape(-1, n), zs, pp, interpret=pallas_interpret,
                 precision=kprec, bypass=True, apply_window=False,
+                karatsuba=cfg.dtype == "f32",
             )
         else:
-            # f32max tier: fully-fused two-pass Pallas pipeline, exact f32.
+            # f32max + fused_two_pass: fully-fused two-pass Pallas pipeline,
+            # exact f32, one HBM read+write per frame.
             # Summaries only seed boundary corrections, so they always run
             # at default precision (no measurable SNR impact).
             w = iir_fft.iir_summaries(
@@ -285,7 +288,7 @@ def _process_stream_hop(
         zs = jnp.zeros((flat.shape[0], pp.state_dim), jnp.float32)
         mag = iir_fft.spectrum_from_state(
             flat, zs, pp, interpret=pallas_interpret, precision=kprec,
-            bypass=True, apply_window=True,
+            bypass=True, apply_window=True, karatsuba=cfg.dtype == "f32",
         )
         out["magnitude"] = mag.reshape(*lead, n_frames, n)
     else:
