@@ -130,8 +130,10 @@ def test_sharded_channel_bank():
         np.asarray(out_s["magnitude"]), np.asarray(out_1["magnitude"])
     )
 
-    with pytest.raises(NotImplementedError, match="channel-only"):
-        sh2 = ShardedSpectrumPipeline(
-            PipelineConfig(channels=2), make_sdr_mesh(channel=2, time=4)
-        )
-        sh2.upload_sos_bank([sps.butter(4, 0.2, output="sos")] * 2)
+    # Banks also combine with time sharding (the banked time-sharded
+    # cascade) — covered by tests/test_sharding.py; here just check the
+    # upload path accepts a (channel, time) mesh.
+    sh2 = ShardedSpectrumPipeline(
+        PipelineConfig(channels=2), make_sdr_mesh(channel=2, time=4)
+    )
+    sh2.upload_sos_bank([sps.butter(4, 0.2, output="sos")] * 2)

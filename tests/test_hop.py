@@ -61,13 +61,16 @@ def test_hop_bypass_mode(pipe):
 def test_hop_validation():
     with pytest.raises(ValueError, match="divide"):
         PipelineConfig(hop=10000)
+    # hop + time sharding works (halo exchange): bypass smoke on a time mesh;
+    # bit-identity vs single device is covered in tests/test_sharding.py.
     from tpu_sdr.shard import ShardedSpectrumPipeline, make_sdr_mesh
 
     mesh = make_sdr_mesh(channel=1, time=8)
     sp = ShardedSpectrumPipeline(PipelineConfig(hop=8192, channels=1), mesh)
     x = np.zeros((1, 8 * 16384), np.float32)
-    with pytest.raises(NotImplementedError, match="halo"):
-        sp.process(x, sp.initial_state(), FilterMode.BYPASS)
+    out, st = sp.process(x, sp.initial_state(), FilterMode.BYPASS)
+    assert np.array(out["magnitude"]).shape == (1, 16, 16384)
+    assert int(st.frame_count) == 16
 
 
 def test_hop_sharded_channel_only_mesh():

@@ -159,3 +159,55 @@ def test_intra_fft_sharding():
     ref2 = np.asarray(fr2) + 1j * np.asarray(fi2)
     got2 = np.asarray(sr2).reshape(-1) + 1j * np.asarray(si2).reshape(-1)
     assert np.max(np.abs(got2 - ref2)) / np.abs(ref2).max() < 1e-5
+
+
+def test_banked_time_sharded_equals_single():
+    """Per-channel filter banks on a (channel, time) mesh == single device."""
+    C = 2
+    cfg = PipelineConfig(channels=C)
+    mesh = make_sdr_mesh(channel=2, time=4)
+    sharded = ShardedSpectrumPipeline(cfg, mesh)
+    single_p = SpectrumPipeline(cfg)
+    bank = np.stack(
+        [sps.butter(12, 0.1 * (c + 1), output="sos") for c in range(C)]
+    )
+    sharded.upload_sos_bank(bank)
+    single_p.upload_sos_bank(bank)
+    x = _mk_input(C, 8, seed=12)
+    out_s, st_s = sharded.process(x, _state(C), FilterMode.CUSTOM)
+    out_1, st_1 = single_p.process(x, _state(C), FilterMode.CUSTOM)
+    assert np.array_equal(
+        np.array(out_s["magnitude"]), np.array(out_1["magnitude"])
+    )
+    assert np.array_equal(np.array(st_s.sos_state), np.array(st_1.sos_state))
+
+
+def test_hop_time_sharded_equals_single():
+    """Overlapped (STFT) framing with time sharding: the halo exchange.
+
+    The (N - hop) IIR tail rides ppermute to the right-hand neighbor; shard 0
+    splices the carried history. Spectra, final state, and the replicated
+    history must be bit-identical to the single-device run, including across
+    carried-state chunk boundaries.
+    """
+    cfg = PipelineConfig(channels=2, hop=8192)
+    mesh = make_sdr_mesh(channel=2, time=4)
+    sharded = ShardedSpectrumPipeline(cfg, mesh)
+    single_p = SpectrumPipeline(cfg)
+    sos = sps.ellip(12, 0.5, 70, 0.3, output="sos")
+    sharded.upload_sos(sos)
+    single_p.upload_sos(sos)
+    x = _mk_input(2, 16, seed=13)
+
+    st_s = sharded.initial_state()
+    st_1 = single_p.initial_state(batch_shape=())
+    mags_s, mags_1 = [], []
+    for chunk in np.split(x, 2, axis=-1):
+        out_s, st_s = sharded.process(chunk, st_s, FilterMode.CUSTOM)
+        out_1, st_1 = single_p.process(chunk, st_1, FilterMode.CUSTOM)
+        mags_s.append(np.array(out_s["magnitude"]))
+        mags_1.append(np.array(out_1["magnitude"]))
+    assert np.array_equal(np.concatenate(mags_s, 1), np.concatenate(mags_1, 1))
+    assert np.array_equal(np.array(st_s.sos_state), np.array(st_1.sos_state))
+    assert np.array_equal(np.array(st_s.history), np.array(st_1.history))
+    assert int(st_s.frame_count) == int(st_1.frame_count)

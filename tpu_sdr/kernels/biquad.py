@@ -477,11 +477,18 @@ def sosfilt_blocked_composite_bank(
     x: jnp.ndarray,
     zi: jnp.ndarray,
     precision=Precision.HIGHEST,
+    *,
+    time_axis: str | None = None,
 ):
     """Per-channel-coefficients cascade: x (..., C, T), zi (..., C, S, 2).
 
     Same math as ``sosfilt_blocked_composite`` with every constant batched
     over the channel axis (XLA lowers these to batched MXU matmuls).
+
+    ``time_axis``: when the frame stream is sharded over that mesh axis
+    (inside ``shard_map``), only per-frame (C, m) summaries cross the
+    interconnect; every device replays the identical global frame chain and
+    slices its frames — bit-identical to the unsharded run.
     """
     L = op.T.shape[-1]
     B = op.APow.shape[1]
@@ -491,6 +498,7 @@ def sosfilt_blocked_composite_bank(
     F = x.shape[-1] // (B * L)
     v = x.reshape(*lead, C, F, B, L)
     z0 = zi.reshape(*lead, C, m)
+    frame_ax = len(lead) + 1
 
     y_zs = jnp.einsum("...cfbl,cnl->...cfbn", v, op.T, precision=precision)
     f = jnp.einsum("...cfbl,cml->...cfbm", v, op.P, precision=precision)
@@ -504,9 +512,19 @@ def sosfilt_blocked_composite_bank(
     def step(z, w):
         return jnp.sum(op.ALB * z[..., None, :], axis=-1) + w, z
 
-    w_frames = jnp.moveaxis(zhat[..., -1, :], len(lead) + 1, 0)  # (F, ..., C, m)
+    w_local = zhat[..., -1, :]  # (..., C, F, m)
+    if time_axis is not None:
+        w_local = jax.lax.all_gather(
+            w_local, time_axis, axis=frame_ax, tiled=True
+        )
+    w_frames = jnp.moveaxis(w_local, frame_ax, 0)  # (F_global, ..., C, m)
     z_final, z_starts = jax.lax.scan(step, z0, w_frames)
-    z_starts = jnp.moveaxis(z_starts, 0, len(lead) + 1)  # (..., C, F, m)
+    z_starts = jnp.moveaxis(z_starts, 0, frame_ax)  # (..., C, F_global, m)
+    if time_axis is not None:
+        t_idx = jax.lax.axis_index(time_axis)
+        z_starts = jax.lax.dynamic_slice_in_dim(
+            z_starts, t_idx * F, F, axis=frame_ax
+        )
 
     z_end = (
         jnp.einsum("cjab,...cfb->...cfja", op.APow, z_starts, precision=precision)

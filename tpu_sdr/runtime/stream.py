@@ -54,12 +54,9 @@ def _kernel_precision(cfg: PipelineConfig) -> str:
 def _run_iir(op, xw, zi, precision, time_axis):
     """Dispatch to the right composite variant (shared / per-channel bank)."""
     if op.T.ndim == 3:  # per-channel bank (leading channel axis)
-        if time_axis is not None:
-            raise NotImplementedError(
-                "per-channel filter banks are not yet supported with time "
-                "sharding; use a channel-only mesh"
-            )
-        return biquad.sosfilt_blocked_composite_bank(op, xw, zi, precision)
+        return biquad.sosfilt_blocked_composite_bank(
+            op, xw, zi, precision, time_axis=time_axis
+        )
     if time_axis is None:
         return biquad.sosfilt_blocked_composite(op, xw, zi, precision=precision)
     return biquad.sosfilt_blocked_composite_timesharded(
@@ -237,14 +234,16 @@ def _process_stream_hop(
     overlapped framing + window + FFT — a documented divergence
     (SURVEY.md §7). State carries the last (N - hop) filtered samples so
     chunked streaming matches a one-shot run exactly.
+
+    Under time sharding each device holds a contiguous run of the stream;
+    after the (already bit-consistent) time-sharded IIR, the (N - hop)
+    overlap tail rides ``ppermute`` to the right-hand neighbor — the halo
+    exchange — and shard 0 splices in the carried history. The new carried
+    history (the global stream tail) is replicated from the last shard.
     """
-    if time_axis is not None:
-        raise NotImplementedError(
-            "hop < fft_size is not yet supported with time sharding "
-            "(needs halo exchange); use a channel-only mesh"
-        )
     n = cfg.fft_size
     hop = cfg.effective_hop
+    hist = n - hop
     prec = _precision(cfg)
     t = x.shape[-1]
     lead = x.shape[:-1]
@@ -257,10 +256,27 @@ def _process_stream_hop(
     else:
         op = (bank_fixed if mode_index == 1 else bank_custom)["op"]
         iir_prec = Precision.HIGH if cfg.dtype == "f32" else prec
-        y, zf = _run_iir(op, x, state.sos_state, iir_prec, None)
+        y, zf = _run_iir(op, x, state.sos_state, iir_prec, time_axis)
 
-    # 2. Overlapped frames from history + this chunk.
-    ext = jnp.concatenate([state.history, y], axis=-1)  # (..., n-hop+t)
+    # 2. Overlapped frames from left context + this chunk.
+    if time_axis is None:
+        left = state.history
+        new_history = jnp.concatenate([state.history, y], axis=-1)[..., t:]
+        n_shards = 1
+    else:
+        n_shards = jax.lax.psum(1, time_axis)
+        tail = y[..., t - hist :]  # (..., hist)
+        left = jax.lax.ppermute(
+            tail, time_axis, [(i, i + 1) for i in range(n_shards - 1)]
+        )
+        left = jnp.where(
+            jax.lax.axis_index(time_axis) == 0, state.history, left
+        )
+        # Global stream tail -> replicated carried history (bit-identical on
+        # every shard, keeping the state replication contract).
+        tails = jax.lax.all_gather(tail, time_axis, axis=0)
+        new_history = tails[n_shards - 1]
+    ext = jnp.concatenate([left, y], axis=-1)  # (..., hist + t)
     frames = jnp.stack(
         [
             jax.lax.dynamic_slice_in_dim(ext, k * hop, n, axis=-1)
@@ -268,7 +284,6 @@ def _process_stream_hop(
         ],
         axis=-2,
     )  # (..., F, n)
-    new_history = ext[..., t:]
 
     # 3. Window + FFT + decode.
     out = {}
@@ -303,8 +318,8 @@ def _process_stream_hop(
 
     new_state = StreamState(
         sos_state=zf,
-        window_phase=(state.window_phase + t) % n,
-        frame_count=state.frame_count + n_frames,
+        window_phase=(state.window_phase + t * n_shards) % n,
+        frame_count=state.frame_count + n_frames * n_shards,
         history=new_history,
     )
     return out, new_state

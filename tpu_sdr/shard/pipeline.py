@@ -70,17 +70,12 @@ class ShardedSpectrumPipeline:
         )
 
     def upload_sos_bank(self, sos_bank):
-        """Per-channel coefficient reload on a channel-sharded mesh.
+        """Per-channel coefficient reload on any (channel, time) mesh.
 
-        Requires a channel-only mesh (time axis of size 1): per-channel
-        operators shard over the channel axis; combining them with time
-        sharding needs a banked time-sharded kernel (future work).
+        Per-channel operators shard over the channel axis and are replicated
+        over time; under time sharding the banked cascade exchanges only
+        per-frame (C, m) state summaries over the interconnect.
         """
-        if self.mesh.shape["time"] != 1:
-            raise NotImplementedError(
-                "per-channel banks require a channel-only mesh "
-                f"(time axis has size {self.mesh.shape['time']})"
-            )
         from tpu_sdr.runtime import banks
 
         padded = banks.prepare_bank(
