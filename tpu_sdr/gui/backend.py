@@ -265,8 +265,13 @@ class GuiBackend:
         self.status(f"frequency range {lo:.0f}-{hi:.0f} kHz")
 
     def update_filter_config(self, cfg: dict):
-        self.filter_config.update(cfg)
-        self.status("filter config updated")
+        known = set(self.filter_config)
+        unknown = sorted(set(cfg) - known)
+        self.filter_config.update({k: v for k, v in cfg.items() if k in known})
+        if unknown:
+            self.status(f"ignored unknown filter fields: {unknown}", ok=False)
+        else:
+            self.status("filter config updated")
 
     def _design(self):
         c = self.filter_config
