@@ -38,6 +38,13 @@ class AnalyzerStats:
     def as_dict(self) -> dict:
         return dataclasses.asdict(self)
 
+    def reset(self):
+        """Zero the counters (GUI 'reset_plot'; the analyzer keeps running)."""
+        self.frames_produced = 0
+        self.samples_consumed = 0
+        self.last_peak_bin = -1
+        self.last_peak_mag = 0.0
+
 
 class SpectrumAnalyzer:
     """High-level runtime-reconfigurable spectrum analyzer.

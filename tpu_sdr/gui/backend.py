@@ -324,6 +324,33 @@ class GuiBackend:
         )
         return {"ok": True}
 
+    def reset_plot(self):
+        """Reference 'reset_plot' event: clear display state + stats
+        (``fft_analyzer_gui.py`` SocketIO API, SURVEY.md §2.5). Clients also
+        clear their canvases on the emitted event."""
+        self.waterfall.clear()
+        self.sa.stats.reset()
+        self._fps_window.clear()
+        self.emit("plot_reset", {})
+        self.status("plot reset")
+
+    def update_config(self, cfg: dict):
+        """Reference 'update_config' event: mutate the runtime display
+        config (the ``web_config`` dict analog — display rate/points and
+        waterfall toggle; never traced shapes)."""
+        known = {"display_fps", "display_points", "waterfall_enabled"}
+        unknown = sorted(set(cfg) - known)
+        if "display_fps" in cfg:
+            self.display_fps = float(np.clip(float(cfg["display_fps"]), 1, 120))
+        if "display_points" in cfg:
+            self.display_points = int(np.clip(int(cfg["display_points"]), 64, 16384))
+        if "waterfall_enabled" in cfg:
+            self.waterfall_enabled = bool(cfg["waterfall_enabled"])
+        if unknown:
+            self.status(f"ignored unknown config fields: {unknown}", ok=False)
+        else:
+            self.status("config updated")
+
     def get_state(self) -> dict:
         return {
             "running": self.sa.running,

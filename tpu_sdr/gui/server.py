@@ -13,6 +13,8 @@ POST endpoints mirroring the reference's SocketIO event set
   POST /api/send_command        {"hex": "b1 55"}  (raw command console)
   POST /api/apply_frequency_range {"lo_khz": .., "hi_khz": ..}
   POST /api/update_filter_config  {designer fields}
+  POST /api/update_config       {display_fps, display_points, waterfall_enabled}
+  POST /api/reset_plot
   POST /api/generate_filter_preview
   POST /api/apply_filter_to_fpga
   GET  /api/state               GET /events (SSE)
@@ -125,6 +127,12 @@ def _make_handler(backend: GuiBackend):
                     self._json({"ok": True})
                 elif route == "/api/update_filter_config":
                     backend.update_filter_config(dict(args))
+                    self._json({"ok": True})
+                elif route == "/api/update_config":
+                    backend.update_config(dict(args))
+                    self._json({"ok": True})
+                elif route == "/api/reset_plot":
+                    backend.reset_plot()
                     self._json({"ok": True})
                 elif route == "/api/generate_filter_preview":
                     self._json(backend.generate_filter_preview())

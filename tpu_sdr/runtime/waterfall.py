@@ -71,5 +71,13 @@ class Waterfall:
     def reset_peak(self):
         self.peak_hold[:] = -200.0
 
+    def clear(self):
+        """Full display reset (the GUI 'reset_plot' event)."""
+        self.rows[:] = -200.0
+        self.peak_hold[:] = -200.0
+        self.average[:] = -200.0
+        self.row_count = 0
+        self._head = 0
+
     def latest(self) -> np.ndarray:
         return self.rows[(self._head - 1) % self.depth]
