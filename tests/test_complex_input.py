@@ -1,0 +1,84 @@
+"""Complex (IQ) input: the SDR-natural extension of the real-only reference.
+
+The reference feeds a real ADC with imag zero-padded
+(``src/command_control.vhd:123``); IQ streams are combined by DFT linearity
+(X = FFT(re) + i*FFT(im)) from two real-pipeline runs — see
+``runtime/stream.process_stream_complex``.
+"""
+
+import numpy as np
+import pytest
+import scipy.signal as sps
+
+from tpu_sdr.core.config import FilterMode, PipelineConfig
+from tpu_sdr.runtime import SpectrumPipeline
+
+N = 16384
+FS = 1e6
+
+
+@pytest.fixture(scope="module")
+def pipe():
+    return SpectrumPipeline(PipelineConfig())
+
+
+def _cstate(pipe):
+    return pipe.initial_state(batch_shape=(2,))
+
+
+def test_iq_tone_is_single_sided(pipe):
+    """exp(+i*2*pi*f*t) peaks at +f only — the defining IQ property (a real
+    tone would mirror at N-k)."""
+    f = 250_000.0
+    t = np.arange(2 * N) / FS
+    x = np.exp(2j * np.pi * f * t).astype(np.complex64)
+    out, st = pipe.process(x, _cstate(pipe), FilterMode.BYPASS)
+    mag = np.array(out["magnitude"])[0, -1]
+    k = int(f * N / FS)
+    assert np.argmax(mag) == k
+    assert mag[N - k] < 1e-3 * mag[k], "negative-frequency image not suppressed"
+    assert int(st.frame_count) == 2
+
+
+def test_iq_matches_numpy_oracle(pipe):
+    rng = np.random.default_rng(21)
+    x = (rng.standard_normal(N) + 1j * rng.standard_normal(N)).astype(
+        np.complex64
+    )
+    sos = sps.butter(12, 0.3, output="sos")
+    pipe.upload_sos(sos)
+    out, _ = pipe.process(x, _cstate(pipe), FilterMode.CUSTOM)
+    mag = np.array(out["magnitude"])[0, 0]
+
+    w = np.hanning(N)  # true Hann (the engine default)
+    y = sps.sosfilt(sos, x.astype(np.complex128) * w)
+    ref = np.abs(np.fft.fft(y))
+    mask = ref > ref.max() * 1e-3
+    db = np.abs(20 * np.log10(mag[mask] / ref[mask]))
+    assert db.max() < 1.0
+
+
+def test_iq_chunked_equals_oneshot(pipe):
+    rng = np.random.default_rng(22)
+    x = (rng.standard_normal(4 * N) + 1j * rng.standard_normal(4 * N)).astype(
+        np.complex64
+    )
+    sos = sps.ellip(12, 0.5, 70, 0.25, output="sos")
+    pipe.upload_sos(sos)
+    whole, st_w = pipe.process(x, _cstate(pipe), FilterMode.CUSTOM)
+    mw = np.array(whole["magnitude"])[0]
+    st = _cstate(pipe)
+    mags = []
+    for c in np.split(x, 2):
+        o, st = pipe.process(c, st, FilterMode.CUSTOM)
+        mags.append(np.array(o["magnitude"])[0])
+    assert np.array_equal(np.concatenate(mags, axis=0), mw)
+    assert np.array_equal(np.array(st.sos_state), np.array(st_w.sos_state))
+
+
+def test_iq_complex_outputs_and_state_validation(pipe):
+    x = np.zeros(N, np.complex64)
+    with pytest.raises(ValueError, match="initial_state"):
+        pipe.process(x, pipe.initial_state(), FilterMode.BYPASS)
+    out, _ = pipe.process(x, _cstate(pipe), FilterMode.BYPASS, outputs="all")
+    assert set(out) == {"magnitude", "re", "im"}

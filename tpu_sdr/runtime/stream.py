@@ -325,6 +325,51 @@ def _process_stream_hop(
     return out, new_state
 
 
+def process_stream_complex(
+    xs: jnp.ndarray,
+    state: StreamState,
+    bank_fixed: dict,
+    bank_custom: dict,
+    hann_w: jnp.ndarray,
+    plan: dict,
+    *,
+    mode_index: int,
+    cfg: PipelineConfig,
+    outputs: str = "magnitude",
+    pallas_interpret: bool = False,
+):
+    """Complex (IQ) stream: xs (2, ..., channels, T) stacked re/im planes.
+
+    The reference hardware is real-only (XADC, imag zero-padded at
+    ``src/command_control.vhd:123``); IQ input is the SDR-natural extension
+    (BASELINE config 4: "synthetic IQ"). The window and the real-coefficient
+    IIR act on re/im independently, and the DFT is linear, so the complex
+    spectrum is combined from two real-input runs:
+
+        X = FFT(re) + i*FFT(im)
+          = (Ar - Bi) + i*(Ai + Br),  A = FFT(re), B = FFT(im)
+
+    State carries a leading 2-axis: ``initial_state(batch_shape=(2,))``.
+    """
+    out, new_state = process_stream(
+        xs, state, bank_fixed, bank_custom, hann_w, plan,
+        mode_index=mode_index, cfg=cfg, outputs="complex",
+        pallas_interpret=pallas_interpret,
+    )
+    fr = out["re"][0] - out["im"][1]
+    fi = out["im"][0] + out["re"][1]
+    res = {}
+    if outputs in ("magnitude", "all"):
+        res["magnitude"] = magnitude.magnitude(fr, fi)
+    if outputs in ("complex", "all"):
+        res["re"], res["im"] = fr, fi
+    if outputs == "power":
+        res["power"] = magnitude.power(fr, fi)
+    # Counters are scalars derived from T, so the stacked planes advance the
+    # global stream exactly once — new_state is already correct.
+    return res, new_state
+
+
 class SpectrumPipeline:
     """Convenience wrapper owning the device constants + jit cache.
 
@@ -391,12 +436,12 @@ class SpectrumPipeline:
         # keep the shared-plan pallas FFT for the hybrid epilogue
         self.bank_custom = {"op": op, "pp": self.bank_fixed["pp"]}
 
-    def _fn(self, mode_index: int, outputs: str):
-        key = (mode_index, outputs)
+    def _fn(self, mode_index: int, outputs: str, complex_input: bool = False):
+        key = (mode_index, outputs, complex_input)
         if key not in self._jitted:
             self._jitted[key] = jax.jit(
                 functools.partial(
-                    process_stream,
+                    process_stream_complex if complex_input else process_stream,
                     mode_index=mode_index,
                     cfg=self.cfg,
                     outputs=outputs,
@@ -412,8 +457,15 @@ class SpectrumPipeline:
         mode: FilterMode = FilterMode.BYPASS,
         outputs: str = "magnitude",
     ):
-        """x: (..., channels, T) or (T,) -> (out dict, new_state)."""
-        x = jnp.asarray(x, jnp.float32)
+        """x: (..., channels, T) or (T,) -> (out dict, new_state).
+
+        Complex (IQ) input is accepted: pass complex samples and a state
+        created with ``initial_state(batch_shape=(2,))`` — the stacked re/im
+        planes run the real pipeline once and combine by DFT linearity.
+        """
+        x = jnp.asarray(x)
+        complex_input = jnp.iscomplexobj(x)
+        x = x.astype(jnp.complex64 if complex_input else jnp.float32)
         if x.ndim == 1:
             x = x[None, :]
         if x.shape[-1] % self.cfg.fft_size:
@@ -421,7 +473,16 @@ class SpectrumPipeline:
                 f"stream chunk length {x.shape[-1]} must be a multiple of "
                 f"fft_size={self.cfg.fft_size} (frame-aligned dispatch)"
             )
-        fn = self._fn(_MODE_TO_INDEX[FilterMode(mode)], outputs)
+        if complex_input:
+            if state.sos_state.shape[:1] != (2,):
+                raise ValueError(
+                    "complex input needs a re/im-stacked state: create it "
+                    "with initial_state(batch_shape=(2,))"
+                )
+            x = jnp.stack([x.real, x.imag], axis=0)
+        fn = self._fn(
+            _MODE_TO_INDEX[FilterMode(mode)], outputs, complex_input
+        )
         return fn(
             x, state, self.bank_fixed, self.bank_custom, self.hann_w, self.plan
         )
