@@ -82,3 +82,40 @@ def test_iq_complex_outputs_and_state_validation(pipe):
         pipe.process(x, pipe.initial_state(), FilterMode.BYPASS)
     out, _ = pipe.process(x, _cstate(pipe), FilterMode.BYPASS, outputs="all")
     assert set(out) == {"magnitude", "re", "im"}
+
+
+def test_iq_sharded_config4_shape():
+    """BASELINE config 4 at test scale: IQ input, channels sharded over the
+    mesh, per-channel bank, waterfall decimation — bit-identical to the
+    single-device run."""
+    from tpu_sdr.shard import ShardedSpectrumPipeline, make_sdr_mesh
+    from tpu_sdr.runtime.waterfall import Waterfall, decimate_db
+
+    C = 4
+    cfg = PipelineConfig(channels=C)
+    mesh = make_sdr_mesh(channel=4, time=2)
+    sh = ShardedSpectrumPipeline(cfg, mesh)
+    single = SpectrumPipeline(cfg)
+    bank = np.stack(
+        [sps.butter(12, 0.1 * (c + 1), output="sos") for c in range(C)]
+    )
+    sh.upload_sos_bank(bank)
+    single.upload_sos_bank(bank)
+
+    rng = np.random.default_rng(30)
+    x = (
+        rng.standard_normal((C, 4 * N)) + 1j * rng.standard_normal((C, 4 * N))
+    ).astype(np.complex64)
+
+    out_s, st_s = sh.process(x, sh.initial_state(batch_shape=(2,)), FilterMode.CUSTOM)
+    out_1, st_1 = single.process(
+        x, single.initial_state(batch_shape=(2,)), FilterMode.CUSTOM
+    )
+    mag_s = np.array(out_s["magnitude"])
+    assert np.array_equal(mag_s, np.array(out_1["magnitude"]))
+    assert np.array_equal(np.array(st_s.sos_state), np.array(st_1.sos_state))
+
+    # waterfall output per channel (config 4's display product)
+    wf = Waterfall(points=512, depth=16)
+    wf.push(np.asarray(decimate_db(out_s["magnitude"][0], points=512)))
+    assert wf.row_count == 4 and np.isfinite(wf.image()).all()

@@ -336,6 +336,7 @@ def process_stream_complex(
     mode_index: int,
     cfg: PipelineConfig,
     outputs: str = "magnitude",
+    time_axis: str | None = None,
     pallas_interpret: bool = False,
 ):
     """Complex (IQ) stream: xs (2, ..., channels, T) stacked re/im planes.
@@ -354,7 +355,7 @@ def process_stream_complex(
     out, new_state = process_stream(
         xs, state, bank_fixed, bank_custom, hann_w, plan,
         mode_index=mode_index, cfg=cfg, outputs="complex",
-        pallas_interpret=pallas_interpret,
+        time_axis=time_axis, pallas_interpret=pallas_interpret,
     )
     fr = out["re"][0] - out["im"][1]
     fi = out["im"][0] + out["re"][1]

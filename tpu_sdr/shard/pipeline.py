@@ -24,7 +24,11 @@ from tpu_sdr.core.config import FilterMode, PipelineConfig
 from tpu_sdr.kernels import biquad, window, fft
 from tpu_sdr.control import golden
 from tpu_sdr.runtime.state import StreamState
-from tpu_sdr.runtime.stream import process_stream, _MODE_TO_INDEX
+from tpu_sdr.runtime.stream import (
+    process_stream,
+    process_stream_complex,
+    _MODE_TO_INDEX,
+)
 
 
 class ShardedSpectrumPipeline:
@@ -55,10 +59,12 @@ class ShardedSpectrumPipeline:
 
         return banks.build_bank(self.cfg, self.hann_w, self.plan, sos)
 
-    def initial_state(self) -> StreamState:
+    def initial_state(self, batch_shape=()) -> StreamState:
+        """batch_shape=(2,) for complex (IQ) input (re/im-stacked state)."""
         return StreamState.initial(
             self.cfg.channels,
             self.cfg.n_sections,
+            batch_shape,
             history_len=self.cfg.fft_size - self.cfg.effective_hop,
         )
 
@@ -90,18 +96,20 @@ class ShardedSpectrumPipeline:
         )
         self.bank_custom = {"op": op, "pp": self.bank_fixed["pp"]}
 
-    def _fn(self, mode_index: int, outputs: str):
+    def _fn(self, mode_index: int, outputs: str, complex_input: bool = False):
         banked = self.bank_custom["op"].T.ndim == 3
-        key = (mode_index, outputs, banked)
+        key = (mode_index, outputs, banked, complex_input)
         if key in self._jitted:
             return self._jitted[key]
 
+        # Complex (IQ) input stacks re/im as an unsharded leading axis.
+        lead = (None,) if complex_input else ()
         state_specs = StreamState(
-            sos_state=P("channel", None, None),
+            sos_state=P(*lead, "channel", None, None),
             window_phase=P(),
             frame_count=P(),
             history=(
-                P("channel", None)
+                P(*lead, "channel", None)
                 if self.cfg.effective_hop != self.cfg.fft_size
                 else None
             ),
@@ -121,7 +129,7 @@ class ShardedSpectrumPipeline:
         # collectives entirely (also what per-channel banks require).
         time_axis = "time" if self.mesh.shape["time"] > 1 else None
         body = functools.partial(
-            process_stream,
+            process_stream_complex if complex_input else process_stream,
             mode_index=mode_index,
             cfg=self.cfg,
             outputs=outputs,
@@ -143,7 +151,7 @@ class ShardedSpectrumPipeline:
             body,
             mesh=self.mesh,
             in_specs=(
-                P("channel", "time"),  # x (C, T)
+                P(*lead, "channel", "time"),  # x (C, T) or (2, C, T)
                 state_specs,
                 P(None),  # bank_fixed (replicated pytree)
                 custom_spec,  # bank_custom (sharded over channel when banked)
@@ -161,8 +169,19 @@ class ShardedSpectrumPipeline:
 
         The time axis is split into contiguous per-device frame runs —
         the sharded analog of the reference's sequential frame stream.
+        Complex input becomes a re/im-stacked (2, C, T) array with the
+        stacked axis replicated.
         """
-        x = jnp.asarray(x, jnp.float32)
+        x = jnp.asarray(x)
+        if jnp.iscomplexobj(x):
+            x = x.astype(jnp.complex64)
+            if x.ndim == 1:
+                x = x[None, :]
+            xs = jnp.stack([x.real, x.imag], axis=0)
+            return jax.device_put(
+                xs, NamedSharding(self.mesh, P(None, "channel", "time"))
+            )
+        x = x.astype(jnp.float32)
         if x.ndim == 1:
             x = x[None, :]
         return jax.device_put(
@@ -176,6 +195,12 @@ class ShardedSpectrumPipeline:
         mode: FilterMode = FilterMode.BYPASS,
         outputs: str = "magnitude",
     ):
+        complex_input = jnp.iscomplexobj(jnp.asarray(x))
+        if complex_input and state.sos_state.shape[:1] != (2,):
+            raise ValueError(
+                "complex input needs a re/im-stacked state: create it with "
+                "initial_state(batch_shape=(2,))"
+            )
         x = self.shard_input(x)
         tpd = self.mesh.shape["time"] * self.cfg.fft_size
         if x.shape[-1] % tpd:
@@ -183,7 +208,9 @@ class ShardedSpectrumPipeline:
                 f"stream chunk length {x.shape[-1]} must be a multiple of "
                 f"time_shards*fft_size = {tpd}"
             )
-        fn = self._fn(_MODE_TO_INDEX[FilterMode(mode)], outputs)
+        fn = self._fn(
+            _MODE_TO_INDEX[FilterMode(mode)], outputs, complex_input
+        )
         return fn(
             x, state, self.bank_fixed, self.bank_custom, self.hann_w, self.plan
         )
