@@ -316,6 +316,99 @@ def _spectrum_kernel(
             out_ref[fi] = mag[fi * B : (fi + 1) * B, :].T
 
 
+def _cdots(ar, ai, br, bi, dot, karatsuba):
+    """Complex product (ar+i*ai)(br+i*bi) via 4 dots, or 3 with Karatsuba."""
+    if karatsuba:
+        t1 = dot(ar, br)
+        t2 = dot(ai, bi)
+        t3 = dot(ar + ai, br + bi)
+        return t1 - t2, t3 - t1 - t2
+    return dot(ar, br) - dot(ai, bi), dot(ar, bi) + dot(ai, br)
+
+
+def _spectrum_complex_kernel(
+    xr_ref, xi_ref, win_ref, w2r_ref, w2i_ref, twr_ref, twi_ref,
+    w1r_ref, w1i_ref, out_ref, *, G, B, precision, karatsuba, apply_window,
+):
+    """Complex-input (IQ) window + four-step FFT + magnitude.
+
+    Same structure as the real-input `_spectrum_kernel` bypass path, with a
+    full complex first DFT pass (4 matmuls, 3 with Karatsuba) since the
+    input has both planes. Emits natural-order magnitudes.
+    """
+    L = xr_ref.shape[2]
+    if apply_window:
+        xwr = (xr_ref[:] * win_ref[:]).reshape(G * B, L)
+        xwi = (xi_ref[:] * win_ref[:]).reshape(G * B, L)
+    else:
+        xwr = xr_ref[:].reshape(G * B, L)
+        xwi = xi_ref[:].reshape(G * B, L)
+    ylr = _stack_to_lanes(xwr, G, B, L)  # (n2, G*n1)
+    yli = _stack_to_lanes(xwi, G, B, L)
+    ar, ai_ = _cdots(ylr, yli, w2r_ref[:], w2i_ref[:],
+                     lambda p, w: _dot(w, p, precision), karatsuba)
+    tr = ar * twr_ref[:] - ai_ * twi_ref[:]
+    ti = ar * twi_ref[:] + ai_ * twr_ref[:]
+    trs = _stack_to_rows(tr, G, B, L)  # (G*k2, n1)
+    tis = _stack_to_rows(ti, G, B, L)
+    zr, zi = _cdots(trs, tis, w1r_ref[:], w1i_ref[:],
+                    lambda p, w: _dotT(p, w, precision), karatsuba)
+    mag = jnp.sqrt(zr * zr + zi * zi)
+    for fi in range(G):
+        out_ref[fi] = mag[fi * B : (fi + 1) * B, :].T
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("interpret", "precision", "apply_window", "karatsuba"),
+)
+def spectrum_mag_complex(
+    xr: jnp.ndarray,
+    xi: jnp.ndarray,
+    plan: PallasSOSPlan,
+    interpret: bool = False,
+    precision: str = "highest",
+    apply_window: bool = True,
+    karatsuba: bool = False,
+):
+    """IQ frames xr/xi (F, N) -> magnitudes (F, N), fused in VMEM."""
+    F = xr.shape[0]
+    n2, n1 = plan.win.shape
+    n = n1 * n2
+    G = _pick_group(F)
+    B = n2
+    fspec = pl.BlockSpec((G, n2, n1), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        functools.partial(
+            _spectrum_complex_kernel, G=G, B=B, precision=precision,
+            karatsuba=karatsuba, apply_window=apply_window,
+        ),
+        out_shape=jax.ShapeDtypeStruct((F, n1, n2), jnp.float32),
+        grid=(F // G,),
+        in_specs=[
+            fspec,
+            fspec,
+            _vspec(plan.win.shape),
+            _vspec(plan.w2r.shape),
+            _vspec(plan.w2i.shape),
+            _vspec((n2, G * n1)),
+            _vspec((n2, G * n1)),
+            _vspec(plan.w1r.shape),
+            _vspec(plan.w1i.shape),
+        ],
+        out_specs=pl.BlockSpec(
+            (G, n1, n2), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+        ),
+        interpret=interpret,
+    )(
+        xr.reshape(F, n2, n1), xi.reshape(F, n2, n1), plan.win,
+        plan.w2r, plan.w2i,
+        plan.twr[:, : G * n1], plan.twi[:, : G * n1],
+        plan.w1r, plan.w1i,
+    )
+    return out.reshape(F, n)
+
+
 def _pick_group(F: int) -> int:
     for g in (MAX_GROUP, 4, 2, 1):
         if F % g == 0:

@@ -351,7 +351,59 @@ def process_stream_complex(
           = (Ar - Bi) + i*(Ai + Br),  A = FFT(re), B = FFT(im)
 
     State carries a leading 2-axis: ``initial_state(batch_shape=(2,))``.
+
+    Magnitude output takes a fused complex-input Pallas FFT kernel (XLA
+    window+IIR on the stacked planes feeding ``spectrum_mag_complex``);
+    other outputs combine the XLA complex path.
     """
+    n = cfg.fft_size
+    pallas_ok = (
+        cfg.use_pallas
+        and outputs == "magnitude"
+        and cfg.effective_hop == n
+        and cfg.fft_n1 == 128
+        and cfg.fft_n2 == 128
+        and cfg.iir_block == 128
+    )
+    if pallas_ok:
+        from tpu_sdr.kernels.pallas import iir_fft
+
+        kprec = _kernel_precision(cfg)
+        kara = cfg.dtype == "f32"
+        t = xs.shape[-1]
+        n_frames = t // n
+        lead = xs.shape[1:-1]  # (..., channels)
+        t_global = t if time_axis is None else t * jax.lax.psum(1, time_axis)
+        bank = bank_fixed if mode_index != 2 else bank_custom
+        pp = bank["pp"]
+        if mode_index == 0:
+            y = xs
+            zf = state.sos_state
+            apply_window = True
+        else:
+            xw = (xs.reshape(2, *lead, n_frames, n) * hann_w).reshape(
+                2, *lead, t
+            )
+            iir_prec = (
+                Precision.HIGH if cfg.dtype == "f32" else _precision(cfg)
+            )
+            y, zf = _run_iir(
+                bank["op"], xw, state.sos_state, iir_prec, time_axis
+            )
+            apply_window = False
+        mag = iir_fft.spectrum_mag_complex(
+            y[0].reshape(-1, n), y[1].reshape(-1, n), pp,
+            interpret=pallas_interpret, precision=kprec,
+            apply_window=apply_window, karatsuba=kara,
+        )
+        new_state = StreamState(
+            sos_state=zf,
+            window_phase=(state.window_phase + t_global) % n,
+            frame_count=state.frame_count + t_global // n,
+            history=state.history,
+        )
+        return {"magnitude": mag.reshape(*lead, n_frames, n)}, new_state
+
     out, new_state = process_stream(
         xs, state, bank_fixed, bank_custom, hann_w, plan,
         mode_index=mode_index, cfg=cfg, outputs="complex",
@@ -464,23 +516,30 @@ class SpectrumPipeline:
         created with ``initial_state(batch_shape=(2,))`` — the stacked re/im
         planes run the real pipeline once and combine by DFT linearity.
         """
-        x = jnp.asarray(x)
         complex_input = jnp.iscomplexobj(x)
-        x = x.astype(jnp.complex64 if complex_input else jnp.float32)
-        if x.ndim == 1:
-            x = x[None, :]
-        if x.shape[-1] % self.cfg.fft_size:
-            raise ValueError(
-                f"stream chunk length {x.shape[-1]} must be a multiple of "
-                f"fft_size={self.cfg.fft_size} (frame-aligned dispatch)"
-            )
         if complex_input:
+            # Split on the host: TPU backends may not implement complex
+            # dtypes at all (axon: UNIMPLEMENTED on .real/.imag on device).
             if state.sos_state.shape[:1] != (2,):
                 raise ValueError(
                     "complex input needs a re/im-stacked state: create it "
                     "with initial_state(batch_shape=(2,))"
                 )
-            x = jnp.stack([x.real, x.imag], axis=0)
+            xn = np.asarray(x)
+            if xn.ndim == 1:
+                xn = xn[None, :]
+            x = jnp.asarray(
+                np.stack([xn.real, xn.imag], axis=0), jnp.float32
+            )
+        else:
+            x = jnp.asarray(x, jnp.float32)
+            if x.ndim == 1:
+                x = x[None, :]
+        if x.shape[-1] % self.cfg.fft_size:
+            raise ValueError(
+                f"stream chunk length {x.shape[-1]} must be a multiple of "
+                f"fft_size={self.cfg.fft_size} (frame-aligned dispatch)"
+            )
         fn = self._fn(
             _MODE_TO_INDEX[FilterMode(mode)], outputs, complex_input
         )

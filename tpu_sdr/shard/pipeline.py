@@ -172,16 +172,17 @@ class ShardedSpectrumPipeline:
         Complex input becomes a re/im-stacked (2, C, T) array with the
         stacked axis replicated.
         """
-        x = jnp.asarray(x)
         if jnp.iscomplexobj(x):
-            x = x.astype(jnp.complex64)
-            if x.ndim == 1:
-                x = x[None, :]
-            xs = jnp.stack([x.real, x.imag], axis=0)
+            # Split on the host: TPU backends may not implement complex
+            # dtypes on device at all.
+            xn = np.asarray(x)
+            if xn.ndim == 1:
+                xn = xn[None, :]
+            xs = np.stack([xn.real, xn.imag], axis=0).astype(np.float32)
             return jax.device_put(
                 xs, NamedSharding(self.mesh, P(None, "channel", "time"))
             )
-        x = x.astype(jnp.float32)
+        x = jnp.asarray(x, jnp.float32)
         if x.ndim == 1:
             x = x[None, :]
         return jax.device_put(
@@ -195,7 +196,7 @@ class ShardedSpectrumPipeline:
         mode: FilterMode = FilterMode.BYPASS,
         outputs: str = "magnitude",
     ):
-        complex_input = jnp.iscomplexobj(jnp.asarray(x))
+        complex_input = jnp.iscomplexobj(x)
         if complex_input and state.sos_state.shape[:1] != (2,):
             raise ValueError(
                 "complex input needs a re/im-stacked state: create it with "
