@@ -206,18 +206,33 @@ def test_update_config_and_reset_plot(server):
     """Reference SocketIO events 'update_config' and 'reset_plot'
     (SURVEY.md §2.5): runtime display config + display/stats reset."""
     srv, backend = server
-    assert _post(srv, "update_config", {"display_fps": 10, "display_points": 256})["ok"]
-    assert backend.display_fps == 10.0
-    assert backend.display_points == 256
-    # unknown keys are ignored (with a status toast), not applied
-    assert _post(srv, "update_config", {"bogus_field": 1})["ok"]
-    assert not hasattr(backend, "bogus_field")
+    # Quiesce the acquisition thread: reset_plot zeroes live counters, so
+    # asserting exact zeros requires no concurrent producer.
+    _post(srv, "stop_receiver")
+    try:
+        assert _post(
+            srv, "update_config", {"display_fps": 10, "display_points": 256}
+        )["ok"]
+        assert backend.display_fps == 10.0
+        assert backend.display_points == 256
+        # unknown keys are ignored (with a status toast), not applied
+        assert _post(srv, "update_config", {"bogus_field": 1})["ok"]
+        assert not hasattr(backend, "bogus_field")
+        # a malformed field must not half-apply the update
+        try:
+            _post(srv, "update_config", {"display_fps": 33, "display_points": "x"})
+        except Exception:
+            pass
+        assert backend.display_fps == 10.0  # unchanged: atomic rejection
 
-    backend.waterfall.push(np.full(backend.waterfall.points, -10.0))
-    backend.sa.stats.frames_produced = 99
-    assert _post(srv, "reset_plot")["ok"]
-    assert backend.waterfall.row_count == 0
-    assert float(backend.waterfall.peak_hold.max()) == -200.0
-    assert backend.sa.stats.frames_produced == 0
-    # restore display rate for other tests in this module
-    assert _post(srv, "update_config", {"display_fps": 1000})["ok"]
+        backend.waterfall.push(np.full(backend.waterfall.points, -10.0))
+        backend.sa.stats.frames_produced = 99
+        assert _post(srv, "reset_plot")["ok"]
+        assert backend.waterfall.row_count == 0
+        assert float(backend.waterfall.peak_hold.max()) == -200.0
+        assert backend.sa.stats.frames_produced == 0
+    finally:
+        # restore fixture state (update_config clamps fps to 120, so assign)
+        backend.display_fps = 1000.0
+        backend.display_points = 2048
+        _post(srv, "start_receiver")

@@ -70,7 +70,7 @@ class PipelineConfig:
     # window phase counter wraps every 16384 samples, src/hann8192.vhd:41-44).
     hop: int | None = None
     # Numeric quality tier for the matmul-heavy kernels:
-    #   "f32"    ~95 dB SNR vs float64 golden — 3-pass (bf16-split) IIR and
+    #   "f32"    ~98 dB SNR vs float64 golden — 3-pass (bf16-split) IIR and
     #            Pallas FFT; the default (comfortably above the Q15 bound)
     #   "f32max" ~139 dB SNR — everything in 6-pass exact f32
     #   "bf16"   ~50 dB SNR — bf16 MXU passes, max throughput

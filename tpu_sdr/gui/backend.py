@@ -340,12 +340,21 @@ class GuiBackend:
         waterfall toggle; never traced shapes)."""
         known = {"display_fps", "display_points", "waterfall_enabled"}
         unknown = sorted(set(cfg) - known)
+        # Parse everything BEFORE mutating anything: a malformed field must
+        # not leave the config half-applied.
+        updates = {}
         if "display_fps" in cfg:
-            self.display_fps = float(np.clip(float(cfg["display_fps"]), 1, 120))
+            updates["display_fps"] = float(
+                np.clip(float(cfg["display_fps"]), 1, 120)
+            )
         if "display_points" in cfg:
-            self.display_points = int(np.clip(int(cfg["display_points"]), 64, 16384))
+            updates["display_points"] = int(
+                np.clip(int(cfg["display_points"]), 64, 16384)
+            )
         if "waterfall_enabled" in cfg:
-            self.waterfall_enabled = bool(cfg["waterfall_enabled"])
+            updates["waterfall_enabled"] = bool(cfg["waterfall_enabled"])
+        for k, v in updates.items():
+            setattr(self, k, v)
         if unknown:
             self.status(f"ignored unknown config fields: {unknown}", ok=False)
         else:

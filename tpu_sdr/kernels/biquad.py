@@ -369,14 +369,18 @@ def precompute_composite(
     )
 
 
-def _composite_frame_terms(op: BlockedSOSComposite, v, precision):
+def _composite_frame_terms(op: BlockedSOSComposite, v, precision, canonical=True):
     """Shared per-frame parallel work for the composite cascade.
 
     v: (..., F, B, L) windowed input blocks. Returns (y_zs, zhat) with
     y_zs (..., F, B, L) and zhat (..., F, B, m) the within-frame zero-state
     chain values.
+
+    ``canonical=False`` skips the single-frame GEMV guard below (2x compute
+    on that shape) for callers that don't carry the bitwise
+    chunked==one-shot contract, e.g. the latency engine.
     """
-    if int(np.prod(v.shape[:-2])) == 1:
+    if canonical and int(np.prod(v.shape[:-2])) == 1:
         # Canonical-math guard: a single-frame single-channel dispatch would
         # flatten the zhat contraction to an M=1 GEMV, whose accumulation
         # order differs from the batched GEMM larger dispatches use (observed

@@ -106,7 +106,6 @@ def process_stream(
             time_axis=time_axis, pallas_interpret=pallas_interpret,
         )
     prec = _precision(cfg)
-    pstr = "default" if cfg.dtype == "bf16" else "highest"
     t = x.shape[-1]
     n_frames = t // n
     lead = x.shape[:-1]  # (..., channels)
@@ -520,10 +519,12 @@ class SpectrumPipeline:
         if complex_input:
             # Split on the host: TPU backends may not implement complex
             # dtypes at all (axon: UNIMPLEMENTED on .real/.imag on device).
-            if state.sos_state.shape[:1] != (2,):
+            expected = (2, self.cfg.channels, self.cfg.n_sections, 2)
+            if tuple(state.sos_state.shape) != expected:
                 raise ValueError(
-                    "complex input needs a re/im-stacked state: create it "
-                    "with initial_state(batch_shape=(2,))"
+                    "complex input needs a re/im-stacked state of shape "
+                    f"{expected}, got {tuple(state.sos_state.shape)}: create "
+                    "it with initial_state(batch_shape=(2,))"
                 )
             xn = np.asarray(x)
             if xn.ndim == 1:

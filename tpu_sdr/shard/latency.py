@@ -101,7 +101,10 @@ class LatencyPipeline:
             zf = zi.reshape(m)
         else:
             v = xw[None]  # one local "frame" of B_loc blocks
-            y_zs, zhat = _composite_frame_terms(op, v, prec)
+            # canonical=False: skip the single-frame GEMV guard's 2x padding
+            # — latency mode's contract is cross-engine float parity, not the
+            # streaming engine's bitwise chunking invariance.
+            y_zs, zhat = _composite_frame_terms(op, v, prec, canonical=False)
             w_dev = zhat[0, -1]  # (m,) my end-of-span summary
             w_all = jax.lax.all_gather(w_dev, ax)  # (D, m) replicated
 
@@ -122,18 +125,22 @@ class LatencyPipeline:
         )
 
     def _w_loc(self):
-        # window rows for my block span (sliced inside shard_map)
+        # window rows for my block span (sliced inside shard_map; hann2d is
+        # captured as a replicated constant)
         idx = jax.lax.axis_index(self.axis)
         return jax.lax.dynamic_slice_in_dim(
-            self._hann_dev, idx * self.b_loc, self.b_loc, axis=0
+            self.hann2d, idx * self.b_loc, self.b_loc, axis=0
         )
 
     def _fn(self, mode_index: int):
         if mode_index in self._jitted:
             return self._jitted[mode_index]
-        prec = Precision.HIGHEST
+        # Honor the configured quality tier (the sharded FFT accepts any
+        # jax.lax.Precision; there is no Pallas kernel on this path).
+        from tpu_sdr.runtime.stream import _precision
+
+        prec = _precision(self.cfg)
         op = self.op_fixed if mode_index == 1 else self.op_custom
-        self._hann_dev = self.hann2d  # captured replicated constant
 
         body = functools.partial(
             self._body, op=op, mode_index=mode_index, prec=prec

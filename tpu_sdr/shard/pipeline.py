@@ -197,11 +197,14 @@ class ShardedSpectrumPipeline:
         outputs: str = "magnitude",
     ):
         complex_input = jnp.iscomplexobj(x)
-        if complex_input and state.sos_state.shape[:1] != (2,):
-            raise ValueError(
-                "complex input needs a re/im-stacked state: create it with "
-                "initial_state(batch_shape=(2,))"
-            )
+        if complex_input:
+            expected = (2, self.cfg.channels, self.cfg.n_sections, 2)
+            if tuple(state.sos_state.shape) != expected:
+                raise ValueError(
+                    "complex input needs a re/im-stacked state of shape "
+                    f"{expected}, got {tuple(state.sos_state.shape)}: create "
+                    "it with initial_state(batch_shape=(2,))"
+                )
         x = self.shard_input(x)
         tpd = self.mesh.shape["time"] * self.cfg.fft_size
         if x.shape[-1] % tpd:
