@@ -119,3 +119,35 @@ def test_iq_sharded_config4_shape():
     wf = Waterfall(points=512, depth=16)
     wf.push(np.asarray(decimate_db(out_s["magnitude"][0], points=512)))
     assert wf.row_count == 4 and np.isfinite(wf.image()).all()
+
+
+def test_iq_through_analyzer_facade():
+    """SpectrumAnalyzer accepts IQ streams: state auto-shapes on first use,
+    kind switches require a reset (like any datapath change)."""
+    from tpu_sdr.control import SpectrumAnalyzer
+    from tpu_sdr.control.commands import Command
+
+    sa = SpectrumAnalyzer(PipelineConfig(channels=1))
+    sa.handle_bytes(bytes([Command.START]))
+    t = np.arange(N) / FS
+    iq = np.exp(2j * np.pi * 250e3 * t).astype(np.complex64)
+    out = sa.process(iq)
+    mag = np.asarray(out["magnitude"])[0, 0]
+    k = int(250e3 * N / FS)
+    assert np.argmax(mag) == k and mag[N - k] < 1e-3 * mag[k]
+    # mid-stream kind switch is rejected...
+    with pytest.raises(ValueError, match="reset"):
+        sa.process(np.zeros(N, np.float32))
+    # ...until a reset (0xFF)
+    sa.handle_bytes(bytes([Command.RESET, Command.START]))
+    out = sa.process(np.zeros(N, np.float32))
+    assert out is not None
+    # checkpoint/restore pins the stream kind from the state shape
+    sa.handle_bytes(bytes([Command.RESET, Command.START]))
+    sa.process(iq)
+    ck = sa.checkpoint()
+    sa2 = SpectrumAnalyzer(PipelineConfig(channels=1))
+    sa2.restore(ck)
+    assert sa2.process(iq) is not None
+    with pytest.raises(ValueError, match="reset"):
+        sa2.process(np.zeros(N, np.float32))

@@ -84,6 +84,8 @@ class SpectrumAnalyzer:
         self.running = False
         self.uart_streaming = False
         self.state = self._fresh_state()
+        # None until first process(); then fixed real/complex until reset
+        self._complex_stream: bool | None = None
         self.stats = AnalyzerStats()
         self.custom_sos: np.ndarray | None = None
         # host edge: called with (magnitude_frame (N,), frame_index) per frame
@@ -111,6 +113,7 @@ class SpectrumAnalyzer:
         (the RTL reset default). Coefficients survive reset, as the
         coefficient RAM does in hardware (``src/coeff_cdc.vhd:34-46``)."""
         self.state = self._fresh_state()
+        self._complex_stream = None
         self.running = False
         self.uart_streaming = False
         self.filter_mode = FilterMode.BYPASS
@@ -186,6 +189,18 @@ class SpectrumAnalyzer:
         """
         if not self.running:
             return None
+        is_complex = bool(np.iscomplexobj(samples))
+        if self._complex_stream is None:
+            # first chunk after reset fixes the stream kind; IQ input needs
+            # the re/im-stacked state
+            self._complex_stream = is_complex
+            if is_complex:
+                self.state = self.pipe.initial_state(batch_shape=(2,))
+        elif is_complex != self._complex_stream:
+            raise ValueError(
+                "cannot switch between real and complex (IQ) input "
+                "mid-stream; send reset (0xFF) first"
+            )
         out, self.state = self.pipe.process(
             samples, self.state, self.filter_mode, outputs
         )
@@ -226,6 +241,8 @@ class SpectrumAnalyzer:
 
     def restore(self, ckpt: dict):
         self.state = StreamState.from_numpy(ckpt["state"])
+        # stream kind is encoded in the state shape: (2, C, S, 2) = IQ
+        self._complex_stream = bool(self.state.sos_state.ndim == 4)
         self.filter_mode = FilterMode(ckpt["filter_mode"])
         self.comm_mode = CommMode(ckpt["comm_mode"])
         self.running = bool(ckpt["running"])
