@@ -236,3 +236,16 @@ def test_update_config_and_reset_plot(server):
         backend.display_fps = 1000.0
         backend.display_points = 2048
         _post(srv, "start_receiver")
+
+
+def test_roofline_endpoint(server):
+    """SURVEY.md §5.1: roofline counters surfaced through the stats channel."""
+    srv, backend = server
+    port = srv.server_address[1]
+    with urllib.request.urlopen(
+        f"http://127.0.0.1:{port}/api/roofline", timeout=5
+    ) as r:
+        rep = json.loads(r.read())
+    assert rep["chip"] == "v5e" and rep["bound"] in ("compute", "memory")
+    assert rep["ceiling_samples_per_sec"] > 1e9
+    assert "fft_4step" in rep["stages"]

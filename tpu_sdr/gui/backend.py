@@ -360,6 +360,20 @@ class GuiBackend:
         else:
             self.status("config updated")
 
+    def get_roofline(self) -> dict:
+        """Roofline cost model + live measured rate (SURVEY.md §5.1: the
+        per-kernel counters surfaced through the stats channel)."""
+        from tpu_sdr.bench.roofline import roofline_report
+
+        measured = None
+        started = self.sa.stats.started_at
+        if started and self.sa.stats.samples_consumed:
+            elapsed = max(time.time() - started, 1e-9)
+            measured = self.sa.stats.samples_consumed / elapsed
+        return roofline_report(
+            self.sa.cfg, measured_samples_per_sec=measured
+        )
+
     def get_state(self) -> dict:
         return {
             "running": self.sa.running,

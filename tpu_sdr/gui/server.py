@@ -17,7 +17,8 @@ POST endpoints mirroring the reference's SocketIO event set
   POST /api/reset_plot
   POST /api/generate_filter_preview
   POST /api/apply_filter_to_fpga
-  GET  /api/state               GET /events (SSE)
+  GET  /api/state               GET /api/roofline
+  GET  /events (SSE)
 
 Run: ``python -m tpu_sdr.gui.server [port]`` — starts a synthetic-source
 demo analyzer on http://localhost:5000.
@@ -62,6 +63,8 @@ def _make_handler(backend: GuiBackend):
                 self.wfile.write(body)
             elif self.path == "/api/state":
                 self._json(backend.get_state())
+            elif self.path == "/api/roofline":
+                self._json(backend.get_roofline())
             elif self.path == "/events":
                 self.send_response(200)
                 self.send_header("Content-Type", "text/event-stream")
