@@ -109,3 +109,63 @@ def test_mode_switching_mid_stream_keeps_state_sane():
         assert np.isfinite(np.asarray(out["magnitude"])).all()
         frames += 1
     assert int(st.frame_count) == frames
+
+
+def test_iq_random_designs_match_oracle():
+    """Random stable designs on random IQ streams stay within 1 dB of the
+    NumPy/SciPy oracle (the complex-input analog of the real-path sweep)."""
+    rng = np.random.default_rng(23)
+    pipe = SpectrumPipeline(PipelineConfig(channels=1))
+    n = 16384
+    w = np.hanning(n)
+    for trial in range(3):
+        order = int(rng.integers(2, 7)) * 2
+        wc = float(rng.uniform(0.05, 0.8))
+        kind = ["butter", "cheby1", "ellip"][rng.integers(0, 3)]
+        if kind == "butter":
+            sos = sps.butter(order, wc, output="sos")
+        elif kind == "cheby1":
+            sos = sps.cheby1(order, 0.5, wc, output="sos")
+        else:
+            sos = sps.ellip(order, 0.5, 60, wc, output="sos")
+        pipe.upload_sos(sos)
+        x = (
+            rng.standard_normal(n) + 1j * rng.standard_normal(n)
+        ).astype(np.complex64)
+        out, _ = pipe.process(
+            x, pipe.initial_state(batch_shape=(2,)), FilterMode.CUSTOM
+        )
+        mag = np.asarray(out["magnitude"])[0, 0]
+        ref = np.abs(np.fft.fft(sps.sosfilt(sos, x.astype(np.complex128)) * w))
+        # top-40 dB mask: below that, 12th-order stopbands push bins to the
+        # float32 INPUT noise floor where even the exact-f32 tier departs
+        # from the float64 oracle (verified: f32max shows the same error) —
+        # a property of f32 data, not of the engine.
+        mask = ref > ref.max() * 1e-2
+        db = np.abs(20 * np.log10(mag[mask] / ref[mask])).max()
+        assert db < 1.0, f"trial {trial} ({kind} {order} @{wc:.2f}): {db} dB"
+
+
+def test_latency_engine_random_streams_match_throughput():
+    """Latency engine == throughput engine on random filters/streams."""
+    from tpu_sdr.shard.latency import LatencyPipeline
+
+    rng = np.random.default_rng(24)
+    cfg = PipelineConfig(channels=1)
+    lat = LatencyPipeline(cfg)
+    thr = SpectrumPipeline(cfg)
+    for trial in range(2):
+        sos = sps.butter(int(rng.integers(2, 7)) * 2,
+                         float(rng.uniform(0.1, 0.7)), output="sos")
+        lat.upload_sos(sos)
+        thr.upload_sos(sos)
+        x = rng.standard_normal(2 * 16384).astype(np.float32)
+        out, _ = thr.process(x, thr.initial_state(), FilterMode.CUSTOM)
+        mags = np.asarray(out["magnitude"])[0]
+        z = lat.initial_state()
+        for f in range(2):
+            m, z = lat.process_frame(
+                x[f * 16384 : (f + 1) * 16384], z, FilterMode.CUSTOM
+            )
+            rel = np.abs(np.asarray(m) - mags[f]).max() / mags[f].max()
+            assert rel < 1e-5, f"trial {trial} frame {f}: {rel}"
