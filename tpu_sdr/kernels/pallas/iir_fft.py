@@ -248,18 +248,8 @@ def _fft_mag(y, plan_refs, G, B, L, precision, karatsuba=False):
     ti = yr * twi[:] + yi * twr[:]
     trs = _stack_to_rows(tr, G, k2, L)  # (G*k2, n1)
     tis = _stack_to_rows(ti, G, k2, L)
-    if karatsuba:
-        # 3-mult complex matmul: zr = t1 - t2, zi = t3 - t1 - t2 with
-        # t3 = (trs+tis)@(w1r+w1i)^T. One fewer MXU contraction at the cost
-        # of ~1 bit from the cancellation — for the f32/high3 tier only.
-        t1 = _dotT(trs, w1r[:], precision)
-        t2 = _dotT(tis, w1i[:], precision)
-        t3 = _dotT(trs + tis, w1r[:] + w1i[:], precision)
-        zr = t1 - t2
-        zi = t3 - t1 - t2
-    else:
-        zr = _dotT(trs, w1r[:], precision) - _dotT(tis, w1i[:], precision)
-        zi = _dotT(trs, w1i[:], precision) + _dotT(tis, w1r[:], precision)
+    zr, zi = _cdots(trs, tis, w1r[:], w1i[:],
+                    lambda p, w: _dotT(p, w, precision), karatsuba)
     return jnp.sqrt(zr * zr + zi * zi)  # (G*k2, k1)
 
 

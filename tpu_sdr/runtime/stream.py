@@ -51,6 +51,16 @@ def _kernel_precision(cfg: PipelineConfig) -> str:
     return {"f32max": "highest", "f32": "high3", "bf16": "default"}[cfg.dtype]
 
 
+def _kernel_karatsuba(cfg: PipelineConfig) -> bool:
+    """3-mult complex FFT pass-2: f32 tier only (exact tiers keep 4-mult)."""
+    return cfg.dtype == "f32"
+
+
+def _iir_precision(cfg: PipelineConfig):
+    """XLA IIR precision in the hybrid structure (HIGH for the f32 tier)."""
+    return Precision.HIGH if cfg.dtype == "f32" else _precision(cfg)
+
+
 def _run_iir(op, xw, zi, precision, time_axis):
     """Dispatch to the right composite variant (shared / per-channel bank)."""
     if op.T.ndim == 3:  # per-channel bank (leading channel axis)
@@ -134,27 +144,24 @@ def process_stream(
             zs = jnp.zeros((flat.shape[0], m), jnp.float32)
             mag = iir_fft.spectrum_from_state(
                 flat, zs, pp, interpret=pallas_interpret, precision=kprec,
-                bypass=True, karatsuba=cfg.dtype == "f32",
+                bypass=True, karatsuba=_kernel_karatsuba(cfg),
             )
             zf = state.sos_state
-        elif not (cfg.dtype == "f32max" and cfg.fused_two_pass) or banked:
+        elif banked or not (cfg.dtype == "f32max" and cfg.fused_two_pass):
             # Hybrid structure (all tiers by default): XLA window+IIR
             # (3-pass f32 for the f32 tier, bf16 passes for bf16, 6-pass
             # exact f32 for f32max) feeding the fused Pallas FFT+magnitude
             # kernel. Measured faster than the two-pass kernels at
             # production dispatch sizes for every tier on v5e.
             xw = (x.reshape(*lead, n_frames, n) * hann_w).reshape(*lead, t)
-            iir_prec = (
-                Precision.HIGH if cfg.dtype == "f32" else _precision(cfg)
-            )
             y, zf = _run_iir(
-                bank["op"], xw, state.sos_state, iir_prec, time_axis
+                bank["op"], xw, state.sos_state, _iir_precision(cfg), time_axis
             )
             zs = jnp.zeros((flat.shape[0], m), jnp.float32)
             mag = iir_fft.spectrum_from_state(
                 y.reshape(-1, n), zs, pp, interpret=pallas_interpret,
                 precision=kprec, bypass=True, apply_window=False,
-                karatsuba=cfg.dtype == "f32",
+                karatsuba=_kernel_karatsuba(cfg),
             )
         else:
             # f32max + fused_two_pass: fully-fused two-pass Pallas pipeline,
@@ -254,8 +261,7 @@ def _process_stream_hop(
         zf = state.sos_state
     else:
         op = (bank_fixed if mode_index == 1 else bank_custom)["op"]
-        iir_prec = Precision.HIGH if cfg.dtype == "f32" else prec
-        y, zf = _run_iir(op, x, state.sos_state, iir_prec, time_axis)
+        y, zf = _run_iir(op, x, state.sos_state, _iir_precision(cfg), time_axis)
 
     # 2. Overlapped frames from left context + this chunk.
     if time_axis is None:
@@ -302,7 +308,7 @@ def _process_stream_hop(
         zs = jnp.zeros((flat.shape[0], pp.state_dim), jnp.float32)
         mag = iir_fft.spectrum_from_state(
             flat, zs, pp, interpret=pallas_interpret, precision=kprec,
-            bypass=True, apply_window=True, karatsuba=cfg.dtype == "f32",
+            bypass=True, apply_window=True, karatsuba=_kernel_karatsuba(cfg),
         )
         out["magnitude"] = mag.reshape(*lead, n_frames, n)
     else:
@@ -368,7 +374,7 @@ def process_stream_complex(
         from tpu_sdr.kernels.pallas import iir_fft
 
         kprec = _kernel_precision(cfg)
-        kara = cfg.dtype == "f32"
+        kara = _kernel_karatsuba(cfg)
         t = xs.shape[-1]
         n_frames = t // n
         lead = xs.shape[1:-1]  # (..., channels)
@@ -383,11 +389,8 @@ def process_stream_complex(
             xw = (xs.reshape(2, *lead, n_frames, n) * hann_w).reshape(
                 2, *lead, t
             )
-            iir_prec = (
-                Precision.HIGH if cfg.dtype == "f32" else _precision(cfg)
-            )
             y, zf = _run_iir(
-                bank["op"], xw, state.sos_state, iir_prec, time_axis
+                bank["op"], xw, state.sos_state, _iir_precision(cfg), time_axis
             )
             apply_window = False
         mag = iir_fft.spectrum_mag_complex(

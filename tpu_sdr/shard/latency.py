@@ -35,7 +35,7 @@ from tpu_sdr.core.config import FilterMode, PipelineConfig
 from tpu_sdr.kernels import biquad, fft, window
 from tpu_sdr.kernels.biquad import _composite_emit, _composite_frame_terms
 from tpu_sdr.control import golden
-from tpu_sdr.runtime.stream import _MODE_TO_INDEX
+from tpu_sdr.runtime.stream import _MODE_TO_INDEX, _precision
 
 Precision = jax.lax.Precision
 
@@ -137,8 +137,6 @@ class LatencyPipeline:
             return self._jitted[mode_index]
         # Honor the configured quality tier (the sharded FFT accepts any
         # jax.lax.Precision; there is no Pallas kernel on this path).
-        from tpu_sdr.runtime.stream import _precision
-
         prec = _precision(self.cfg)
         op = self.op_fixed if mode_index == 1 else self.op_custom
 
