@@ -249,3 +249,40 @@ def test_roofline_endpoint(server):
     assert rep["chip"] == "v5e" and rep["bound"] in ("compute", "memory")
     assert rep["ceiling_samples_per_sec"] > 1e9
     assert "fft_4step" in rep["stages"]
+
+
+def test_iq_gui_backend_full_baseband():
+    """An IQ source drives the GUI: fftshifted full-baseband display with
+    negative-frequency axis, waterfall rows, correct peak."""
+    backend = GuiBackend(
+        analyzer=SpectrumAnalyzer(PipelineConfig(channels=1)),
+        source=SyntheticSource(
+            tones_hz=((150_000.0, 0.5), (-300_000.0, 0.4)), iq=True, noise=0.003
+        ),
+        display_fps=1000.0,
+    )
+    q = backend.subscribe()
+    backend.start_receiver()
+    try:
+        deadline = time.time() + 60
+        frame = None
+        while time.time() < deadline:
+            try:
+                ev, payload = q.get(timeout=1.0)
+            except Exception:
+                continue
+            if ev == "frame_data":
+                frame = json.loads(payload)
+                break
+        assert frame is not None
+        freqs = np.array(frame["freqs_khz"])
+        assert freqs[0] < -400.0 and freqs[-1] > 400.0  # full baseband axis
+        mags = np.array(frame["magnitude"])
+        # strongest display bucket near +150 kHz; -300 kHz tone visible
+        assert abs(freqs[np.argmax(mags)] - 150.0) < 2.0
+        near_m300 = mags[np.abs(freqs + 300.0) < 3.0].max()
+        floor = np.median(mags)
+        assert near_m300 > 20 * floor
+    finally:
+        backend.unsubscribe(q)
+        backend.stop_receiver()

@@ -212,10 +212,15 @@ class SpectrumAnalyzer:
             mags = np.asarray(out["magnitude"])  # (C, F, N)
             first = self.stats.frames_produced
             self.stats.frames_produced += n_frames
-            half = mags[0, -1][: self.cfg.fft_size // 2]
-            peak = int(np.argmax(half))
+            # real input: peak over the non-redundant half; IQ: full spectrum
+            span = (
+                mags[0, -1]
+                if self._complex_stream
+                else mags[0, -1][: self.cfg.fft_size // 2]
+            )
+            peak = int(np.argmax(span))
             self.stats.last_peak_bin = peak
-            self.stats.last_peak_mag = float(half[peak])
+            self.stats.last_peak_mag = float(span[peak])
             if self.on_spectrum is not None:
                 for f in range(mags.shape[1]):
                     self.on_spectrum(mags[0, f], first + f)

@@ -126,6 +126,7 @@ class GuiBackend:
         chunk = self.frames_per_dispatch * n
         while not self._stop.is_set():
             x = self.source.read(chunk, pace=self.pace)
+            self._iq = bool(np.iscomplexobj(x))
             # snapshot the mode once per iteration: it can be flipped from
             # the HTTP thread between the request and the decode otherwise
             mode = self.display_mode
@@ -156,16 +157,31 @@ class GuiBackend:
     def _emit_frame(self, mag: np.ndarray):
         n = self.sa.cfg.fft_size
         fs = self.sa.cfg.sample_rate
-        half = np.abs(mag[: n // 2]) if self.display_mode in ("real", "imag") else mag[: n // 2]
         lo_khz, hi_khz = self.freq_range_khz
-        lo = int(np.clip(lo_khz * 1000 * n / fs, 0, n // 2 - 1))
-        hi = int(np.clip(hi_khz * 1000 * n / fs, lo + 1, n // 2))
-        window = half[lo:hi]
+        if getattr(self, "_iq", False):
+            # IQ stream: single-sided spectrum is meaningless; show the full
+            # fftshifted baseband (-fs/2..fs/2), freq range applied as +/-.
+            view = np.fft.fftshift(
+                np.abs(mag) if self.display_mode in ("real", "imag") else mag
+            )
+            base = -n // 2  # bin offset of view[0]
+            lo = int(np.clip((n // 2) - hi_khz * 1000 * n / fs, 0, n - 2))
+            hi = int(np.clip((n // 2) + hi_khz * 1000 * n / fs, lo + 1, n))
+        else:
+            view = (
+                np.abs(mag[: n // 2])
+                if self.display_mode in ("real", "imag")
+                else mag[: n // 2]
+            )
+            base = 0
+            lo = int(np.clip(lo_khz * 1000 * n / fs, 0, n // 2 - 1))
+            hi = int(np.clip(hi_khz * 1000 * n / fs, lo + 1, n // 2))
+        window = view[lo:hi]
         # Peak-preserving decimation for display (max-pool buckets).
         pts = min(self.display_points, hi - lo)
         edges = np.linspace(0, hi - lo, pts + 1).astype(int)
         dec = np.maximum.reduceat(window, edges[:-1])
-        freqs_khz = (lo + edges[:-1] * 1.0) * fs / n / 1000.0
+        freqs_khz = (base + lo + edges[:-1] * 1.0) * fs / n / 1000.0
         peak = int(np.argmax(window))
         # one _fps_window stamp per dispatch; each dispatch carries
         # frames_per_dispatch frames
@@ -175,8 +191,8 @@ class GuiBackend:
             {
                 "freqs_khz": np.round(freqs_khz, 3).tolist(),
                 "magnitude": np.round(dec.astype(np.float64), 4).tolist(),
-                "peak_bin": lo + peak,
-                "peak_freq_khz": (lo + peak) * fs / n / 1000.0,
+                "peak_bin": (base + lo + peak) % n,
+                "peak_freq_khz": (base + lo + peak) * fs / n / 1000.0,
                 "peak_mag": float(window[peak]),
                 "frames_received": self.sa.stats.frames_produced,
                 "incoming_fps": round(self.sa.stats.frames_produced and incoming_fps, 2),
@@ -188,7 +204,10 @@ class GuiBackend:
 
     def _emit_waterfall_row(self, mag: np.ndarray):
         n = self.sa.cfg.fft_size
-        half = mag[: n // 2]
+        if getattr(self, "_iq", False):
+            half = np.fft.fftshift(mag)  # full baseband for IQ
+        else:
+            half = mag[: n // 2]
         pts = self.waterfall.points
         edges = np.linspace(0, half.shape[0], pts + 1).astype(int)
         dec = np.maximum.reduceat(half, edges[:-1])

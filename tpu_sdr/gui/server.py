@@ -175,8 +175,21 @@ def serve(
 if __name__ == "__main__":
     import sys
 
-    port = int(sys.argv[1]) if len(sys.argv) > 1 else 5000
-    print(f"tpu_sdr GUI on http://localhost:{port}")
+    args = sys.argv[1:]
+    iq = "iq" in args
+    args = [a for a in args if a != "iq"]
+    port = int(args[0]) if args else 5000
+    print(f"tpu_sdr GUI on http://localhost:{port}" + (" (IQ source)" if iq else ""))
     # Demo: pace the synthetic source to its nominal 1 MSPS (the unpaced
     # path exists for throughput benchmarking; a demo shouldn't spin a core).
-    serve(GuiBackend(pace=True), port=port)
+    backend = GuiBackend(pace=True)
+    if iq:
+        # complex baseband demo: tones above AND below DC
+        from tpu_sdr.runtime.source import SyntheticSource
+
+        backend.source = SyntheticSource(
+            tones_hz=((150_000.0, 0.5), (-300_000.0, 0.25)),
+            noise=0.01,
+            iq=True,
+        )
+    serve(backend, port=port)

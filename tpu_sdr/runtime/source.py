@@ -35,32 +35,54 @@ class SyntheticSource:
         channels: int = 1,
         adc_bits: int | None = 12,
         seed: int = 0,
+        iq: bool = False,
     ):
+        """``iq=True``: complex baseband output — tones become complex
+        exponentials with SIGNED frequencies (negative = below DC), noise
+        is circularly symmetric, output dtype complex64."""
         self.tones = list(tones_hz)
         self.fs = fs
         self.noise = noise
         self.channels = channels
         self.adc_bits = adc_bits
+        self.iq = iq
         self.rng = np.random.default_rng(seed)
         self.n = 0  # absolute sample index (phase continuity)
 
     def set_tones(self, tones_hz: Sequence[tuple[float, float]]):
         self.tones = list(tones_hz)
 
+    def _quantize(self, x: np.ndarray) -> np.ndarray:
+        # Emulate the ADC: clip to [-1,1), quantize to adc_bits levels
+        # (the XADC's 12-bit window, sign-extended — qformat.adc12_to_q16).
+        full = 1 << (self.adc_bits - 1)
+        return np.clip(np.rint(x * full), -full, full - 1) / full
+
     def read(self, n_samples: int, pace: bool = False) -> np.ndarray:
         t = (self.n + np.arange(n_samples)) / self.fs
-        x = np.zeros(n_samples, dtype=np.float64)
-        for f, a in self.tones:
-            x += a * np.sin(2 * np.pi * f * t)
-        if self.noise > 0:
-            x = x + self.noise * self.rng.standard_normal(n_samples)
+        if self.iq:
+            x = np.zeros(n_samples, dtype=np.complex128)
+            for f, a in self.tones:
+                x += a * np.exp(2j * np.pi * f * t)
+            if self.noise > 0:
+                x = x + self.noise * (
+                    self.rng.standard_normal(n_samples)
+                    + 1j * self.rng.standard_normal(n_samples)
+                ) / np.sqrt(2)
+        else:
+            x = np.zeros(n_samples, dtype=np.float64)
+            for f, a in self.tones:
+                x += a * np.sin(2 * np.pi * f * t)
+            if self.noise > 0:
+                x = x + self.noise * self.rng.standard_normal(n_samples)
         self.n += n_samples
         if self.adc_bits is not None:
-            # Emulate the ADC: clip to [-1,1), quantize to adc_bits levels
-            # (the XADC's 12-bit window, sign-extended — qformat.adc12_to_q16).
-            full = 1 << (self.adc_bits - 1)
-            x = np.clip(np.rint(x * full), -full, full - 1) / full
-        out = np.broadcast_to(x.astype(np.float32), (self.channels, n_samples))
+            if self.iq:
+                x = self._quantize(x.real) + 1j * self._quantize(x.imag)
+            else:
+                x = self._quantize(x)
+        dtype = np.complex64 if self.iq else np.float32
+        out = np.broadcast_to(x.astype(dtype), (self.channels, n_samples))
         if pace:
             time.sleep(n_samples / self.fs)
         return np.ascontiguousarray(out)
