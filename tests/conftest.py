@@ -9,12 +9,18 @@ tests still run on CPU because of the env below; run pytest with
 
 import os
 
-os.environ["JAX_PLATFORMS"] = "cpu"
-flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=8"
-    ).strip()
+# Opt-in real-TPU run (tests/test_tpu_compiled.py): TPU_SDR_TPU_TESTS=1
+# skips the CPU forcing below. Everything else then still passes — the
+# sharding tests need >=2 devices and self-skip on a single chip.
+_USE_TPU = os.environ.get("TPU_SDR_TPU_TESTS") == "1"
+
+if not _USE_TPU:
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    flags = os.environ.get("XLA_FLAGS", "")
+    if "xla_force_host_platform_device_count" not in flags:
+        os.environ["XLA_FLAGS"] = (
+            flags + " --xla_force_host_platform_device_count=8"
+        ).strip()
 
 # The axon sitecustomize (ambient PYTHONPATH) registers the TPU platform at
 # interpreter startup and pins jax_platforms before this file runs; the env
@@ -22,7 +28,8 @@ if "xla_force_host_platform_device_count" not in flags:
 # has been initialized, so force CPU explicitly too.
 import jax  # noqa: E402
 
-jax.config.update("jax_platforms", "cpu")
+if not _USE_TPU:
+    jax.config.update("jax_platforms", "cpu")
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
