@@ -211,3 +211,13 @@ def test_hop_time_sharded_equals_single():
     assert np.array_equal(np.array(st_s.sos_state), np.array(st_1.sos_state))
     assert np.array_equal(np.array(st_s.history), np.array(st_1.history))
     assert int(st_s.frame_count) == int(st_1.frame_count)
+
+
+def test_phase_output_sharded():
+    mesh = make_sdr_mesh(channel=2, time=4)
+    sh = ShardedSpectrumPipeline(PipelineConfig(channels=2), mesh)
+    single = SpectrumPipeline(PipelineConfig(channels=2))
+    x = _mk_input(2, 8, seed=44)
+    out_s, _ = sh.process(x, _state(2), FilterMode.BYPASS, outputs="phase")
+    out_1, _ = single.process(x, _state(2), FilterMode.BYPASS, outputs="phase")
+    assert np.array_equal(np.array(out_s["phase"]), np.array(out_1["phase"]))

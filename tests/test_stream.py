@@ -168,3 +168,23 @@ def test_rtl_faithful_window_mode():
     mag = np.array(out["magnitude"])[0, 0]
     mask = ref > ref.max() * 1e-3
     assert np.abs(_db(mag[mask]) - _db(ref[mask])).max() < 1.0
+
+
+def test_phase_output_matches_numpy(pipe):
+    """BASELINE metric names 'FFT magnitude/phase output': outputs='phase'."""
+    rng = np.random.default_rng(33)
+    x = rng.standard_normal(16384).astype(np.float32)
+    out, _ = pipe.process(x, pipe.initial_state(), FilterMode.BYPASS,
+                          outputs="all")
+    assert set(out) == {"magnitude", "re", "im", "phase"}
+    ref = np.fft.fft(x.astype(np.float64) * np.hanning(16384))
+    got = np.asarray(out["phase"])[0, 0]
+    # compare where the magnitude is meaningful (phase of ~0 bins is noise)
+    mask = np.abs(ref) > np.abs(ref).max() * 1e-3
+    dphi = np.angle(np.exp(1j * (got[mask] - np.angle(ref)[mask])))
+    assert np.abs(dphi).max() < 1e-2
+
+    out2, _ = pipe.process(x, pipe.initial_state(), FilterMode.BYPASS,
+                           outputs="phase")
+    assert set(out2) == {"phase"}
+    assert np.array_equal(np.asarray(out2["phase"]), np.asarray(out["phase"]))

@@ -219,6 +219,8 @@ def process_stream(
             out["re"], out["im"] = fr, fi
         if outputs == "power":
             out["power"] = magnitude.power(fr, fi)
+        if outputs in ("phase", "all"):
+            out["phase"] = magnitude.phase(fr, fi)
 
     new_state = StreamState(
         sos_state=zf,
@@ -320,6 +322,8 @@ def _process_stream_hop(
             out["re"], out["im"] = fr, fi
         if outputs == "power":
             out["power"] = magnitude.power(fr, fi)
+        if outputs in ("phase", "all"):
+            out["phase"] = magnitude.phase(fr, fi)
 
     new_state = StreamState(
         sos_state=zf,
@@ -420,6 +424,8 @@ def process_stream_complex(
         res["re"], res["im"] = fr, fi
     if outputs == "power":
         res["power"] = magnitude.power(fr, fi)
+    if outputs in ("phase", "all"):
+        res["phase"] = magnitude.phase(fr, fi)
     # Counters are scalars derived from T, so the stacked planes advance the
     # global stream exactly once — new_state is already correct.
     return res, new_state

@@ -114,15 +114,13 @@ class ShardedSpectrumPipeline:
                 else None
             ),
         )
+        sp = P("channel", "time", None)
         out_specs_map = {
-            "magnitude": {"magnitude": P("channel", "time", None)},
-            "power": {"power": P("channel", "time", None)},
-            "complex": {"re": P("channel", "time", None), "im": P("channel", "time", None)},
-            "all": {
-                "magnitude": P("channel", "time", None),
-                "re": P("channel", "time", None),
-                "im": P("channel", "time", None),
-            },
+            "magnitude": {"magnitude": sp},
+            "power": {"power": sp},
+            "phase": {"phase": sp},
+            "complex": {"re": sp, "im": sp},
+            "all": {"magnitude": sp, "re": sp, "im": sp, "phase": sp},
         }[outputs]
 
         # With a single time shard there is nothing to exchange; skip the
