@@ -151,3 +151,30 @@ def test_iq_through_analyzer_facade():
     assert sa2.process(iq) is not None
     with pytest.raises(ValueError, match="reset"):
         sa2.process(np.zeros(N, np.float32))
+
+
+def test_iq_with_hop_and_time_sharding():
+    """IQ + overlapped framing + time sharding compose: bit-identical to the
+    single-device IQ hop run, including carried history."""
+    from tpu_sdr.shard import ShardedSpectrumPipeline, make_sdr_mesh
+
+    cfg = PipelineConfig(channels=1, hop=8192)
+    sh = ShardedSpectrumPipeline(cfg, make_sdr_mesh(channel=1, time=4))
+    single = SpectrumPipeline(cfg)
+    sos = sps.butter(12, 0.3, output="sos")
+    sh.upload_sos(sos)
+    single.upload_sos(sos)
+    rng = np.random.default_rng(50)
+    x = (
+        rng.standard_normal((1, 8 * N)) + 1j * rng.standard_normal((1, 8 * N))
+    ).astype(np.complex64)
+    st_s = sh.initial_state(batch_shape=(2,))
+    st_1 = single.initial_state(batch_shape=(2,))
+    for chunk in np.split(x, 2, axis=-1):
+        out_s, st_s = sh.process(chunk, st_s, FilterMode.CUSTOM)
+        out_1, st_1 = single.process(chunk, st_1, FilterMode.CUSTOM)
+        assert np.array_equal(
+            np.array(out_s["magnitude"]), np.array(out_1["magnitude"])
+        )
+    assert np.array_equal(np.array(st_s.history), np.array(st_1.history))
+    assert int(st_s.frame_count) == int(st_1.frame_count) == 16
