@@ -180,3 +180,31 @@ def test_uart_overflow_trim_preserves_alignment():
         assert fr in (f1, f2, f3, f4)
     frames += rx.push(f4[FRAME_SIZE_BYTES // 2 :])
     assert frames and frames[-1] == f4
+
+
+class TestFeederIQ:
+    def test_feeder_preserves_iq_planes(self):
+        """Regression: the feeder cast complex chunks to float32, silently
+        dropping the Q plane. It must stage (2, C, T) float planes that the
+        complex pipeline consumes via process_planes."""
+        from tpu_sdr.runtime.feeder import StreamFeeder
+        from tpu_sdr.runtime.source import SyntheticSource
+        from tpu_sdr import PipelineConfig, FilterMode
+        from tpu_sdr.runtime import SpectrumPipeline
+
+        n = 16384
+        src = SyntheticSource(tones_hz=((-250e3, 0.5),), iq=True, noise=0.0)
+        f = StreamFeeder(src, chunk_samples=n, depth=2).start()
+        try:
+            chunk = f.get()
+        finally:
+            f.stop() if hasattr(f, "stop") else f._stop.set()
+        assert chunk.shape == (2, 1, n) and chunk.dtype == np.float32
+        assert float(abs(np.asarray(chunk[1])).max()) > 0.1, "Q plane lost"
+        pipe = SpectrumPipeline(PipelineConfig(channels=1))
+        out, _ = pipe.process_planes(
+            chunk, pipe.initial_state(batch_shape=(2,)), FilterMode.BYPASS
+        )
+        mag = np.asarray(out["magnitude"])[0, 0]
+        k = round(250e3 * n / 1e6)
+        assert np.argmax(mag) == n - k  # negative-frequency tone survives

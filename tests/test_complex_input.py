@@ -81,7 +81,7 @@ def test_iq_complex_outputs_and_state_validation(pipe):
     with pytest.raises(ValueError, match="initial_state"):
         pipe.process(x, pipe.initial_state(), FilterMode.BYPASS)
     out, _ = pipe.process(x, _cstate(pipe), FilterMode.BYPASS, outputs="all")
-    assert set(out) == {"magnitude", "re", "im", "phase"}
+    assert set(out) == {"magnitude", "re", "im", "phase", "power"}
 
 
 def test_iq_sharded_config4_shape():

@@ -137,3 +137,32 @@ def test_sharded_channel_bank():
         PipelineConfig(channels=2), make_sdr_mesh(channel=2, time=4)
     )
     sh2.upload_sos_bank([sps.butter(4, 0.2, output="sos")] * 2)
+
+
+def test_bank_single_frame_chunks_bit_identical():
+    """Regression: the banked cascade needs the same single-frame GEMV guard
+    as the shared path (C=1 bank, 1-frame chunks used to diverge bitwise)."""
+    C = 1
+    pipe = SpectrumPipeline(PipelineConfig(channels=C))
+    pipe.upload_sos_bank([sps.butter(12, 0.3, output="sos")])
+    rng = np.random.default_rng(60)
+    x = rng.standard_normal((C, 4 * 16384)).astype(np.float32)
+    whole, st_w = pipe.process(x, _state(C), FilterMode.CUSTOM)
+    mw = np.array(whole["magnitude"])
+    st = _state(C)
+    mags = []
+    for chunk in np.split(x, 4, axis=-1):
+        out, st = pipe.process(chunk, st, FilterMode.CUSTOM)
+        mags.append(np.array(out["magnitude"]))
+    assert np.array_equal(np.concatenate(mags, axis=1), mw)
+    assert np.array_equal(np.array(st.sos_state), np.array(st_w.sos_state))
+
+
+def test_upload_rejects_a0_zero():
+    """Regression: np.roots strips a leading zero, so a0==0 sections used to
+    pass stability validation and stream NaN spectra."""
+    pipe = SpectrumPipeline(PipelineConfig(channels=1))
+    with pytest.raises(ValueError, match="a0"):
+        pipe.upload_sos(np.array([[1.0, 0, 0, 0.0, 1.0, 0.25]]))
+    with pytest.raises(ValueError, match="a0"):
+        pipe.upload_sos_bank([np.array([[1.0, 0, 0, 0.0, 1.0, 0.25]])])

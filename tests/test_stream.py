@@ -176,7 +176,7 @@ def test_phase_output_matches_numpy(pipe):
     x = rng.standard_normal(16384).astype(np.float32)
     out, _ = pipe.process(x, pipe.initial_state(), FilterMode.BYPASS,
                           outputs="all")
-    assert set(out) == {"magnitude", "re", "im", "phase"}
+    assert set(out) == {"magnitude", "re", "im", "phase", "power"}
     ref = np.fft.fft(x.astype(np.float64) * np.hanning(16384))
     got = np.asarray(out["phase"])[0, 0]
     # compare where the magnitude is meaningful (phase of ~0 bins is noise)

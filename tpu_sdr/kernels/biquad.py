@@ -476,6 +476,34 @@ def precompute_composite_bank(
     )
 
 
+def _bank_frame_terms(op: BlockedSOSComposite, v, precision):
+    """Per-frame parallel work of the banked cascade.
+
+    v: (..., C, F, B, L) -> (y_zs (..., C, F, B, L), zhat (..., C, F, B, m)).
+    Applies the same canonical-math guard as ``_composite_frame_terms``:
+    a single-frame dispatch flattens each channel's zhat contraction to an
+    M=1 GEMV whose accumulation order differs from the batched GEMM
+    (bitwise divergence, breaking chunked==one-shot); duplicate the frame
+    axis for that shape and slice the copy away.
+    """
+    lead = v.shape[:-4]
+    C, F, B, L = v.shape[-4:]
+    m = op.M.shape[-1]
+    if int(np.prod(lead, dtype=np.int64)) * F == 1:
+        vv = jnp.concatenate([v, v], axis=-3)
+        y_zs, zhat = _bank_frame_terms(op, vv, precision)
+        return y_zs[..., :1, :, :], zhat[..., :1, :, :]
+    y_zs = jnp.einsum("...cfbl,cnl->...cfbn", v, op.T, precision=precision)
+    f = jnp.einsum("...cfbl,cml->...cfbm", v, op.P, precision=precision)
+    zhat = jnp.einsum(
+        "...cfi,cji->...cfj",
+        f.reshape(*lead, C, F, B * m),
+        op.W,
+        precision=precision,
+    ).reshape(*lead, C, F, B, m)
+    return y_zs, zhat
+
+
 def sosfilt_blocked_composite_bank(
     op: BlockedSOSComposite,
     x: jnp.ndarray,
@@ -504,14 +532,7 @@ def sosfilt_blocked_composite_bank(
     z0 = zi.reshape(*lead, C, m)
     frame_ax = len(lead) + 1
 
-    y_zs = jnp.einsum("...cfbl,cnl->...cfbn", v, op.T, precision=precision)
-    f = jnp.einsum("...cfbl,cml->...cfbm", v, op.P, precision=precision)
-    zhat = jnp.einsum(
-        "...cfi,cji->...cfj",
-        f.reshape(*lead, C, F, B * m),
-        op.W,
-        precision=precision,
-    ).reshape(*lead, C, F, B, m)
+    y_zs, zhat = _bank_frame_terms(op, v, precision)
 
     def step(z, w):
         return jnp.sum(op.ALB * z[..., None, :], axis=-1) + w, z

@@ -100,6 +100,14 @@ def build_plan(
     frame_blocks: int = 128,
     dtype=jnp.float32,
 ) -> PallasSOSPlan:
+    if block != 128 or frame_blocks != 128:
+        # The kernels hard-code the 128x128 geometry (LOG2B doublings, the
+        # frame scatter/gather, lane tiling); other factorizations take the
+        # XLA path (see stream.py's pallas_ok gate).
+        raise ValueError(
+            f"Pallas plan requires block=frame_blocks=128, got "
+            f"{block}x{frame_blocks}"
+        )
     A, Bv, C, D = biquad.sos_to_composite_statespace(sos)
     m = A.shape[0]
     L = block
@@ -539,15 +547,6 @@ def spectrum_from_state(
     return out.reshape(F, n)
 
 
-def frame_chain(w_frames: jnp.ndarray, z0: jnp.ndarray, ALB: jnp.ndarray):
-    """The XLA glue: z_{f+1} = ALB z_f + w_f. w_frames (F, m), z0 (m,).
-
-    Returns (z_starts (F, m), z_final (m,)). Replicated identically on every
-    device in the sharded path (bit-consistency).
-    """
-
-    def step(z, w):
-        return jnp.sum(ALB * z[..., None, :], axis=-1) + w, z
-
-    z_final, z_starts = jax.lax.scan(step, z0, w_frames)
-    return z_starts, z_final
+# (The XLA frame-chain glue z_{f+1} = ALB z_f + w_f lives inline in
+# runtime/stream.py's fused-two-pass branch, where it handles lead dims and
+# the time-sharded gather/slice.)

@@ -10,7 +10,8 @@ zero extra HBM passes.
 Streaming semantics: the RTL window address counter runs over the continuous
 sample stream mod N (``src/hann8192.vhd:41-44``), so with frame-aligned blocks
 (hop == N, the reference configuration) the phase at each frame start is 0.
-``apply_window_stream`` supports a nonzero carried phase for hop != N.
+The carried ``window_phase`` counter is observability state (the RTL ROM
+address counter analog); frame-aligned dispatch keeps windowing phase-free.
 """
 
 from __future__ import annotations
@@ -47,18 +48,6 @@ def hann_q16_rom(n: int) -> jnp.ndarray:
 def apply_window(frames: jnp.ndarray, w: jnp.ndarray) -> jnp.ndarray:
     """frames (..., N) * w (N,) — the whole window 'kernel'."""
     return frames * w
-
-
-def apply_window_stream(x: jnp.ndarray, w: jnp.ndarray, phase: jnp.ndarray):
-    """Window a flat sample stream (..., T) with a carried mod-N phase.
-
-    Returns (windowed, new_phase). T must be a multiple of N only when
-    hop == N; otherwise the gather below handles any T.
-    """
-    n = w.shape[0]
-    t = x.shape[-1]
-    idx = (phase + jnp.arange(t)) % n
-    return x * w[idx], (phase + t) % n
 
 
 def window_q15(frames_q15: jnp.ndarray, rom_q16: jnp.ndarray) -> jnp.ndarray:

@@ -18,6 +18,12 @@ def validate_stable(sos: np.ndarray, label: str = "SOS"):
     operator raises A to the 128th power, which overflows for unstable poles.
     """
     for i, sec in enumerate(np.atleast_2d(sos)):
+        if sec[3] == 0.0:
+            # np.roots would strip the leading zero and silently pass a
+            # section whose a0 normalization divides by zero downstream
+            raise ValueError(
+                f"{label} section {i} has a0 == 0; refusing upload"
+            )
         poles = np.roots(sec[3:6])
         if np.any(np.abs(poles) >= 1.0):
             raise ValueError(

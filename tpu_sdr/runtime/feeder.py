@@ -14,6 +14,11 @@ drop policy belongs to the display edge, not the signal path.
     for _ in range(n):
         x = feeder.get()              # device-resident, already transferred
         out, state = pipe.process(x, state, mode)
+
+Complex (IQ) sources are split into re/im planes on the host (shape
+(2, ..., T) float32); consume those chunks with
+``pipe.process_planes(x, state, mode)`` — the device-array fast path of
+the complex pipeline.
 """
 
 from __future__ import annotations
@@ -22,7 +27,6 @@ import queue
 import threading
 
 import jax
-import jax.numpy as jnp
 
 
 class StreamFeeder:
@@ -51,14 +55,27 @@ class StreamFeeder:
         return self
 
     def _run(self):
+        import numpy as np
+
         try:
             while not self._stop.is_set():
                 x = self.source.read(self.chunk_samples, pace=self.pace)
-                arr = jnp.asarray(x, jnp.float32)
-                if self.sharding is not None:
-                    arr = jax.device_put(arr, self.sharding)
+                if np.iscomplexobj(x):
+                    # IQ source: split re/im on the HOST (TPU backends may not
+                    # implement complex dtypes) into the (2, ..., T) stacked
+                    # layout the complex pipeline consumes — never silently
+                    # drop the Q plane.
+                    host = np.stack(
+                        [np.asarray(x).real, np.asarray(x).imag], axis=0
+                    ).astype(np.float32)
                 else:
-                    arr = jax.device_put(arr)
+                    host = np.asarray(x, np.float32)
+                # device_put straight from host memory (no intermediate
+                # default-device staging copy)
+                if self.sharding is not None:
+                    arr = jax.device_put(host, self.sharding)
+                else:
+                    arr = jax.device_put(host)
                 # block (backpressure) until the consumer frees a slot
                 while not self._stop.is_set():
                     try:

@@ -217,7 +217,7 @@ def process_stream(
             out["magnitude"] = magnitude.magnitude(fr, fi)
         if outputs in ("complex", "all"):
             out["re"], out["im"] = fr, fi
-        if outputs == "power":
+        if outputs in ("power", "all"):
             out["power"] = magnitude.power(fr, fi)
         if outputs in ("phase", "all"):
             out["phase"] = magnitude.phase(fr, fi)
@@ -320,7 +320,7 @@ def _process_stream_hop(
             out["magnitude"] = magnitude.magnitude(fr, fi)
         if outputs in ("complex", "all"):
             out["re"], out["im"] = fr, fi
-        if outputs == "power":
+        if outputs in ("power", "all"):
             out["power"] = magnitude.power(fr, fi)
         if outputs in ("phase", "all"):
             out["phase"] = magnitude.phase(fr, fi)
@@ -422,7 +422,7 @@ def process_stream_complex(
         res["magnitude"] = magnitude.magnitude(fr, fi)
     if outputs in ("complex", "all"):
         res["re"], res["im"] = fr, fi
-    if outputs == "power":
+    if outputs in ("power", "all"):
         res["power"] = magnitude.power(fr, fi)
     if outputs in ("phase", "all"):
         res["phase"] = magnitude.phase(fr, fi)
@@ -555,4 +555,32 @@ class SpectrumPipeline:
         )
         return fn(
             x, state, self.bank_fixed, self.bank_custom, self.hann_w, self.plan
+        )
+
+    def process_planes(
+        self,
+        xs,
+        state: StreamState,
+        mode: FilterMode = FilterMode.BYPASS,
+        outputs: str = "magnitude",
+    ):
+        """Complex (IQ) fast path for PRE-SPLIT re/im planes.
+
+        xs: (2, ..., channels, T) float32 — e.g. a device-resident chunk
+        from ``StreamFeeder`` over an IQ source, or host arrays split once
+        and reused. Skips the per-call host split of ``process``.
+        """
+        if xs.shape[0] != 2:
+            raise ValueError(
+                f"xs must stack re/im as a leading 2-axis, got {xs.shape}"
+            )
+        if state.sos_state.shape[:1] != (2,):
+            raise ValueError(
+                "plane-stacked input needs the re/im-stacked state: create "
+                "it with initial_state(batch_shape=(2,))"
+            )
+        fn = self._fn(_MODE_TO_INDEX[FilterMode(mode)], outputs, True)
+        return fn(
+            xs, state, self.bank_fixed, self.bank_custom, self.hann_w,
+            self.plan,
         )

@@ -120,7 +120,7 @@ class ShardedSpectrumPipeline:
             "power": {"power": sp},
             "phase": {"phase": sp},
             "complex": {"re": sp, "im": sp},
-            "all": {"magnitude": sp, "re": sp, "im": sp, "phase": sp},
+            "all": {"magnitude": sp, "re": sp, "im": sp, "phase": sp, "power": sp},
         }[outputs]
 
         # With a single time shard there is nothing to exchange; skip the
