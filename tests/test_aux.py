@@ -208,3 +208,14 @@ class TestFeederIQ:
         mag = np.asarray(out["magnitude"])[0, 0]
         k = round(250e3 * n / 1e6)
         assert np.argmax(mag) == n - k  # negative-frequency tone survives
+
+
+def test_roofline_ceiling_accounts_for_hop():
+    from tpu_sdr.bench.roofline import roofline_report
+    from tpu_sdr import PipelineConfig
+
+    full = roofline_report(PipelineConfig())
+    half = roofline_report(PipelineConfig(hop=8192))
+    assert half["ceiling_samples_per_sec"] == pytest.approx(
+        full["ceiling_samples_per_sec"] / 2, rel=1e-6
+    )

@@ -156,3 +156,42 @@ def test_analyzer_checkpoint_resume():
     assert np.array_equal(
         np.asarray(out_direct["magnitude"]), np.asarray(out_resumed["magnitude"])
     )
+
+
+def test_rejected_upload_does_not_abort_wire_buffer():
+    """An unstable coefficient upload in the same write as 0x55 must not
+    swallow the START (the FPGA accepts any 12 bytes; we record the
+    rejection and keep decoding)."""
+    sa = SpectrumAnalyzer(PipelineConfig(channels=1))
+    # A1=127 (a1 ~ 1.98 with a2 ~ 1.98) -> poles outside the unit circle
+    bad12 = bytes([64, 0, 0, 64, 127, 127, 64, 0, 0, 64, 0, 0])
+    sa.handle_bytes(bytes([0xF1]) + bad12 + bytes([0x55]))
+    assert sa.running, "START after a rejected upload was dropped"
+    assert sa.stats.uploads_rejected == 1
+    assert "unstable" in (sa.last_upload_error or "")
+    # the custom bank is untouched (still identity / previous coefficients)
+    assert sa.custom_sos is None
+
+
+def test_bank_checkpoint_roundtrip(tmp_path):
+    """Regression: a bank-configured analyzer's checkpoint was unrestorable
+    (restore always dispatched to the single-cascade upload)."""
+    import scipy.signal as sps
+
+    C = 2
+    sa = SpectrumAnalyzer(PipelineConfig(channels=C))
+    sa.start()
+    bank = [sps.butter(8, 0.15, output="sos"), sps.butter(8, 0.45, output="sos")]
+    sa.upload_filter_bank(bank)
+    sa.set_filter_mode(FilterMode.CUSTOM)
+    x = np.random.default_rng(0).standard_normal((C, 16384)).astype(np.float32)
+    sa.process(x)
+    ck = sa.checkpoint()
+
+    sa2 = SpectrumAnalyzer(PipelineConfig(channels=C))
+    sa2.restore(ck)
+    assert sa2.custom_sos is not None and sa2.custom_sos.ndim == 3
+    # counters continue (frame indices must not repeat after resume)
+    assert sa2.stats.frames_produced == sa.stats.frames_produced
+    out = sa2.process(x)
+    assert np.isfinite(np.asarray(out["magnitude"])).all()

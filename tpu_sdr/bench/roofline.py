@@ -78,7 +78,9 @@ def roofline_report(
     t_compute = flops / (tflops * 1e12)
     t_memory = hbm / (spec["hbm_gbs"] * 1e9)
     bound = "compute" if t_compute > t_memory else "memory"
-    ceiling_sps = n / max(t_compute, t_memory)
+    # Ingest ceiling: a frame of compute advances the stream by hop samples
+    # (== n for the non-overlapped default; < n for STFT configs).
+    ceiling_sps = cfg.effective_hop / max(t_compute, t_memory)
     report = {
         "chip": chip,
         "dtype": cfg.dtype,

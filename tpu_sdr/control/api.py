@@ -30,6 +30,7 @@ class AnalyzerStats:
     samples_consumed: int = 0
     commands_handled: int = 0
     coefficient_uploads: int = 0
+    uploads_rejected: int = 0
     resets: int = 0
     last_peak_bin: int = -1
     last_peak_mag: float = 0.0
@@ -39,11 +40,17 @@ class AnalyzerStats:
         return dataclasses.asdict(self)
 
     def reset(self):
-        """Zero the counters (GUI 'reset_plot'; the analyzer keeps running)."""
+        """Zero the counters (GUI 'reset_plot'; the analyzer keeps running).
+
+        Re-anchors ``started_at`` so rate estimates (samples/elapsed, e.g.
+        the roofline endpoint) stay consistent with the zeroed counters.
+        """
         self.frames_produced = 0
         self.samples_consumed = 0
         self.last_peak_bin = -1
         self.last_peak_mag = 0.0
+        if self.started_at is not None:
+            self.started_at = time.time()
 
 
 class SpectrumAnalyzer:
@@ -88,6 +95,7 @@ class SpectrumAnalyzer:
         self._complex_stream: bool | None = None
         self.stats = AnalyzerStats()
         self.custom_sos: np.ndarray | None = None
+        self.last_upload_error: str | None = None
         # host edge: called with (magnitude_frame (N,), frame_index) per frame
         self.on_spectrum = on_spectrum
 
@@ -135,8 +143,14 @@ class SpectrumAnalyzer:
     def upload_filter_bank(self, sos_bank: np.ndarray):
         """Per-channel coefficient reload (channels, sections, 6) — the
         multi-channel filter bank (BASELINE config 3)."""
+        from tpu_sdr.runtime import banks
+
         self.pipe.upload_sos_bank(sos_bank)
-        self.custom_sos = np.asarray(sos_bank, np.float64)
+        # store the PADDED (C, S, 6) bank: checkpointable even when the
+        # input was a ragged list of per-channel designs
+        self.custom_sos = banks.prepare_bank(
+            sos_bank, self.cfg.channels, self.cfg.n_sections
+        ).astype(np.float64)
         self.stats.coefficient_uploads += 1
 
     # ------------------------------------------------------------------
@@ -144,10 +158,22 @@ class SpectrumAnalyzer:
     # ------------------------------------------------------------------
 
     def handle_bytes(self, data: bytes) -> list[DecodedEvent]:
-        """Feed raw command bytes (the UART RX path)."""
+        """Feed raw command bytes (the UART RX path).
+
+        A rejected coefficient upload (unstable poles) must not abort the
+        buffer: the FPGA this protocol mirrors accepts any 12 bytes, so the
+        rejection is recorded (``stats.uploads_rejected`` /
+        ``last_upload_error``) and the remaining commands still apply.
+        """
         events = self.decoder.feed(data)
         for ev in events:
-            self._apply_event(ev)
+            try:
+                self._apply_event(ev)
+            except ValueError as e:
+                if ev.kind != "coefficients":
+                    raise
+                self.last_upload_error = str(e)
+                self.stats.uploads_rejected += 1
         return events
 
     def _apply_event(self, ev: DecodedEvent):
@@ -241,6 +267,10 @@ class SpectrumAnalyzer:
             "custom_sos": None
             if self.custom_sos is None
             else self.custom_sos.tolist(),
+            # a (C, S, 6) bank restores via upload_filter_bank
+            "custom_is_bank": (
+                self.custom_sos is not None and self.custom_sos.ndim == 3
+            ),
             "stats": self.stats.as_dict(),
         }
 
@@ -252,4 +282,14 @@ class SpectrumAnalyzer:
         self.comm_mode = CommMode(ckpt["comm_mode"])
         self.running = bool(ckpt["running"])
         if ckpt.get("custom_sos") is not None:
-            self.upload_filter(np.asarray(ckpt["custom_sos"]))
+            sos = np.asarray(ckpt["custom_sos"])
+            if ckpt.get("custom_is_bank", sos.ndim == 3):
+                self.upload_filter_bank(sos)
+            else:
+                self.upload_filter(sos)
+        # continue the counters (frame indices must not repeat after resume)
+        saved = ckpt.get("stats")
+        if saved:
+            for k, v in saved.items():
+                if hasattr(self.stats, k):
+                    setattr(self.stats, k, v)

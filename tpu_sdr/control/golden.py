@@ -158,6 +158,13 @@ def sosfilt_q15_intended(
     Returns (y_q15, zf) with zf int64 state (pre-shift accumulators).
     """
     sos = np.asarray(sos_x64, dtype=np.int64)
+    if np.any(sos[:, 3] != qf.COEFF_SCALE):
+        # The >>6 below IS the /a0 for a0 == 64; any other a0 would need a
+        # per-section divide this fixed-point contract does not define.
+        raise ValueError(
+            "sosfilt_q15_intended is defined for normalized sections "
+            f"(a0 == {qf.COEFF_SCALE}); got a0 = {sos[:, 3].tolist()}"
+        )
     n_sections = sos.shape[0]
     x = np.asarray(x_q15, dtype=np.int64)
     if zi is None:

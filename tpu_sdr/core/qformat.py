@@ -31,10 +31,16 @@ INT16_MIN, INT16_MAX = -(1 << 15), (1 << 15) - 1
 INT8_MIN, INT8_MAX = -128, 127
 
 
+def _round_half_away(x: np.ndarray) -> np.ndarray:
+    """Round-half-away-from-zero (floor(x+0.5) would round negative ties UP,
+    disagreeing with ``rshift_round_half_away`` by 1 LSB on ties)."""
+    return np.sign(x) * np.floor(np.abs(x) + 0.5)
+
+
 def to_q15(x, clip: bool = True):
     """float in [-1, 1) -> int16 Q15 with round-half-away-from-zero."""
     x = np.asarray(x, dtype=np.float64)
-    q = np.floor(x * Q15_SCALE + 0.5).astype(np.int64)
+    q = _round_half_away(x * Q15_SCALE).astype(np.int64)
     if clip:
         q = np.clip(q, INT16_MIN, INT16_MAX)
     return q.astype(np.int16)
@@ -78,7 +84,9 @@ def quantize_coeff_x64(c):
     for designed filters.
     """
     c = np.asarray(c, dtype=np.float64)
-    q = np.floor(c * COEFF_SCALE + 0.5).astype(np.int64)
+    # np.round = round-half-even, matching the reference's np.round exactly
+    # (a floor(x+0.5) half-up would differ on .5 ties)
+    q = np.round(c * COEFF_SCALE).astype(np.int64)
     return np.clip(q, INT8_MIN, INT8_MAX).astype(np.int8)
 
 

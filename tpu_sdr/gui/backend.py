@@ -129,32 +129,43 @@ class GuiBackend:
             self._iq = bool(np.iscomplexobj(x))
             # snapshot the mode once per iteration: it can be flipped from
             # the HTTP thread between the request and the decode otherwise
+            # (the snapshot is threaded through _emit_frame too)
             mode = self.display_mode
-            want = "magnitude" if mode == "magnitude" else "all"
+            # request only what the mode needs (phase/re/im for modes that
+            # never display them would be wasted device work per dispatch)
+            want = {
+                "magnitude": "magnitude",
+                "power": "power",
+                "real": "complex",
+                "imag": "complex",
+            }[mode]
             out = self.sa.process(x, outputs=want)
             if out is None:
                 time.sleep(0.01)
                 continue
             if mode == "magnitude":
                 disp = np.asarray(out["magnitude"])[0, -1]
-            elif mode == "real":
-                disp = np.asarray(out["re"])[0, -1]
-            elif mode == "imag":
-                disp = np.asarray(out["im"])[0, -1]
-            else:  # power
-                disp = np.asarray(out["magnitude"])[0, -1] ** 2
+                wf_mag = disp
+            elif mode == "power":
+                disp = np.asarray(out["power"])[0, -1]
+                wf_mag = np.sqrt(disp)
+            else:  # real / imag from the complex spectra
+                re = np.asarray(out["re"])[0, -1]
+                im = np.asarray(out["im"])[0, -1]
+                disp = re if mode == "real" else im
+                wf_mag = np.hypot(re, im)
             now = time.monotonic()
             self._fps_window = [t for t in self._fps_window + [now] if now - t < 1.0]
             if now - self._last_emit < 1.0 / self.display_fps:
                 continue
             self._last_emit = now
-            self._emit_frame(disp)
+            self._emit_frame(disp, mode)
             if self.waterfall_enabled:
-                self._emit_waterfall_row(
-                    np.abs(np.asarray(out["magnitude"])[0, -1])
-                )
+                self._emit_waterfall_row(wf_mag)
 
-    def _emit_frame(self, mag: np.ndarray):
+    def _emit_frame(self, mag: np.ndarray, mode: str | None = None):
+        if mode is None:
+            mode = self.display_mode
         n = self.sa.cfg.fft_size
         fs = self.sa.cfg.sample_rate
         lo_khz, hi_khz = self.freq_range_khz
@@ -162,7 +173,7 @@ class GuiBackend:
             # IQ stream: single-sided spectrum is meaningless; show the full
             # fftshifted baseband (-fs/2..fs/2), freq range applied as +/-.
             view = np.fft.fftshift(
-                np.abs(mag) if self.display_mode in ("real", "imag") else mag
+                np.abs(mag) if mode in ("real", "imag") else mag
             )
             base = -n // 2  # bin offset of view[0]
             lo = int(np.clip((n // 2) - hi_khz * 1000 * n / fs, 0, n - 2))
@@ -170,7 +181,7 @@ class GuiBackend:
         else:
             view = (
                 np.abs(mag[: n // 2])
-                if self.display_mode in ("real", "imag")
+                if mode in ("real", "imag")
                 else mag[: n // 2]
             )
             base = 0
@@ -198,7 +209,7 @@ class GuiBackend:
                 "incoming_fps": round(self.sa.stats.frames_produced and incoming_fps, 2),
                 "filter_mode": int(self.sa.filter_mode),
                 "comm_mode": int(self.sa.comm_mode),
-                "display_mode": self.display_mode,
+                "display_mode": mode,
             },
         )
 

@@ -125,9 +125,19 @@ def spectrum_to_frame_bytes(re, im, scale: float = 1.0) -> bytes:
 def frame_to_packets(frame: bytes, packets: int = 64, data_size: int = 1024):
     lib = _load()
     if lib is None:
-        from tpu_sdr.transport.framing import frame_to_packets as py
+        from tpu_sdr.transport import framing
 
-        return py(frame)
+        if (packets, data_size) != (
+            framing.PACKETS_PER_FRAME,
+            framing.PACKET_DATA_SIZE,
+        ):
+            # never silently emit different wire output than the native path
+            raise RuntimeError(
+                "native framer unavailable; the NumPy fallback only supports "
+                f"the default {framing.PACKETS_PER_FRAME}x"
+                f"{framing.PACKET_DATA_SIZE} packetization"
+            )
+        return framing.frame_to_packets(frame)
     if len(frame) != packets * data_size:
         raise ValueError(
             f"frame must be {packets * data_size} bytes, got {len(frame)}"
