@@ -183,3 +183,91 @@ def test_native_rejects_bad_lengths():
         native.spectrum_to_frame_bytes(
             np.zeros(16384, np.float32), np.zeros(100, np.float32)
         )
+
+
+@pytest.mark.skipif(not native.udp_available(), reason="native UDP not built")
+class TestNativeUdp:
+    """Batch (sendmmsg/recvmmsg) transport: wire parity + cross-path loopback."""
+
+    def _capture_packets(self, use_native_tx: bool, n: int = 64):
+        """Send one frame, capture its datagrams with a plain socket."""
+        import socket as s
+        from tpu_sdr.transport.udp_stream import UdpSpectrumSender
+
+        sock = s.socket(s.AF_INET, s.SOCK_DGRAM)
+        sock.bind(("127.0.0.1", 0))
+        sock.settimeout(2.0)
+        tx = UdpSpectrumSender(
+            "127.0.0.1", sock.getsockname()[1], use_native=use_native_tx
+        )
+        re, im = _spectrum(7)
+        tx.send_spectrum(re, im)
+        pkts = []
+        try:
+            for _ in range(n):
+                pkts.append(sock.recvfrom(2048)[0])
+        finally:
+            tx.close()
+            sock.close()
+        return pkts
+
+    def test_native_sender_wire_identical_to_python(self):
+        a = self._capture_packets(use_native_tx=True)
+        b = self._capture_packets(use_native_tx=False)
+        # key by count byte: arrival order is not part of the contract
+        assert sorted(a) == sorted(b)
+        assert {p[0] for p in a} == set(range(64))
+        assert all(len(p) == 1025 for p in a)
+
+    @pytest.mark.parametrize("ntx,nrx", [(True, False), (False, True), (True, True)])
+    def test_cross_path_loopback(self, ntx, nrx):
+        import time
+        from tpu_sdr.transport.udp_stream import (
+            UdpSpectrumReceiver,
+            UdpSpectrumSender,
+        )
+
+        got = []
+        rx = UdpSpectrumReceiver(
+            port=0, bind_ip="127.0.0.1", fps_cap=1e9, use_native=nrx,
+            on_frame=lambda re, im, mag: got.append((re.copy(), im.copy())),
+        )
+        assert (rx._nsock is not None) == nrx
+        rx.start()
+        tx = UdpSpectrumSender("127.0.0.1", rx.port, use_native=ntx)
+        assert (tx._native is not None) == ntx
+        re, im = _spectrum(8)
+        for _ in range(3):
+            tx.send_spectrum(re, im)
+        deadline = time.time() + 5.0
+        while len(got) < 3 and time.time() < deadline:
+            time.sleep(0.02)
+        rx.stop()
+        tx.close()
+        assert len(got) == 3
+        assert np.array_equal(got[0][0], np.rint(re))
+        assert np.array_equal(got[0][1], np.rint(im))
+
+    def test_native_receiver_src_filtering(self):
+        import time
+        from tpu_sdr.transport.udp_stream import (
+            UdpSpectrumReceiver,
+            UdpSpectrumSender,
+        )
+
+        rx = UdpSpectrumReceiver(
+            port=0, bind_ip="127.0.0.1", fps_cap=1e9,
+            expected_src=("10.9.9.9", 1),  # nothing matches
+        )
+        assert rx._nsock is not None
+        rx.start()
+        tx = UdpSpectrumSender("127.0.0.1", rx.port)
+        re, im = _spectrum(9)
+        tx.send_spectrum(re, im)
+        deadline = time.time() + 2.0
+        while rx.packets_filtered < 64 and time.time() < deadline:
+            time.sleep(0.02)
+        rx.stop()
+        tx.close()
+        assert rx.packets_filtered == 64
+        assert rx.frames_received == 0

@@ -25,17 +25,21 @@ def _load():
     if _tried:
         return _lib
     _tried = True
-    if not os.path.exists(_SO):
-        try:
-            subprocess.run(
-                ["make", "-C", _DIR],
-                check=True,
-                capture_output=True,
-                timeout=120,
-            )
-        except Exception as e:  # no toolchain / build failure -> fallback
+    # Always invoke make: its dependency check rebuilds a .so that is older
+    # than framer.cpp (e.g. left behind by a previous source revision) and
+    # is a no-op otherwise.
+    try:
+        subprocess.run(
+            ["make", "-C", _DIR],
+            check=True,
+            capture_output=True,
+            timeout=120,
+        )
+    except Exception as e:  # no toolchain / build failure
+        if not os.path.exists(_SO):
             warnings.warn(f"native framer build failed ({e}); using NumPy fallback")
             return None
+        warnings.warn(f"native framer rebuild failed ({e}); using existing .so")
     try:
         lib = ctypes.CDLL(_SO)
     except OSError as e:
@@ -71,6 +75,38 @@ def _load():
         ctypes.c_uint32,
         ctypes.POINTER(ctypes.c_uint8),
     ]
+    try:
+        lib.framer_abi_version.restype = ctypes.c_int
+        abi = lib.framer_abi_version()
+    except AttributeError:
+        abi = 1
+    if abi >= 2:
+        lib.udp_open.restype = ctypes.c_int
+        lib.udp_open.argtypes = [ctypes.c_char_p, ctypes.c_uint16, ctypes.c_uint32]
+        lib.udp_send_frame.restype = ctypes.c_int
+        lib.udp_send_frame.argtypes = [
+            ctypes.c_int,
+            ctypes.c_char_p,
+            ctypes.c_uint32,
+            ctypes.c_uint32,
+        ]
+        lib.udp_bind.restype = ctypes.c_int
+        lib.udp_bind.argtypes = [ctypes.c_char_p, ctypes.c_uint16, ctypes.c_uint32]
+        lib.udp_local_port.restype = ctypes.c_int
+        lib.udp_local_port.argtypes = [ctypes.c_int]
+        lib.udp_recv_burst.restype = ctypes.c_int
+        lib.udp_recv_burst.argtypes = [
+            ctypes.c_int,
+            ctypes.POINTER(ctypes.c_uint8),
+            ctypes.POINTER(ctypes.c_uint32),
+            ctypes.POINTER(ctypes.c_uint8),
+            ctypes.c_uint32,
+            ctypes.c_uint32,
+            ctypes.c_int,
+        ]
+        lib.udp_close.restype = ctypes.c_int
+        lib.udp_close.argtypes = [ctypes.c_int]
+    lib._udp_ok = abi >= 2
     _lib = lib
     return _lib
 
@@ -149,3 +185,105 @@ def frame_to_packets(frame: bytes, packets: int = 64, data_size: int = 1024):
     raw = out.tobytes()
     step = data_size + 1
     return [raw[i * step : (i + 1) * step] for i in range(packets)]
+
+
+def udp_available() -> bool:
+    """True when the batch-UDP (sendmmsg/recvmmsg) entry points are built."""
+    lib = _load()
+    return lib is not None and getattr(lib, "_udp_ok", False)
+
+
+def _check(ret: int, what: str) -> int:
+    if ret < 0:
+        raise OSError(-ret, f"{what}: {os.strerror(-ret)}")
+    return ret
+
+
+class NativeUdpSender:
+    """Connected UDP socket that transmits a whole wire frame (64 packets)
+    with one sendmmsg syscall — the host-edge analog of the FPGA's
+    back-to-back frame drain (imp/sequ2.vhd / imp/phy_rmii_if.vhd:421-437)."""
+
+    def __init__(self, host: str, port: int, sndbuf: int = 1 << 22):
+        lib = _load()
+        if lib is None or not lib._udp_ok:
+            raise RuntimeError("native UDP transport unavailable")
+        self._lib = lib
+        self.fd = _check(
+            lib.udp_open(host.encode(), port, sndbuf), f"udp_open {host}:{port}"
+        )
+
+    def send_frame(self, frame: bytes, packets: int = 64, data_size: int = 1024):
+        if len(frame) != packets * data_size:
+            raise ValueError(
+                f"frame must be {packets * data_size} bytes, got {len(frame)}"
+            )
+        return _check(
+            self._lib.udp_send_frame(self.fd, frame, packets, data_size),
+            "udp_send_frame",
+        )
+
+    def close(self):
+        if self.fd >= 0:
+            self._lib.udp_close(self.fd)
+            self.fd = -1
+
+
+class NativeUdpSocket:
+    """Bound UDP socket draining bursts of datagrams with one recvmmsg
+    syscall. ``recv_burst`` returns ``[(payload, (src_ip, src_port)), ...]``
+    — source filtering/policy stays with the caller, like the GUI's."""
+
+    def __init__(
+        self,
+        port: int = 0,
+        bind_ip: str = "0.0.0.0",
+        rcvbuf: int = 1 << 22,
+        max_pkts: int = 128,
+        buf_size: int = 2048,
+    ):
+        lib = _load()
+        if lib is None or not lib._udp_ok:
+            raise RuntimeError("native UDP transport unavailable")
+        self._lib = lib
+        self.fd = _check(
+            lib.udp_bind(bind_ip.encode(), port, rcvbuf), f"udp_bind {bind_ip}:{port}"
+        )
+        self.max_pkts = max_pkts
+        self.buf_size = buf_size
+        self._buf = np.empty(max_pkts * buf_size, dtype=np.uint8)
+        self._lens = np.empty(max_pkts, dtype=np.uint32)
+        self._srcs = np.empty(max_pkts * 6, dtype=np.uint8)
+
+    @property
+    def port(self) -> int:
+        return _check(self._lib.udp_local_port(self.fd), "udp_local_port")
+
+    def recv_burst(self, timeout: float = 0.25):
+        import socket as _socket
+
+        n = _check(
+            self._lib.udp_recv_burst(
+                self.fd,
+                self._buf.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+                self._lens.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
+                self._srcs.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+                self.max_pkts,
+                self.buf_size,
+                max(0, int(round(timeout * 1000))),
+            ),
+            "udp_recv_burst",
+        )
+        out = []
+        for i in range(n):
+            ln = int(self._lens[i])
+            payload = self._buf[i * self.buf_size : i * self.buf_size + ln].tobytes()
+            src_ip = _socket.inet_ntoa(self._srcs[6 * i : 6 * i + 4].tobytes())
+            src_port = int.from_bytes(self._srcs[6 * i + 4 : 6 * i + 6], "big")
+            out.append((payload, (src_ip, src_port)))
+        return out
+
+    def close(self):
+        if self.fd >= 0:
+            self._lib.udp_close(self.fd)
+            self.fd = -1

@@ -19,18 +19,36 @@ from typing import Callable
 from tpu_sdr.transport import native
 from tpu_sdr.transport.framing import (
     ETHERNET_PAYLOAD_SIZE,
+    PACKET_DATA_SIZE,
+    PACKETS_PER_FRAME,
     MultiPacketAssembler,
     decode_frame,
 )
 
 
 class UdpSpectrumSender:
-    """Fire-and-forget spectrum transmitter (no retransmit, like the FPGA)."""
+    """Fire-and-forget spectrum transmitter (no retransmit, like the FPGA).
 
-    def __init__(self, host: str = "127.0.0.1", port: int = 6006):
+    Fast path: the C++ ``udp_send_frame`` ships a whole 64-packet frame with
+    one ``sendmmsg`` syscall and zero-copy iovecs (the host-edge analog of
+    ``imp/sequ2.vhd``'s back-to-back frame drain). Falls back to per-packet
+    ``sendto`` where the native library is unavailable — byte-identical wire
+    output either way (tested in test_transport.TestNativeUdp)."""
+
+    def __init__(self, host: str = "127.0.0.1", port: int = 6006,
+                 use_native: bool = True):
         self.addr = (host, port)
-        self.sock = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
-        self.sock.setsockopt(socket.SOL_SOCKET, socket.SO_SNDBUF, 1 << 20)
+        self._native = None
+        self.sock = None
+        if use_native and native.udp_available():
+            try:
+                self._native = native.NativeUdpSender(host, port)
+            except OSError:
+                self._native = None
+        if self._native is None:
+            self.sock = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
+            self.sock.setsockopt(socket.SOL_SOCKET, socket.SO_SNDBUF, 1 << 20)
+            self.sock.setsockopt(socket.SOL_SOCKET, socket.SO_BROADCAST, 1)
         self.frames_sent = 0
 
     def send_spectrum(self, re, im, scale: float = 1.0):
@@ -38,12 +56,18 @@ class UdpSpectrumSender:
         self.send_frame_bytes(frame)
 
     def send_frame_bytes(self, frame: bytes):
-        for pkt in native.frame_to_packets(frame):
-            self.sock.sendto(pkt, self.addr)
+        if self._native is not None:
+            self._native.send_frame(frame, PACKETS_PER_FRAME, PACKET_DATA_SIZE)
+        else:
+            for pkt in native.frame_to_packets(frame):
+                self.sock.sendto(pkt, self.addr)
         self.frames_sent += 1
 
     def close(self):
-        self.sock.close()
+        if self._native is not None:
+            self._native.close()
+        if self.sock is not None:
+            self.sock.close()
 
 
 class UdpSpectrumReceiver:
@@ -61,11 +85,20 @@ class UdpSpectrumReceiver:
         expected_src: tuple[str, int] | None = None,
         fps_cap: float = 30.0,
         on_frame: Callable | None = None,
+        use_native: bool = True,
     ):
-        self.sock = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
-        self.sock.setsockopt(socket.SOL_SOCKET, socket.SO_RCVBUF, 1 << 22)
-        self.sock.bind((bind_ip, port))
-        self.sock.settimeout(0.25)
+        self._nsock = None
+        self.sock = None
+        if use_native and native.udp_available():
+            try:
+                self._nsock = native.NativeUdpSocket(port=port, bind_ip=bind_ip)
+            except OSError:
+                self._nsock = None
+        if self._nsock is None:
+            self.sock = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
+            self.sock.setsockopt(socket.SOL_SOCKET, socket.SO_RCVBUF, 1 << 22)
+            self.sock.bind((bind_ip, port))
+            self.sock.settimeout(0.25)
         self.expected_src = expected_src
         self.fps_cap = fps_cap
         self.on_frame = on_frame
@@ -79,6 +112,8 @@ class UdpSpectrumReceiver:
 
     @property
     def port(self) -> int:
+        if self._nsock is not None:
+            return self._nsock.port
         return self.sock.getsockname()[1]
 
     def start(self):
@@ -87,31 +122,45 @@ class UdpSpectrumReceiver:
 
     def _run(self):
         while not self._stop.is_set():
-            try:
-                data, src = self.sock.recvfrom(2048)
-            except socket.timeout:
-                continue
-            except OSError:
-                break
-            if self.expected_src is not None and src != self.expected_src:
-                self.packets_filtered += 1
-                continue
-            if len(data) != ETHERNET_PAYLOAD_SIZE:
-                continue
-            frame = self.assembler.add(data)
-            if frame is None:
-                continue
-            self.frames_received += 1
-            now = time.monotonic()
-            if self.fps_cap > 0 and now - self._last_emit < 1.0 / self.fps_cap:
-                continue  # rate limit: frame counted, not displayed
-            self._last_emit = now
-            self.frames_displayed += 1
-            if self.on_frame is not None:
-                self.on_frame(*decode_frame(frame))
+            if self._nsock is not None:
+                # native path: drain the queue in one recvmmsg syscall
+                try:
+                    batch = self._nsock.recv_burst(timeout=0.25)
+                except OSError:
+                    break
+            else:
+                try:
+                    batch = [self.sock.recvfrom(2048)]
+                except socket.timeout:
+                    continue
+                except OSError:
+                    break
+            for data, src in batch:
+                self._handle_packet(data, src)
+
+    def _handle_packet(self, data: bytes, src: tuple[str, int]):
+        if self.expected_src is not None and src != self.expected_src:
+            self.packets_filtered += 1
+            return
+        if len(data) != ETHERNET_PAYLOAD_SIZE:
+            return
+        frame = self.assembler.add(data)
+        if frame is None:
+            return
+        self.frames_received += 1
+        now = time.monotonic()
+        if self.fps_cap > 0 and now - self._last_emit < 1.0 / self.fps_cap:
+            return  # rate limit: frame counted, not displayed
+        self._last_emit = now
+        self.frames_displayed += 1
+        if self.on_frame is not None:
+            self.on_frame(*decode_frame(frame))
 
     def stop(self):
         self._stop.set()
         if self._thread is not None:
             self._thread.join(timeout=2.0)
-        self.sock.close()
+        if self._nsock is not None:
+            self._nsock.close()
+        if self.sock is not None:
+            self.sock.close()
