@@ -219,3 +219,40 @@ def test_roofline_ceiling_accounts_for_hop():
     assert half["ceiling_samples_per_sec"] == pytest.approx(
         full["ceiling_samples_per_sec"] / 2, rel=1e-6
     )
+
+
+class TestCli:
+    """`python -m tpu_sdr` front door (tpu_sdr/__main__.py)."""
+
+    def test_design_prints_wire_bytes(self, capsys):
+        from tpu_sdr.__main__ import main
+
+        rc = main(["design", "butterworth", "lowpass", "4", "--cutoff", "100e3"])
+        out = capsys.readouterr().out
+        assert rc == 0
+        assert "wire bytes" in out and "SOS (2 sections)" in out
+        # 12 hex bytes on the wire line
+        wire = [l for l in out.splitlines() if l.startswith("wire bytes")][0]
+        assert len(wire.split(":")[1].split()) == 12
+
+    def test_design_band_requires_hi_edge(self, capsys):
+        from tpu_sdr.__main__ import main
+
+        rc = main(["design", "butterworth", "bandpass", "4", "--cutoff", "100e3"])
+        assert rc == 2
+        assert "--cutoff-hi" in capsys.readouterr().err
+
+    def test_selftest_passes(self, capsys):
+        from tpu_sdr.__main__ import main
+
+        assert main(["selftest"]) == 0
+        assert "selftest: PASS" in capsys.readouterr().out
+
+    def test_bench_small(self, capsys):
+        import json as _json
+
+        from tpu_sdr.__main__ import main
+
+        assert main(["bench", "--channels", "1", "--frames", "2", "--reps", "1"]) == 0
+        rec = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert rec["value"] > 0 and rec["quality"] == "f32"

@@ -1,0 +1,250 @@
+"""Command-line entry point: ``python -m tpu_sdr <command>`` / ``tpu-sdr``.
+
+The reference's user surface is "run the GUI script" plus a handful of
+host-side chores (design a filter, sanity-check the link,
+``scripts/fft_analyzer_gui.py``); this CLI is the equivalent front door:
+
+    tpu-sdr gui [--port 5000] [--iq] [--no-pace]   live web GUI
+    tpu-sdr demo                                   two-tone find/filter demo
+    tpu-sdr design butterworth lowpass 12 --cutoff 300e3
+    tpu-sdr selftest                               end-to-end health check
+    tpu-sdr bench [--frames 64] [--reps 3]         quick throughput probe
+
+JAX (and therefore any device claim) is imported lazily inside each
+command, so ``--help`` and ``design`` never touch an accelerator.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def _cmd_gui(args) -> int:
+    from tpu_sdr.gui.backend import GuiBackend
+    from tpu_sdr.gui.server import serve
+
+    backend = GuiBackend(pace=not args.no_pace)
+    if args.iq:
+        from tpu_sdr.runtime.source import SyntheticSource
+
+        backend.source = SyntheticSource(
+            tones_hz=((150_000.0, 0.5), (-300_000.0, 0.25)), noise=0.01, iq=True
+        )
+    print(f"tpu_sdr GUI on http://localhost:{args.port}", flush=True)
+    serve(backend, port=args.port, bind=args.bind)
+    return 0
+
+
+def _cmd_demo(args) -> int:
+    import numpy as np
+
+    from tpu_sdr import FilterMode, PipelineConfig
+    from tpu_sdr.control import SpectrumAnalyzer, design_iir_filter
+    from tpu_sdr.runtime.source import SyntheticSource
+
+    fs = 1_000_000.0
+    sa = SpectrumAnalyzer(PipelineConfig(channels=1))
+    sa.start()
+    src = SyntheticSource(
+        tones_hz=((250_000.0, 0.4), (400_000.0, 0.4)), noise=0.01, fs=fs
+    )
+    x = src.read(4 * sa.cfg.fft_size)
+    out = sa.process(x)
+    mag = np.asarray(out["magnitude"])[0, -1]
+    peaks = sorted(np.argsort(mag[:8192])[-2:] * sa.cfg.hz_per_bin / 1000)
+    print(f"bypass: peaks near {[round(float(p), 1) for p in peaks]} kHz")
+
+    d = design_iir_filter("butterworth", "lowpass", 12, fs, 300_000.0)
+    sa.upload_filter(d.sos)
+    sa.set_filter_mode(FilterMode.CUSTOM)
+    out2 = sa.process(x)
+    mag2 = np.asarray(out2["magnitude"])[0, -1]
+    b400 = int(400_000 * sa.cfg.fft_size / fs)
+    print(
+        "after 300 kHz lowpass: 400 kHz suppressed "
+        f"{20 * np.log10((mag2[b400] + 1e-9) / mag[b400]):.1f} dB"
+    )
+    return 0
+
+
+def _cmd_design(args) -> int:
+    import numpy as np
+
+    from tpu_sdr.control.designer import design_iir_filter
+
+    if args.btype in ("bandpass", "bandstop"):
+        if args.cutoff_hi is None:
+            print(
+                f"error: {args.btype} requires --cutoff-hi (upper band edge)",
+                file=sys.stderr,
+            )
+            return 2
+        cutoff = (args.cutoff, args.cutoff_hi)
+    else:
+        cutoff = args.cutoff
+    d = design_iir_filter(
+        args.kind,
+        args.btype,
+        args.order,
+        args.fs,
+        cutoff,
+        ripple_db=args.ripple,
+        attenuation_db=args.attenuation,
+    )
+    np.set_printoptions(precision=6, suppress=True)
+    print(f"SOS ({d.sos.shape[0]} sections):")
+    print(d.sos)
+    print(f"quantized x64 int8:\n{d.sos_q}")
+    print(f"wire bytes (0xF1 payload): {d.to_wire_bytes().hex(' ')}")
+    w, h = d.frequency_response(16)
+    wq, hq = d.quantized_response(16)
+    print("response (dB, float vs quantized):")
+    for f, a, b in zip(w, h, hq):
+        print(f"  {f / 1e3:8.1f} kHz  {a:8.2f}  {b:8.2f}")
+    return 0
+
+
+def _cmd_selftest(args) -> int:
+    import numpy as np
+    import scipy.signal as sps
+
+    from tpu_sdr import FilterMode, PipelineConfig
+    from tpu_sdr.runtime import SpectrumPipeline
+
+    fs, n = 1e6, 16384
+    pipe = SpectrumPipeline(PipelineConfig())
+    t = np.arange(4 * n) / fs
+    x = (
+        0.4 * np.sin(2 * np.pi * 250e3 * t) + 0.4 * np.sin(2 * np.pi * 400e3 * t)
+    ).astype(np.float32)
+    out, st = pipe.process(x, pipe.initial_state(), FilterMode.BYPASS)
+    mag = np.asarray(out["magnitude"])[0, -1][: int(n // 2)]
+    peaks = set(np.argsort(mag)[-2:].tolist())
+    ok_peaks = peaks == {4096, 6554}
+    pipe.upload_sos(sps.butter(12, 300e3 / (fs / 2), output="sos"))
+    out2, _ = pipe.process(x, st, FilterMode.CUSTOM)
+    mag2 = np.asarray(out2["magnitude"])[0, -1][: int(n // 2)]
+    supp = 20 * np.log10(mag[6554] / max(mag2[6554], 1e-12))
+    ok_supp = supp > 60.0
+    # chunked == one-shot determinism
+    o1, _ = pipe.process(x, pipe.initial_state(), FilterMode.CUSTOM)
+    s = pipe.initial_state()
+    chunks = []
+    for i in range(4):
+        oc, s = pipe.process(x[i * int(n) : (i + 1) * int(n)], s, FilterMode.CUSTOM)
+        chunks.append(np.asarray(oc["magnitude"]))
+    ok_det = np.array_equal(np.concatenate(chunks, axis=1), np.asarray(o1["magnitude"]))
+    for name, ok in [
+        (f"tone peaks at bins {sorted(peaks)}", ok_peaks),
+        (f"400 kHz suppression {supp:.1f} dB", ok_supp),
+        ("chunked == one-shot (bitwise)", ok_det),
+    ]:
+        print(f"  [{'PASS' if ok else 'FAIL'}] {name}")
+    ok = ok_peaks and ok_supp and ok_det
+    print("selftest:", "PASS" if ok else "FAIL")
+    return 0 if ok else 1
+
+
+def _cmd_bench(args) -> int:
+    import time
+
+    import numpy as np
+
+    from tpu_sdr import FilterMode, PipelineConfig
+    from tpu_sdr.runtime import SpectrumPipeline
+
+    import scipy.signal as sps
+
+    cfg = PipelineConfig(channels=args.channels, dtype=args.quality)
+    pipe = SpectrumPipeline(cfg)
+    pipe.upload_sos(sps.butter(12, 0.25, output="sos"))
+    n = cfg.fft_size
+    x = np.random.default_rng(0).standard_normal(
+        (args.channels, args.frames * n)
+    ).astype(np.float32)
+    state = pipe.initial_state()
+    out, _ = pipe.process(x, state, FilterMode.CUSTOM)
+    float(np.asarray(out["magnitude"]).ravel()[0])  # compile + settle
+
+    def run_k(k):
+        st = state
+        t0 = time.perf_counter()
+        for _ in range(k):
+            out, st = pipe.process(x, st, FilterMode.CUSTOM)
+        float(np.asarray(out["magnitude"]).ravel()[0])
+        return time.perf_counter() - t0
+
+    run_k(2)
+    per = []
+    for _ in range(args.reps):
+        t2, t12 = min(run_k(2) for _ in range(2)), min(run_k(12) for _ in range(2))
+        per.append((t12 - t2) / 10)
+    per.sort()
+    dt = per[len(per) // 2]
+    rate = args.channels * args.frames * n / dt
+    print(
+        json.dumps(
+            {
+                "metric": "samples_per_sec",
+                "quality": args.quality,
+                "value": rate,
+                "per_dispatch_ms": dt * 1e3,
+                "vs_reference_1msps": rate / 1e6,
+            }
+        )
+    )
+    return 0
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="tpu-sdr", description="TPU-native real-time FFT spectrum analyzer"
+    )
+    sub = p.add_subparsers(dest="command", required=True)
+
+    g = sub.add_parser("gui", help="serve the live web GUI")
+    g.add_argument("--port", type=int, default=5000)
+    g.add_argument("--bind", default="0.0.0.0")
+    g.add_argument("--iq", action="store_true", help="complex-baseband demo source")
+    g.add_argument(
+        "--no-pace",
+        action="store_true",
+        help="run the synthetic source unpaced (throughput mode)",
+    )
+    g.set_defaults(fn=_cmd_gui)
+
+    d = sub.add_parser("demo", help="two-tone find/filter demo")
+    d.set_defaults(fn=_cmd_demo)
+
+    f = sub.add_parser("design", help="design an IIR filter (GUI designer math)")
+    f.add_argument("kind", choices=["butterworth", "chebyshev1", "chebyshev2", "elliptic", "bessel"])
+    f.add_argument("btype", choices=["lowpass", "highpass", "bandpass", "bandstop"])
+    f.add_argument("order", type=int)
+    f.add_argument("--fs", type=float, default=1e6)
+    f.add_argument("--cutoff", type=float, required=True)
+    f.add_argument("--cutoff-hi", type=float, help="upper edge for band filters")
+    f.add_argument("--ripple", type=float, default=1.0)
+    f.add_argument("--attenuation", type=float, default=60.0)
+    f.set_defaults(fn=_cmd_design)
+
+    s = sub.add_parser("selftest", help="end-to-end health check")
+    s.set_defaults(fn=_cmd_selftest)
+
+    b = sub.add_parser("bench", help="quick throughput probe (slope-timed)")
+    b.add_argument("--channels", type=int, default=8)
+    b.add_argument("--frames", type=int, default=64)
+    b.add_argument("--reps", type=int, default=3)
+    b.add_argument("--quality", default="f32", choices=["f32", "f32max", "bf16"])
+    b.set_defaults(fn=_cmd_bench)
+    return p
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())
