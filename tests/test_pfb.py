@@ -168,3 +168,44 @@ def test_sharded_validation(ch):
         sh.process(
             np.zeros((1, 8 * M), np.float32), sh.initial_state((1,))
         )  # 1 step/shard < 7*M halo
+
+
+def test_zoom_fft_composition():
+    """Channelizer -> IQ spectrum pipeline ("zoom FFT"): two tones that the
+    direct FFT cannot separate are resolved inside one subchannel."""
+    from tpu_sdr.core.config import FilterMode, PipelineConfig
+    from tpu_sdr.runtime import SpectrumPipeline
+
+    fs, m, taps, N = 1e6, 32, 4, 1024
+    ch = Channelizer(m=m, taps=taps, sample_rate=fs)
+    sub_rate = fs / m  # 31.25 kHz
+    k = 5
+    # offsets at exact zoom-bin centers 40 and 100 (zoom bin = 30.5 Hz);
+    # the direct 1024-pt FFT at 1 MSPS has 976 Hz/bin -> both offsets land
+    # in the SAME direct bin
+    b1, b2 = 40, 55
+    f1 = k * sub_rate + b1 * sub_rate / N
+    f2 = k * sub_rate + b2 * sub_rate / N
+    assert int(f1 / (fs / N)) == int(f2 / (fs / N))  # unresolvable directly
+
+    T = (2 * N + taps) * m  # two zoom frames after channelization + settle
+    T -= T % m
+    t = np.arange(T) / fs
+    iq = 0.5 * np.exp(2j * np.pi * f1 * t) + 0.5 * np.exp(2j * np.pi * f2 * t)
+    xs = np.stack([iq.real, iq.imag]).astype(np.float32)
+
+    out, _ = ch.process_planes(xs, ch.initial_state((2,)))
+    sub = np.asarray(out["re"])[..., k] + 1j * np.asarray(out["im"])[..., k]
+    sub = sub[taps:]  # drop the prototype's settle steps
+    sub = sub[: 2 * N]
+
+    cfg = PipelineConfig(
+        fft_size=N, fft_n1=32, fft_n2=32, channels=1, sample_rate=sub_rate
+    )
+    pipe = SpectrumPipeline(cfg)
+    st = pipe.initial_state(batch_shape=(2,))
+    zout, _ = pipe.process(sub.astype(np.complex64)[None, :], st,
+                           FilterMode.BYPASS)
+    mag = np.asarray(zout["magnitude"])[0, -1]
+    top2 = sorted(np.argsort(mag)[-2:].tolist())
+    assert top2 == [b1, b2], f"zoom peaks {top2}, expected [{b1}, {b2}]"
