@@ -209,3 +209,49 @@ def test_zoom_fft_composition():
     mag = np.asarray(zout["magnitude"])[0, -1]
     top2 = sorted(np.argsort(mag)[-2:].tolist())
     assert top2 == [b1, b2], f"zoom peaks {top2}, expected [{b1}, {b2}]"
+
+
+@pytest.mark.parametrize("seed", range(4))
+def test_random_geometry_matches_golden(seed):
+    """Property sweep: random (m, taps, window, chunking) vs the f64 oracle,
+    with streaming chunk boundaries at random step counts."""
+    rng = np.random.default_rng(1000 + seed)
+    m = int(rng.choice([8, 16, 32, 64, 256]))
+    taps = int(rng.integers(1, 13))
+    window = str(rng.choice(["hamming", "hann", "blackman"]))
+    c = Channelizer(m=m, taps=taps, window=window)
+    steps = int(rng.integers(max(4, taps), 24))
+    x = rng.standard_normal((2, steps * m)).astype(np.float32)
+
+    one, _ = c.process(x, c.initial_state((2,)))
+    Y = _golden_w(x, m, taps, window)
+    assert np.abs(np.asarray(one["re"]) - Y.real).max() < 2e-5 * max(
+        1.0, np.abs(Y.real).max()
+    )
+
+    # random chunking (multiples of m) is bitwise-identical
+    cuts = sorted(
+        set(int(v) * m for v in rng.integers(1, steps, size=3)) | {steps * m}
+    )
+    st = c.initial_state((2,))
+    parts, prev = [], 0
+    for cut in cuts:
+        if cut == prev:
+            continue
+        o, st = c.process(x[:, prev:cut], st)
+        parts.append(np.asarray(o["re"]))
+        prev = cut
+    assert np.array_equal(np.concatenate(parts, axis=1), np.asarray(one["re"]))
+
+
+def _golden_w(x, m, taps, window):
+    h = design_prototype(m, taps, window)
+    hist = (taps - 1) * m
+    xc = np.concatenate([np.zeros(x.shape[:-1] + (hist,)), x], axis=-1)
+    steps = x.shape[-1] // m
+    W = np.exp(-2j * np.pi * np.outer(np.arange(m), np.arange(m)) / m)
+    Y = np.zeros(x.shape[:-1] + (steps, m), complex)
+    for n in range(steps):
+        blk = xc[..., n * m : (n + taps) * m] * h
+        Y[..., n, :] = blk.reshape(x.shape[:-1] + (taps, m)).sum(axis=-2) @ W
+    return Y
