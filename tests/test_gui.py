@@ -286,3 +286,55 @@ def test_iq_gui_backend_full_baseband():
     finally:
         backend.unsubscribe(q)
         backend.stop_receiver()
+
+
+def test_zoom_mode_events():
+    """Zoom: PFB subchannel -> zoom FFT in the live loop; the zoom_frame
+    peak recovers a tone's frequency to sub-bin (<8 Hz) accuracy that the
+    main 61 Hz/bin display cannot express."""
+    fs, m, k = 1e6, 128, 32
+    f_tone = k * fs / m + 1037.0  # 250 kHz subchannel center + 1037 Hz
+    backend = GuiBackend(
+        analyzer=SpectrumAnalyzer(PipelineConfig(channels=1)),
+        source=SyntheticSource(tones_hz=((f_tone, 0.5),), noise=0.001),
+        display_fps=1000.0,
+    )
+    q = backend.subscribe()
+    r = backend.set_zoom({"enabled": True, "channel": k})
+    assert r["ok"] and backend.zoom_cfg["enabled"]
+    backend.start_receiver()
+    try:
+        deadline = time.time() + 60
+        zooms = []
+        while time.time() < deadline and len(zooms) < 2:
+            try:
+                event, payload = q.get(timeout=1.0)
+            except Exception:
+                continue
+            if event == "zoom_frame":
+                zooms.append(json.loads(payload))
+    finally:
+        backend.stop_receiver()
+        backend.unsubscribe(q)
+    assert len(zooms) >= 2, "no zoom frames produced"
+    z = zooms[-1]  # settled
+    assert z["channel"] == k
+    assert z["center_khz"] == pytest.approx(250.0)
+    assert z["hz_per_bin"] == pytest.approx(fs / m / 1024)
+    est_hz = z["center_khz"] * 1e3 + z["peak_offset_hz"]
+    assert abs(est_hz - f_tone) < z["hz_per_bin"], (est_hz, f_tone)
+
+
+def test_zoom_validation_and_state():
+    backend = GuiBackend(
+        analyzer=SpectrumAnalyzer(PipelineConfig(channels=1)),
+        source=SyntheticSource(tones_hz=((100e3, 0.5),)),
+    )
+    with pytest.raises(ValueError, match="zoom channel"):
+        backend.set_zoom({"channel": 128})
+    r = backend.set_zoom({"enabled": True, "channel": 5})
+    assert r["zoom"]["channel"] == 5
+    st = backend.get_state()
+    assert st["zoom"]["enabled"] and st["zoom"]["m"] == 128
+    backend.set_zoom({"enabled": False})
+    assert not backend.zoom_cfg["enabled"]

@@ -58,6 +58,18 @@ class GuiBackend:
 
         self.waterfall = Waterfall(points=512, depth=160)
         self.waterfall_enabled = True
+        # Zoom mode: PFB-channelize the raw stream and run a small spectrum
+        # pipeline on ONE subchannel (the zoom-FFT workflow, demo_zoom.py).
+        # m/taps/fft_size are fixed per session; channel is live-switchable.
+        self.zoom_cfg = {
+            "enabled": False,
+            "channel": 32,
+            "m": 128,
+            "taps": 8,
+            "fft_size": 1024,
+        }
+        self._zoom_gen = 0
+        self._zoom_rt: dict | None = None
         self._subscribers: list[queue.Queue] = []
         self._sub_lock = threading.Lock()
         self._stop = threading.Event()
@@ -156,6 +168,18 @@ class GuiBackend:
                 wf_mag = np.hypot(re, im)
             now = time.monotonic()
             self._fps_window = [t for t in self._fps_window + [now] if now - t < 1.0]
+            # zoom taps EVERY raw chunk (it accumulates subchannel samples
+            # across iterations) — before the display rate limiter
+            if self.zoom_cfg["enabled"]:
+                try:
+                    self._zoom_step(x)
+                except Exception as e:  # zoom must never kill acquisition
+                    self.zoom_cfg["enabled"] = False
+                    self._zoom_rt = None
+                    self.status(
+                        f"zoom disabled after error: {type(e).__name__}: {e}",
+                        ok=False,
+                    )
             if now - self._last_emit < 1.0 / self.display_fps:
                 continue
             self._last_emit = now
@@ -212,6 +236,123 @@ class GuiBackend:
                 "display_mode": mode,
             },
         )
+
+    # ---------------- zoom mode (PFB subchannel -> zoom FFT) ----------
+
+    def _zoom_runtime(self, iq: bool) -> dict:
+        """Build (or rebuild after set_zoom/source-type change) the zoom
+        chain: channelizer + small spectrum pipeline + carried states."""
+        rt = self._zoom_rt
+        if rt is not None and rt["gen"] == self._zoom_gen and rt["iq"] == iq:
+            return rt
+        from tpu_sdr.kernels.pfb import Channelizer
+        from tpu_sdr.runtime import SpectrumPipeline
+
+        zc = self.zoom_cfg
+        m, taps, nz = zc["m"], zc["taps"], zc["fft_size"]
+        fs = self.sa.cfg.sample_rate
+        ch = Channelizer(m=m, taps=taps, sample_rate=fs)
+        # 1024-pt zoom FFT = 32x32 four-step at the subchannel rate fs/m
+        pipe = SpectrumPipeline(
+            PipelineConfig(
+                fft_size=nz, fft_n1=32, fft_n2=32, channels=1,
+                sample_rate=fs / m,
+            )
+        )
+        self._zoom_rt = {
+            "gen": self._zoom_gen,
+            "iq": iq,
+            "ch": ch,
+            "pipe": pipe,
+            "ch_state": ch.initial_state((2,) if iq else ()),
+            "pipe_state": pipe.initial_state(batch_shape=(2,)),
+            "buf": np.zeros(0, np.complex64),
+        }
+        return self._zoom_rt
+
+    def _zoom_step(self, x):
+        """Channelize one raw chunk, accumulate the selected subchannel,
+        and emit a ``zoom_frame`` per full zoom-FFT frame."""
+        from tpu_sdr.core.config import FilterMode as FM
+
+        xn = np.asarray(x).reshape(-1)  # single-stream tap
+        iq = bool(np.iscomplexobj(xn))
+        rt = self._zoom_runtime(iq)
+        ch, zc = rt["ch"], self.zoom_cfg
+        k = int(zc["channel"]) % zc["m"]
+        if iq:
+            planes = np.stack([xn.real, xn.imag]).astype(np.float32)
+            out, rt["ch_state"] = ch.process_planes(planes, rt["ch_state"])
+        else:
+            out, rt["ch_state"] = ch.process(
+                xn.astype(np.float32), rt["ch_state"]
+            )
+        sub = (
+            np.asarray(out["re"])[..., k] + 1j * np.asarray(out["im"])[..., k]
+        ).astype(np.complex64)
+        rt["buf"] = np.concatenate([rt["buf"], sub])
+        nz = zc["fft_size"]
+        while rt["buf"].shape[0] >= nz:
+            frame, rt["buf"] = rt["buf"][:nz], rt["buf"][nz:]
+            zout, rt["pipe_state"] = rt["pipe"].process(
+                frame[None, :], rt["pipe_state"], FM.BYPASS
+            )
+            self._emit_zoom_frame(np.asarray(zout["magnitude"])[0, -1], k)
+
+    def _emit_zoom_frame(self, mag: np.ndarray, k: int):
+        zc = self.zoom_cfg
+        fs = self.sa.cfg.sample_rate
+        sub_rate = fs / zc["m"]
+        nz = zc["fft_size"]
+        center_hz = k * sub_rate
+        if getattr(self, "_iq", False) and center_hz > fs / 2:
+            center_hz -= fs  # IQ subchannels wrap to negative frequencies
+        view = np.fft.fftshift(mag)  # subchannel stream is complex baseband
+        offs = (np.arange(nz) - nz // 2) * (sub_rate / nz)
+        peak = int(np.argmax(view))
+        self.emit(
+            "zoom_frame",
+            {
+                "channel": k,
+                "center_khz": round(center_hz / 1e3, 3),
+                "span_hz": sub_rate,
+                "hz_per_bin": sub_rate / nz,
+                "offsets_hz": np.round(offs, 2).tolist(),
+                "magnitude": np.round(view.astype(np.float64), 4).tolist(),
+                "peak_offset_hz": round(float(offs[peak]), 2),
+                "peak_freq_khz": round((center_hz + offs[peak]) / 1e3, 4),
+                "peak_mag": float(view[peak]),
+            },
+        )
+
+    def set_zoom(self, cfg: dict) -> dict:
+        """Enable/disable zoom and pick the subchannel; ``m``/``taps``/
+        ``fft_size`` are session-fixed (traced shapes)."""
+        known = {"enabled", "channel"}
+        unknown = sorted(set(cfg) - known)
+        if unknown:
+            self.status(f"ignored unknown zoom fields: {unknown}", ok=False)
+        if "channel" in cfg:
+            ch = int(cfg["channel"])
+            if not (0 <= ch < self.zoom_cfg["m"]):
+                raise ValueError(
+                    f"zoom channel must be in [0, {self.zoom_cfg['m']})"
+                )
+            self.zoom_cfg["channel"] = ch
+        if "enabled" in cfg:
+            self.zoom_cfg["enabled"] = bool(cfg["enabled"])
+        self._zoom_gen += 1  # rebuild states: channel switch restarts clean
+        sub_rate = self.sa.cfg.sample_rate / self.zoom_cfg["m"]
+        if self.zoom_cfg["enabled"]:
+            self.status(
+                f"zoom on: channel {self.zoom_cfg['channel']} "
+                f"({self.zoom_cfg['channel'] * sub_rate / 1e3:.1f} kHz, "
+                f"span {sub_rate / 1e3:.2f} kHz, "
+                f"{sub_rate / self.zoom_cfg['fft_size']:.2f} Hz/bin)"
+            )
+        else:
+            self.status("zoom off")
+        return {"ok": True, "zoom": dict(self.zoom_cfg)}
 
     def _emit_waterfall_row(self, mag: np.ndarray):
         n = self.sa.cfg.fft_size
@@ -412,6 +553,7 @@ class GuiBackend:
             "freq_range_khz": self.freq_range_khz,
             "filter_config": self.filter_config,
             "display_mode": self.display_mode,
+            "zoom": dict(self.zoom_cfg),
             "stats": self.sa.stats.as_dict(),
             "config": {
                 "fft_size": self.sa.cfg.fft_size,

@@ -14,6 +14,7 @@ POST endpoints mirroring the reference's SocketIO event set
   POST /api/apply_frequency_range {"lo_khz": .., "hi_khz": ..}
   POST /api/update_filter_config  {designer fields}
   POST /api/update_config       {display_fps, display_points, waterfall_enabled}
+  POST /api/set_zoom            {"enabled": bool, "channel": 0..127}
   POST /api/reset_plot
   POST /api/generate_filter_preview
   POST /api/apply_filter_to_fpga
@@ -137,6 +138,8 @@ def _make_handler(backend: GuiBackend):
                 elif route == "/api/reset_plot":
                     backend.reset_plot()
                     self._json({"ok": True})
+                elif route == "/api/set_zoom":
+                    self._json(backend.set_zoom(dict(args)))
                 elif route == "/api/generate_filter_preview":
                     self._json(backend.generate_filter_preview())
                 elif route == "/api/apply_filter_to_fpga":
