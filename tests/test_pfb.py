@@ -255,3 +255,35 @@ def _golden_w(x, m, taps, window):
         blk = xc[..., n * m : (n + taps) * m] * h
         Y[..., n, :] = blk.reshape(x.shape[:-1] + (taps, m)).sum(axis=-2) @ W
     return Y
+
+
+def test_pallas_kernel_matches_xla_path(rng):
+    """The fused Pallas kernel (m=128) vs the XLA fold+matmul path."""
+    a = Channelizer(m=128, taps=8, use_pallas=True)
+    b = Channelizer(m=128, taps=8, use_pallas=False)
+    x = rng.standard_normal((2, 40 * 128)).astype(np.float32)
+    oa, sa = a.process(x, a.initial_state((2,)))
+    ob, sb = b.process(x, b.initial_state((2,)))
+    scale = np.abs(np.asarray(ob["re"])).max()
+    assert np.abs(np.asarray(oa["re"]) - np.asarray(ob["re"])).max() < 1e-5 * scale
+    assert np.abs(np.asarray(oa["im"]) - np.asarray(ob["im"])).max() < 1e-5 * scale
+    assert np.array_equal(np.asarray(sa), np.asarray(sb))
+    # IQ combine path too
+    xs = rng.standard_normal((2, 1, 24 * 128)).astype(np.float32)
+    oa, _ = a.process_planes(xs, a.initial_state((2, 1)))
+    ob, _ = b.process_planes(xs, b.initial_state((2, 1)))
+    assert np.abs(np.asarray(oa["re"]) - np.asarray(ob["re"])).max() < 1e-5 * scale
+    assert np.abs(np.asarray(oa["im"]) - np.asarray(ob["im"])).max() < 1e-5 * scale
+
+
+def test_pallas_kernel_odd_sizes(rng):
+    """Steps not divisible by the kernel group size (padding path)."""
+    a = Channelizer(m=128, taps=8, use_pallas=True)
+    b = Channelizer(m=128, taps=8, use_pallas=False)
+    for steps in (1, 7, 9):
+        x = rng.standard_normal((1, steps * 128)).astype(np.float32)
+        oa, _ = a.process(x, a.initial_state((1,)))
+        ob, _ = b.process(x, b.initial_state((1,)))
+        assert np.allclose(
+            np.asarray(oa["re"]), np.asarray(ob["re"]), atol=1e-3
+        ), steps

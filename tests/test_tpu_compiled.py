@@ -100,6 +100,33 @@ def test_compiled_complex_kernel_vs_numpy(setup):
     assert rel < 1e-5, f"complex kernel vs numpy: {rel}"
 
 
+def test_compiled_pfb_kernel_vs_numpy(setup):
+    """The fused PFB fold+DFT Pallas kernel compiled with Mosaic on the
+    chip vs a float64 NumPy weighted-overlap-fold oracle."""
+    import scipy.signal as sps
+
+    from tpu_sdr.kernels.pfb import Channelizer
+
+    m, taps = 128, 8
+    ch = Channelizer(m=m, taps=taps, use_pallas=True)
+    rng = np.random.default_rng(11)
+    x = rng.standard_normal((2, 40 * m)).astype(np.float32)
+    out, _ = ch.process(x, ch.initial_state((2,)))
+    got = np.asarray(out["re"], np.float64) + 1j * np.asarray(
+        out["im"], np.float64
+    )
+    h = np.asarray(ch._h2, np.float64).reshape(-1)
+    xc = np.concatenate([np.zeros((2, (taps - 1) * m)), x], axis=-1)
+    steps = x.shape[-1] // m
+    W = np.exp(-2j * np.pi * np.outer(np.arange(m), np.arange(m)) / m)
+    ref = np.empty((2, steps, m), complex)
+    for n in range(steps):
+        blk = xc[:, n * m : (n + taps) * m] * h
+        ref[:, n] = blk.reshape(2, taps, m).sum(axis=1) @ W
+    rel = np.abs(got - ref).max() / np.abs(ref).max()
+    assert rel < 1e-5, f"compiled pfb vs numpy: {rel}"
+
+
 def test_compiled_pipeline_tone():
     from tpu_sdr import PipelineConfig, FilterMode
     from tpu_sdr.runtime import SpectrumPipeline

@@ -80,22 +80,58 @@ def _fold(x, h2, taps: int, m: int):
     return acc
 
 
-@functools.partial(jax.jit, static_argnames=("taps", "m", "precision", "iq"))
-def _forward(cat, h2, cos, sin, taps: int, m: int, precision, iq: bool):
+@functools.partial(
+    jax.jit,
+    static_argnames=("taps", "m", "precision", "iq", "use_pallas", "kprec"),
+)
+def _forward(
+    cat,
+    h2,
+    cos,
+    sin,
+    taps: int,
+    m: int,
+    precision,
+    iq: bool,
+    use_pallas: bool = False,
+    kprec: str = "highest",
+):
     """Windowed fold + M-point DFT; returns (re, im, new_state)."""
-    folded = _fold(cat, h2, taps, m)
-    if iq:
-        fr, fi = folded[0], folded[1]
-        # (fr + j fi) @ (cos − j sin)
-        re = jnp.matmul(fr, cos, precision=precision) + jnp.matmul(
-            fi, sin, precision=precision
+    if use_pallas and m == 128:
+        # fused Pallas kernel: fold + both DFT matmuls in VMEM
+        # (kernels/pallas/pfb_kernel.py); emits A = f@cos, B = f@sin
+        from tpu_sdr.kernels.pallas.pfb_kernel import pfb_fold_dft
+
+        rows = cat.reshape(cat.shape[:-1] + (-1, m))
+        lead = rows.shape[:-2]
+        flat = rows.reshape((-1,) + rows.shape[-2:])
+        a, b = pfb_fold_dft(
+            flat, h2, cos, sin, taps, m,
+            interpret=jax.default_backend() == "cpu",
+            precision=kprec,
+            neg_b=not iq,  # real input reads (A, -B) straight as (re, im)
         )
-        im = jnp.matmul(fi, cos, precision=precision) - jnp.matmul(
-            fr, sin, precision=precision
-        )
+        a = a.reshape(lead + a.shape[-2:])
+        b = b.reshape(lead + b.shape[-2:])
+        if iq:
+            re = a[0] + b[1]
+            im = a[1] - b[0]
+        else:
+            re, im = a, b
     else:
-        re = jnp.matmul(folded, cos, precision=precision)
-        im = -jnp.matmul(folded, sin, precision=precision)
+        folded = _fold(cat, h2, taps, m)
+        if iq:
+            fr, fi = folded[0], folded[1]
+            # (fr + j fi) @ (cos − j sin)
+            re = jnp.matmul(fr, cos, precision=precision) + jnp.matmul(
+                fi, sin, precision=precision
+            )
+            im = jnp.matmul(fi, cos, precision=precision) - jnp.matmul(
+                fr, sin, precision=precision
+            )
+        else:
+            re = jnp.matmul(folded, cos, precision=precision)
+            im = -jnp.matmul(folded, sin, precision=precision)
     hist = (taps - 1) * m
     new_state = cat[..., cat.shape[-1] - hist :]
     return re, im, new_state
@@ -117,6 +153,7 @@ class Channelizer:
         window: str = "hamming",
         dtype: str = "f32",
         sample_rate: float = 1_000_000.0,
+        use_pallas: bool = True,
     ):
         if m < 2 or taps < 1:
             raise ValueError(f"need m >= 2, taps >= 1; got m={m}, taps={taps}")
@@ -133,6 +170,10 @@ class Channelizer:
         cos, sin = dft_matrices(m)
         self._cos, self._sin = jnp.asarray(cos), jnp.asarray(sin)
         self._precision = _PRECISION[dtype]
+        # Pallas kernel precision: Mosaic exposes default/highest only; the
+        # kernel is HBM-bound so the f32 tier keeps exact-f32 dots for free.
+        self.use_pallas = use_pallas
+        self._kprec = "default" if dtype == "bf16" else "highest"
 
     @property
     def channel_hz(self) -> float:
@@ -160,6 +201,7 @@ class Channelizer:
         re, im, new_state = _forward(
             cat, self._h2, self._cos, self._sin,
             self.taps, self.m, self._precision, iq=False,
+            use_pallas=self.use_pallas, kprec=self._kprec,
         )
         return self._pack(re, im, outputs), new_state
 
@@ -173,6 +215,7 @@ class Channelizer:
         re, im, new_state = _forward(
             cat, self._h2, self._cos, self._sin,
             self.taps, self.m, self._precision, iq=True,
+            use_pallas=self.use_pallas, kprec=self._kprec,
         )
         return self._pack(re, im, outputs), new_state
 
