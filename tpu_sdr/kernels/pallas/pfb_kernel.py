@@ -1,13 +1,18 @@
 """Pallas TPU kernel: fused PFB fold + M-point DFT.
 
-The XLA path of the channelizer (``kernels/pfb.py``) evaluates the
-weighted overlap-fold as P shifted multiply-accumulates over an (R, m)
-rows view — the compiler re-reads the rows array per tap and materializes
-the folded intermediate, putting the op ~3-4x above its HBM floor. This
-kernel keeps a group of G output steps resident in VMEM: one read of the
-group's rows (+ a (taps−1)-row halo), the fold, and both DFT matmuls
-happen in-core; HBM traffic per sample drops to one 4-byte read and two
-4-byte writes.
+This kernel keeps a group of G output steps resident in VMEM: one read
+of the group's rows (+ a (taps−1)-row halo), the weighted overlap-fold,
+and both DFT matmuls happen in-core; HBM traffic per sample is one
+4-byte read and two 4-byte writes.
+
+**Measured: performance-NEUTRAL vs the XLA fold+matmul path** (see
+docs/ARCHITECTURE.md "PFB channelizer"). XLA already keeps the op near
+its HBM floor (~0.23 ms per 8.4-Msample dispatch, ≈1.9x floor, ~30+
+GSPS); a 5-variant interleaved in-process A/B put every pallas/XLA ×
+precision combination inside the ±50% co-tenancy noise band. The
+channelizer therefore defaults to ``use_pallas=False``; this kernel
+stays available (and tested, CPU-interpret + Mosaic-on-chip) for
+HBM-constrained fusion contexts.
 
 Overlap trick: the fold window for group g spans rows
 [g·G, g·G + G + taps − 2] — an overlapping slide that plain BlockSpec

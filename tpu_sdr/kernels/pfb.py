@@ -153,7 +153,7 @@ class Channelizer:
         window: str = "hamming",
         dtype: str = "f32",
         sample_rate: float = 1_000_000.0,
-        use_pallas: bool = True,
+        use_pallas: bool = False,
     ):
         if m < 2 or taps < 1:
             raise ValueError(f"need m >= 2, taps >= 1; got m={m}, taps={taps}")

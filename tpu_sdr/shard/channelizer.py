@@ -64,7 +64,8 @@ class ShardedChannelizer:
                 )
             cat = jnp.concatenate([halo, x_loc], axis=-1)
             re, im, _ = _forward(
-                cat, h2, cos, sin, ch.taps, ch.m, ch._precision, iq=iq
+                cat, h2, cos, sin, ch.taps, ch.m, ch._precision, iq=iq,
+                use_pallas=ch.use_pallas, kprec=ch._kprec,
             )
             return ch._pack(re, im, outputs), new_state
 
