@@ -1,0 +1,115 @@
+"""WelchPSD vs the scipy.signal.welch golden model."""
+
+import numpy as np
+import pytest
+import scipy.signal as sps
+
+from tpu_sdr.runtime.psd import WelchPSD, _median_bias
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(42)
+
+
+def _rel(a, b):
+    return np.abs(a - b).max() / np.abs(b).max()
+
+
+@pytest.mark.parametrize(
+    "kw",
+    [
+        dict(),
+        dict(window="hamming"),
+        dict(window=("kaiser", 8.0)),
+        dict(noverlap=0),
+        dict(noverlap=768),
+        dict(scaling="spectrum"),
+        dict(detrend=False),
+        dict(average="median"),
+        dict(nperseg=1000),  # non-power-of-two segment
+    ],
+)
+def test_welch_matches_scipy_real(rng, kw):
+    fs, nperseg = 1e6, kw.pop("nperseg", 1024)
+    est = WelchPSD(fs=fs, nperseg=nperseg, **kw)
+    t = np.arange(16 * nperseg) / fs
+    x = (
+        0.7 * np.sin(2 * np.pi * 123e3 * t)
+        + 0.05 * rng.standard_normal(t.size)
+        + 0.3  # DC offset exercises detrend
+    ).astype(np.float32)
+    got = np.asarray(est.compute(x), np.float64)
+    f_ref, p_ref = sps.welch(
+        np.asarray(x, np.float64), fs=fs, nperseg=nperseg, **kw
+    )
+    assert got.shape == p_ref.shape
+    assert _rel(got, p_ref) < 2e-5
+    np.testing.assert_allclose(est.frequencies(), f_ref)
+
+
+def test_welch_matches_scipy_complex(rng):
+    fs, nperseg = 1e6, 1024
+    est = WelchPSD(fs=fs, nperseg=nperseg)
+    t = np.arange(8 * nperseg) / fs
+    z = np.exp(2j * np.pi * (-200e3) * t) + 0.1 * (
+        rng.standard_normal(t.size) + 1j * rng.standard_normal(t.size)
+    )
+    z = z.astype(np.complex64)
+    got = np.asarray(
+        est.compute_iq(z.real.copy(), z.imag.copy()), np.float64
+    )
+    f_ref, p_ref = sps.welch(
+        np.asarray(z, np.complex128),
+        fs=fs,
+        nperseg=nperseg,
+        return_onesided=False,
+    )
+    assert got.shape == p_ref.shape
+    assert _rel(got, p_ref) < 2e-5
+    np.testing.assert_allclose(est.frequencies(onesided=False), f_ref)
+    # the tone lands in the negative-frequency half
+    assert f_ref[np.argmax(got)] == pytest.approx(-200e3, abs=fs / nperseg)
+
+
+def test_welch_batched_matches_per_row(rng):
+    est = WelchPSD(fs=1e6, nperseg=512)
+    x = rng.standard_normal((3, 2, 8 * 512)).astype(np.float32)
+    got = np.asarray(est.compute(x))
+    for i in range(3):
+        for j in range(2):
+            row = np.asarray(est.compute(x[i, j]))
+            np.testing.assert_array_equal(got[i, j], row)
+
+
+def test_welch_density_integrates_to_power(rng):
+    """Parseval sanity: integral of the PSD ~= signal variance."""
+    fs = 1e6
+    est = WelchPSD(fs=fs, nperseg=4096, window="hann")
+    x = rng.standard_normal(64 * 4096).astype(np.float32)
+    p = np.asarray(est.compute(x), np.float64)
+    df = fs / 4096
+    assert np.sum(p) * df == pytest.approx(np.var(x), rel=0.05)
+
+
+def test_welch_validation():
+    with pytest.raises(ValueError):
+        WelchPSD(nperseg=1024, noverlap=1024)
+    with pytest.raises(ValueError):
+        WelchPSD(scaling="nope")
+    with pytest.raises(ValueError):
+        WelchPSD(average="mode")
+    with pytest.raises(ValueError):
+        WelchPSD(detrend="linear")
+    est = WelchPSD(nperseg=1024)
+    with pytest.raises(ValueError):
+        est.compute(np.zeros(512, np.float32))
+
+
+def test_median_bias_matches_scipy():
+    try:
+        from scipy.signal._spectral_py import _median_bias as ref
+    except ImportError:  # pragma: no cover - scipy layout drift
+        pytest.skip("scipy private median bias not importable")
+    for n in (1, 2, 3, 5, 16, 31):
+        assert _median_bias(n) == pytest.approx(ref(n))
