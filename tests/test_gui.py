@@ -238,6 +238,41 @@ def test_update_config_and_reset_plot(server):
         _post(srv, "start_receiver")
 
 
+def test_trace_overlays(server):
+    """Peak-hold / average detector traces ride frame_data when enabled."""
+    srv, backend = server
+    q = backend.subscribe()
+    try:
+        assert _post(srv, "update_config", {"traces_enabled": True})["ok"]
+        frames = []
+        deadline = time.time() + 30
+        while time.time() < deadline and len(frames) < 4:
+            try:
+                ev, payload = q.get(timeout=1.0)
+            except Exception:
+                continue
+            d = json.loads(payload) if ev == "frame_data" else None
+            if d and "trace_peak" in d:
+                frames.append(d)
+        assert len(frames) >= 2, "no frames with traces"
+        last = frames[-1]
+        mag = np.array(last["magnitude"])
+        pk = np.array(last["trace_peak"])
+        av = np.array(last["trace_avg"])
+        assert pk.shape == mag.shape == av.shape
+        # peak-hold dominates the live trace (up to emit rounding)
+        assert (pk >= mag - 1e-3).all()
+        # peak-hold is monotone non-decreasing across frames
+        p0 = np.array(frames[0]["trace_peak"])
+        assert (pk >= p0 - 1e-3).all()
+        # disabling drops the fields and clears state
+        assert _post(srv, "update_config", {"traces_enabled": False})["ok"]
+        assert backend._trace_peak is None
+    finally:
+        backend.unsubscribe(q)
+        _post(srv, "update_config", {"traces_enabled": False})
+
+
 def test_roofline_endpoint(server):
     """SURVEY.md §5.1: roofline counters surfaced through the stats channel."""
     srv, backend = server

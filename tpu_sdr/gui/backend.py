@@ -58,6 +58,14 @@ class GuiBackend:
 
         self.waterfall = Waterfall(points=512, depth=160)
         self.waterfall_enabled = True
+        # Peak-hold / EMA-average trace overlays (classic analyzer detector
+        # modes) computed over the decimated display vector; reset whenever
+        # the display signature (mode/range/points) changes.
+        self.traces_enabled = False
+        self.trace_alpha = 0.2
+        self._trace_sig = None
+        self._trace_peak = None
+        self._trace_avg = None
         # Zoom mode: PFB-channelize the raw stream and run a small spectrum
         # pipeline on ONE subchannel (the zoom-FFT workflow, demo_zoom.py).
         # m/taps/fft_size are fixed per session; channel is live-switchable.
@@ -218,6 +226,22 @@ class GuiBackend:
         dec = np.maximum.reduceat(window, edges[:-1])
         freqs_khz = (base + lo + edges[:-1] * 1.0) * fs / n / 1000.0
         peak = int(np.argmax(window))
+        traces = {}
+        if self.traces_enabled:
+            sig = (mode, getattr(self, "_iq", False), base, lo, hi, pts)
+            if sig != self._trace_sig or self._trace_peak is None:
+                self._trace_sig = sig
+                self._trace_peak = dec.astype(np.float64)
+                self._trace_avg = dec.astype(np.float64)
+            else:
+                np.maximum(self._trace_peak, dec, out=self._trace_peak)
+                self._trace_avg += self.trace_alpha * (
+                    dec - self._trace_avg
+                )
+            traces = {
+                "trace_peak": np.round(self._trace_peak, 4).tolist(),
+                "trace_avg": np.round(self._trace_avg, 4).tolist(),
+            }
         # one _fps_window stamp per dispatch; each dispatch carries
         # frames_per_dispatch frames
         incoming_fps = len(self._fps_window) * float(self.frames_per_dispatch)
@@ -226,6 +250,7 @@ class GuiBackend:
             {
                 "freqs_khz": np.round(freqs_khz, 3).tolist(),
                 "magnitude": np.round(dec.astype(np.float64), 4).tolist(),
+                **traces,
                 "peak_bin": (base + lo + peak) % n,
                 "peak_freq_khz": (base + lo + peak) * fs / n / 1000.0,
                 "peak_mag": float(window[peak]),
@@ -502,6 +527,9 @@ class GuiBackend:
         self.waterfall.clear()
         self.sa.stats.reset()
         self._fps_window.clear()
+        self._trace_sig = None
+        self._trace_peak = None
+        self._trace_avg = None
         self.emit("plot_reset", {})
         self.status("plot reset")
 
@@ -509,7 +537,13 @@ class GuiBackend:
         """Reference 'update_config' event: mutate the runtime display
         config (the ``web_config`` dict analog — display rate/points and
         waterfall toggle; never traced shapes)."""
-        known = {"display_fps", "display_points", "waterfall_enabled"}
+        known = {
+            "display_fps",
+            "display_points",
+            "waterfall_enabled",
+            "traces_enabled",
+            "trace_alpha",
+        }
         unknown = sorted(set(cfg) - known)
         # Parse everything BEFORE mutating anything: a malformed field must
         # not leave the config half-applied.
@@ -524,8 +558,16 @@ class GuiBackend:
             )
         if "waterfall_enabled" in cfg:
             updates["waterfall_enabled"] = bool(cfg["waterfall_enabled"])
+        if "traces_enabled" in cfg:
+            updates["traces_enabled"] = bool(cfg["traces_enabled"])
+        if "trace_alpha" in cfg:
+            updates["trace_alpha"] = float(
+                np.clip(float(cfg["trace_alpha"]), 0.01, 1.0)
+            )
         for k, v in updates.items():
             setattr(self, k, v)
+        if updates.get("traces_enabled") is False:
+            self._trace_sig = self._trace_peak = self._trace_avg = None
         if unknown:
             self.status(f"ignored unknown config fields: {unknown}", ok=False)
         else:
