@@ -106,6 +106,82 @@ def test_welch_validation():
         est.compute(np.zeros(512, np.float32))
 
 
+@pytest.mark.parametrize(
+    "kw",
+    [
+        dict(window="hann", noverlap=512),
+        dict(window=("tukey", 0.25), noverlap=128),
+        dict(window="hamming", noverlap=0, detrend=False),
+    ],
+)
+def test_spectrogram_matches_scipy(rng, kw):
+    fs, nperseg = 1e6, 1024
+    est = WelchPSD(fs=fs, nperseg=nperseg, **kw)
+    x = rng.standard_normal(10 * nperseg + 333).astype(np.float32)
+    got = np.asarray(est.spectrogram(x), np.float64)
+    f_ref, t_ref, s_ref = sps.spectrogram(
+        np.asarray(x, np.float64), fs=fs, nperseg=nperseg, mode="psd", **kw
+    )
+    assert got.shape == s_ref.shape
+    assert _rel(got, s_ref) < 2e-5
+    np.testing.assert_allclose(est.segment_times(x.size), t_ref)
+    np.testing.assert_allclose(est.frequencies(), f_ref)
+
+
+def test_spectrogram_iq_matches_scipy(rng):
+    fs, nperseg = 1e6, 512
+    est = WelchPSD(fs=fs, nperseg=nperseg, noverlap=nperseg // 2)
+    z = (
+        rng.standard_normal(8 * nperseg) + 1j * rng.standard_normal(8 * nperseg)
+    ).astype(np.complex64)
+    got = np.asarray(est.spectrogram(z.real.copy(), z.imag.copy()), np.float64)
+    _, _, s_ref = sps.spectrogram(
+        np.asarray(z, np.complex128),
+        fs=fs,
+        nperseg=nperseg,
+        noverlap=nperseg // 2,
+        window="hann",
+        mode="psd",
+        return_onesided=False,
+    )
+    assert got.shape == s_ref.shape
+    assert _rel(got, s_ref) < 2e-5
+
+
+@pytest.mark.parametrize("mesh_shape", [(1, 2), (2, 1), (2, 4), (1, 8)])
+@pytest.mark.parametrize("noverlap", [0, 256])
+def test_sharded_welch_equals_single(rng, mesh_shape, noverlap):
+    from tpu_sdr.shard import ShardedWelchPSD, make_sdr_mesh
+
+    est = WelchPSD(fs=1e6, nperseg=512, noverlap=noverlap)
+    c_ax, t_ax = mesh_shape
+    mesh = make_sdr_mesh(channel=c_ax, time=t_ax)
+    sh = ShardedWelchPSD(est, mesh)
+    x = rng.standard_normal((4, 16 * 512)).astype(np.float32)
+    got = np.asarray(sh.compute(x), np.float64)
+    ref = np.asarray(est.compute(x), np.float64)
+    assert got.shape == ref.shape
+    assert _rel(got, ref) < 1e-6
+    # IQ planes too
+    xs = rng.standard_normal((2, 4, 16 * 512)).astype(np.float32)
+    got = np.asarray(sh.compute_iq(xs), np.float64)
+    ref = np.asarray(est.compute_iq(xs[0], xs[1]), np.float64)
+    assert _rel(got, ref) < 1e-6
+
+
+def test_sharded_welch_validation(rng):
+    from tpu_sdr.shard import ShardedWelchPSD, make_sdr_mesh
+
+    mesh = make_sdr_mesh(channel=1, time=8)
+    with pytest.raises(ValueError):
+        ShardedWelchPSD(WelchPSD(average="median"), mesh)
+    sh = ShardedWelchPSD(WelchPSD(nperseg=512), mesh)
+    with pytest.raises(ValueError):  # per-shard slice < nperseg
+        sh.compute(np.zeros((1, 8 * 256), np.float32))
+    with pytest.raises(ValueError):  # T doesn't divide over shards
+        sh.compute(np.zeros((1, 7 * 512), np.float32))
+
+
 def test_median_bias_matches_scipy():
     try:
         from scipy.signal._spectral_py import _median_bias as ref

@@ -68,6 +68,7 @@ def _welch(
     average: str,
     precision,
 ):
+    """average: 'mean' | 'median' | 'none' (per-segment, (.., nseg, nfreq))."""
     idx = jnp.arange(nseg)[:, None] * step + jnp.arange(nperseg)[None, :]
     planes = (xr,) if xi is None else (xr, xi)
     frames = []
@@ -93,6 +94,8 @@ def _welch(
         )
     if average == "median":
         est = jnp.median(p2, axis=-2) / _median_bias(nseg)
+    elif average == "none":
+        est = p2
     else:
         est = jnp.mean(p2, axis=-2)
     return est * scale
@@ -194,3 +197,32 @@ class WelchPSD:
             jnp.asarray(xi, jnp.float32),
             onesided=False,
         )
+
+    def segment_times(self, nsamples: int) -> np.ndarray:
+        """Segment-center timestamps (scipy.signal.spectrogram's t)."""
+        k = self.segment_count(nsamples)
+        return (np.arange(k) * self.step + self.nperseg / 2.0) / self.fs
+
+    def spectrogram(self, x, xi=None) -> jnp.ndarray:
+        """Per-segment PSD, ``scipy.signal.spectrogram(mode='psd')``
+        semantics: (..., T) -> Sxx (..., nfreq, nseg) — the frequency axis
+        before time, like SciPy. Pair with ``frequencies()`` and
+        ``segment_times()`` for the axes. ``xi`` switches to IQ planes
+        (two-sided, unshifted)."""
+        xr = jnp.asarray(x, jnp.float32)
+        nseg = self.segment_count(xr.shape[-1])
+        sxx = _welch(
+            xr,
+            None if xi is None else jnp.asarray(xi, jnp.float32),
+            self._w,
+            self._plan,
+            jnp.float32(self._scale),
+            nperseg=self.nperseg,
+            step=self.step,
+            nseg=nseg,
+            detrend=self.detrend,
+            onesided=xi is None,
+            average="none",
+            precision=self._precision,
+        )
+        return jnp.swapaxes(sxx, -1, -2)

@@ -2,3 +2,4 @@ from tpu_sdr.shard.mesh import make_sdr_mesh  # noqa: F401
 from tpu_sdr.shard.pipeline import ShardedSpectrumPipeline  # noqa: F401
 from tpu_sdr.shard.latency import LatencyPipeline  # noqa: F401
 from tpu_sdr.shard.channelizer import ShardedChannelizer  # noqa: F401
+from tpu_sdr.shard.psd import ShardedWelchPSD  # noqa: F401
