@@ -1,0 +1,214 @@
+"""Digital down-converter (DDC): NCO mixer + polyphase decimating FIR.
+
+Capability extension — the tunable zoom front-end the reference lacks
+(its only narrowband tool is the monolithic 16K FFT;
+``scripts/fft_analyzer_gui.py`` zooms by cropping display bins). The DDC
+translates an arbitrary center frequency to baseband and decimates by R:
+
+    y[n]   = x[n] * exp(-2j*pi*fc/fs * n)          (mix)
+    out[m] = (h (*) y)[(m+1)*R - 1]                (filter + decimate)
+
+i.e. each output is the causal FIR output at the last sample of each
+R-block — ``scipy.signal.lfilter(h, 1, y)[R-1::R]`` is the golden model
+(tests/test_ddc.py, float64 oracle).
+
+TPU-first mapping:
+- **NCO phase accuracy**: naive ``frac(n * fc/fs)`` in f32 is garbage for
+  n ~ 1e6 (ulp(5e5) ≈ 0.03 cycles). The host computes, in float64, a
+  per-output-step table ``frac((offset + i*R) * fc/fs)`` and a one-block
+  ramp ``frac(j * fc/fs)``; the device adds the two f32 tables and takes
+  ``frac`` again — every phase is exact to f32 ulp-of-1 (~6e-8 cycles,
+  spurs < -140 dBc) for any stream length. The absolute sample offset
+  rides the streaming state as a host integer (exact).
+- **Polyphase fold**: the decimating FIR is the PFB fold with the branch
+  axis summed — P shifted multiply-accumulates over an (steps, R) layout
+  (VPU), no per-sample loop, then a sum over R. h is reversed into
+  ``h2[p, r] = h[(P-1-p)R + (R-1-r)]`` so the fold IS the causal
+  convolution above.
+- Streaming state carries the last (P-1)*R MIXED samples (re/im planes),
+  so chunked processing is bit-identical to one-shot (tested) and the
+  mixer never re-touches old samples.
+
+Real and IQ input both produce complex baseband planes at fs/R; complex
+dtypes never reach the device (re/im planes throughout).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+
+def design_decimation_fir(
+    r: int, taps_per_phase: int = 8, window: str = "hamming"
+) -> np.ndarray:
+    """Lowpass anti-alias FIR for decimation by r: length taps_per_phase*r,
+    cutoff fs/(2r), unit DC gain (float64)."""
+    import scipy.signal as sps
+
+    h = sps.firwin(taps_per_phase * r, cutoff=1.0 / r, window=window)
+    return (h / h.sum()).astype(np.float64)
+
+
+@functools.partial(jax.jit, static_argnames=("p", "r", "iq"))
+def _ddc_forward(x, tail_re, tail_im, bp, ramp, h2, p: int, r: int, iq: bool):
+    """Mix + fold-decimate one chunk.
+
+    x: (..., T) real or (2, ..., T) IQ planes; tail_*: (..., (p-1)*r) mixed
+    history; bp: (steps,) f32 block phases; ramp: (r,) f32 in-block phases.
+    Returns (out_re, out_im, new_tail_re, new_tail_im)."""
+    t = x.shape[-1]
+    steps = t // r
+    ph = bp[:, None] + ramp[None, :]
+    ph = ph - jnp.floor(ph)
+    ang = (2.0 * np.pi) * ph.reshape(-1)  # (T,)
+    c, s = jnp.cos(ang), jnp.sin(ang)
+    if iq:
+        xr, xi = x[0], x[1]
+        yre = xr * c + xi * s
+        yim = xi * c - xr * s
+    else:
+        yre = x * c
+        yim = -(x * s)
+    hist = (p - 1) * r
+    outs = []
+    for y, tail in ((yre, tail_re), (yim, tail_im)):
+        cat = jnp.concatenate([tail, y], axis=-1) if hist else y
+        rows = cat.reshape(cat.shape[:-1] + (-1, r))
+        acc = rows[..., 0:steps, :] * h2[0]
+        for tp in range(1, p):
+            acc = acc + rows[..., tp : tp + steps, :] * h2[tp]
+        outs.append(jnp.sum(acc, axis=-1))
+    new_tail_re = yre[..., t - hist :] if hist else tail_re
+    new_tail_im = yim[..., t - hist :] if hist else tail_im
+    return outs[0], outs[1], new_tail_re, new_tail_im
+
+
+class DDCState:
+    """Streaming state: mixed-sample tails (device) + absolute sample
+    offset (host integer — exact for any stream length)."""
+
+    def __init__(self, tail_re, tail_im, offset: int = 0):
+        self.tail_re = tail_re
+        self.tail_im = tail_im
+        self.offset = int(offset)
+
+    def to_numpy(self) -> dict:
+        return {
+            "tail_re": np.asarray(self.tail_re),
+            "tail_im": np.asarray(self.tail_im),
+            "offset": np.int64(self.offset),
+        }
+
+    @classmethod
+    def from_numpy(cls, d: dict) -> "DDCState":
+        return cls(
+            jnp.asarray(d["tail_re"]),
+            jnp.asarray(d["tail_im"]),
+            int(d["offset"]),
+        )
+
+
+class DDC:
+    """Streaming digital down-converter.
+
+    Parameters: ``fs`` input rate, ``center_hz`` NCO frequency (any sign;
+    retunable), ``decimation`` R, ``fir`` an explicit FIR (zero-padded to
+    a multiple of R) or None for a ``design_decimation_fir`` lowpass with
+    ``taps_per_phase`` taps per branch. Output rate is fs/R.
+    """
+
+    def __init__(
+        self,
+        fs: float = 1_000_000.0,
+        center_hz: float = 100_000.0,
+        decimation: int = 8,
+        fir: np.ndarray | None = None,
+        taps_per_phase: int = 8,
+        window: str = "hamming",
+    ):
+        if decimation < 1:
+            raise ValueError(f"decimation must be >= 1; got {decimation}")
+        self.fs = float(fs)
+        self.r = int(decimation)
+        if fir is None:
+            # R=1 has no aliasing to suppress: pure mixer (passthrough FIR)
+            fir = (
+                np.ones(1)
+                if self.r == 1
+                else design_decimation_fir(self.r, taps_per_phase, window)
+            )
+        h = np.asarray(fir, np.float64).reshape(-1)
+        if h.size % self.r:
+            h = np.pad(h, (0, self.r - h.size % self.r))
+        self.fir = h
+        self.p = h.size // self.r
+        # h2[p, r] = h[(P-1-p)R + (R-1-r)]: the fold == causal convolution
+        self._h2 = jnp.asarray(
+            h[::-1].reshape(self.p, self.r), jnp.float32
+        )
+        self.retune(center_hz)
+
+    @property
+    def history_len(self) -> int:
+        return (self.p - 1) * self.r
+
+    @property
+    def output_rate(self) -> float:
+        return self.fs / self.r
+
+    def retune(self, center_hz: float):
+        """Change the NCO frequency (takes effect next chunk; the carrier
+        phase restarts from the absolute-sample-index grid of the new
+        frequency — no phase continuity across a retune)."""
+        self.center_hz = float(center_hz)
+        self._dphi = self.center_hz / self.fs
+
+    def initial_state(self, batch_shape: tuple = ()) -> DDCState:
+        z = jnp.zeros(tuple(batch_shape) + (self.history_len,), jnp.float32)
+        return DDCState(z, z, 0)
+
+    def _phase_tables(self, offset: int, steps: int):
+        i = offset + np.arange(steps, dtype=np.float64) * self.r
+        bp = np.mod(i * self._dphi, 1.0)
+        ramp = np.mod(np.arange(self.r, dtype=np.float64) * self._dphi, 1.0)
+        return (
+            jnp.asarray(bp, jnp.float32),
+            jnp.asarray(ramp, jnp.float32),
+        )
+
+    def _process(self, x, state: DDCState, iq: bool):
+        t = x.shape[-1]
+        if t % self.r:
+            raise ValueError(f"chunk length {t} not a multiple of R={self.r}")
+        batch = x.shape[1:-1] if iq else x.shape[:-1]
+        want = tuple(batch) + (self.history_len,)
+        if tuple(state.tail_re.shape) != want:
+            raise ValueError(
+                f"state shape {tuple(state.tail_re.shape)} != {want}"
+            )
+        bp, ramp = self._phase_tables(state.offset, t // self.r)
+        ore, oim, tre, tim = _ddc_forward(
+            jnp.asarray(x, jnp.float32),
+            state.tail_re,
+            state.tail_im,
+            bp,
+            ramp,
+            self._h2,
+            p=self.p,
+            r=self.r,
+            iq=iq,
+        )
+        return {"re": ore, "im": oim}, DDCState(tre, tim, state.offset + t)
+
+    def process(self, x, state: DDCState):
+        """Real input (..., T) -> complex baseband planes (..., T/R)."""
+        return self._process(x, state, iq=False)
+
+    def process_planes(self, xs, state: DDCState):
+        """IQ planes (2, ..., T) -> complex baseband planes (..., T/R)."""
+        return self._process(xs, state, iq=True)
