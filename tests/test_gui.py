@@ -360,6 +360,46 @@ def test_zoom_mode_events():
     assert abs(est_hz - f_tone) < z["hz_per_bin"], (est_hz, f_tone)
 
 
+def test_zoom_ddc_mode_events():
+    """DDC zoom: arbitrary (off-grid) center frequency; the zoom_frame
+    peak recovers the tone offset from the tuned center."""
+    fs = 1e6
+    center_khz = 217.7  # not on the 7.8125 kHz PFB subchannel grid
+    f_tone = center_khz * 1e3 + 512.0
+    backend = GuiBackend(
+        analyzer=SpectrumAnalyzer(PipelineConfig(channels=1)),
+        source=SyntheticSource(tones_hz=((f_tone, 0.5),), noise=0.001),
+        display_fps=1000.0,
+    )
+    q = backend.subscribe()
+    r = backend.set_zoom(
+        {"enabled": True, "mode": "ddc", "center_khz": center_khz,
+         "decimation": 128}
+    )
+    assert r["ok"] and r["zoom"]["mode"] == "ddc"
+    backend.start_receiver()
+    try:
+        deadline = time.time() + 60
+        zooms = []
+        while time.time() < deadline and len(zooms) < 2:
+            try:
+                event, payload = q.get(timeout=1.0)
+            except Exception:
+                continue
+            if event == "zoom_frame":
+                zooms.append(json.loads(payload))
+    finally:
+        backend.stop_receiver()
+        backend.unsubscribe(q)
+    assert len(zooms) >= 2, "no ddc zoom frames produced"
+    z = zooms[-1]
+    assert z["mode"] == "ddc"
+    assert z["center_khz"] == pytest.approx(center_khz)
+    assert z["span_hz"] == pytest.approx(fs / 128)
+    est_hz = z["center_khz"] * 1e3 + z["peak_offset_hz"]
+    assert abs(est_hz - f_tone) < z["hz_per_bin"], (est_hz, f_tone)
+
+
 def test_zoom_validation_and_state():
     backend = GuiBackend(
         analyzer=SpectrumAnalyzer(PipelineConfig(channels=1)),
@@ -367,6 +407,14 @@ def test_zoom_validation_and_state():
     )
     with pytest.raises(ValueError, match="zoom channel"):
         backend.set_zoom({"channel": 128})
+    with pytest.raises(ValueError, match="zoom mode"):
+        backend.set_zoom({"mode": "nope"})
+    with pytest.raises(ValueError, match="zoom center"):
+        backend.set_zoom({"mode": "ddc", "center_khz": 900.0})
+    with pytest.raises(ValueError, match="zoom decimation"):
+        backend.set_zoom({"mode": "ddc", "decimation": 1})
+    # a rejected update must not half-apply (atomic)
+    assert backend.zoom_cfg["mode"] == "pfb"
     r = backend.set_zoom({"enabled": True, "channel": 5})
     assert r["zoom"]["channel"] == 5
     st = backend.get_state()

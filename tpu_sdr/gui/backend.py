@@ -71,7 +71,10 @@ class GuiBackend:
         # m/taps/fft_size are fixed per session; channel is live-switchable.
         self.zoom_cfg = {
             "enabled": False,
+            "mode": "pfb",  # 'pfb' (subchannel grid) | 'ddc' (any center)
             "channel": 32,
+            "center_hz": 250_000.0,
+            "decimation": 128,
             "m": 128,
             "taps": 8,
             "fft_size": 1024,
@@ -266,34 +269,87 @@ class GuiBackend:
 
     def _zoom_runtime(self, iq: bool) -> dict:
         """Build (or rebuild after set_zoom/source-type change) the zoom
-        chain: channelizer + small spectrum pipeline + carried states."""
+        chain: channelizer-or-DDC + small spectrum pipeline + states."""
         rt = self._zoom_rt
         if rt is not None and rt["gen"] == self._zoom_gen and rt["iq"] == iq:
             return rt
-        from tpu_sdr.kernels.pfb import Channelizer
         from tpu_sdr.runtime import SpectrumPipeline
 
         zc = self.zoom_cfg
-        m, taps, nz = zc["m"], zc["taps"], zc["fft_size"]
+        nz = zc["fft_size"]
         fs = self.sa.cfg.sample_rate
-        ch = Channelizer(m=m, taps=taps, sample_rate=fs)
-        # 1024-pt zoom FFT = 32x32 four-step at the subchannel rate fs/m
+        if zc["mode"] == "ddc":
+            from tpu_sdr.kernels.ddc import DDC
+
+            front = DDC(
+                fs=fs, center_hz=zc["center_hz"], decimation=zc["decimation"]
+            )
+            front_state = front.initial_state((2,) if iq else ())
+            sub_rate = front.output_rate
+        else:
+            from tpu_sdr.kernels.pfb import Channelizer
+
+            front = Channelizer(m=zc["m"], taps=zc["taps"], sample_rate=fs)
+            front_state = front.initial_state((2,) if iq else ())
+            sub_rate = fs / zc["m"]
+        # 1024-pt zoom FFT = 32x32 four-step at the decimated rate
         pipe = SpectrumPipeline(
             PipelineConfig(
                 fft_size=nz, fft_n1=32, fft_n2=32, channels=1,
-                sample_rate=fs / m,
+                sample_rate=sub_rate,
             )
         )
         self._zoom_rt = {
             "gen": self._zoom_gen,
             "iq": iq,
-            "ch": ch,
+            "front": front,
             "pipe": pipe,
-            "ch_state": ch.initial_state((2,) if iq else ()),
+            "front_state": front_state,
             "pipe_state": pipe.initial_state(batch_shape=(2,)),
             "buf": np.zeros(0, np.complex64),
+            "raw": np.zeros(0, np.complex64 if iq else np.float32),
         }
         return self._zoom_rt
+
+    def _zoom_front(self, rt: dict, xn: np.ndarray, iq: bool) -> np.ndarray:
+        """Run one raw chunk through the zoom front-end (PFB subchannel or
+        DDC); returns the new complex baseband samples."""
+        zc = self.zoom_cfg
+        front = rt["front"]
+        if zc["mode"] == "ddc":
+            # DDC consumes multiples of R; carry the remainder host-side
+            r = zc["decimation"]
+            buf = np.concatenate([rt["raw"], xn])
+            take = (buf.shape[0] // r) * r
+            rt["raw"] = buf[take:]
+            if not take:
+                return np.zeros(0, np.complex64)
+            chunk = buf[:take]
+            if iq:
+                planes = np.stack([chunk.real, chunk.imag]).astype(np.float32)
+                out, rt["front_state"] = front.process_planes(
+                    planes, rt["front_state"]
+                )
+            else:
+                out, rt["front_state"] = front.process(
+                    chunk.astype(np.float32), rt["front_state"]
+                )
+            return (
+                np.asarray(out["re"]) + 1j * np.asarray(out["im"])
+            ).astype(np.complex64)
+        k = int(zc["channel"]) % zc["m"]
+        if iq:
+            planes = np.stack([xn.real, xn.imag]).astype(np.float32)
+            out, rt["front_state"] = front.process_planes(
+                planes, rt["front_state"]
+            )
+        else:
+            out, rt["front_state"] = front.process(
+                xn.astype(np.float32), rt["front_state"]
+            )
+        return (
+            np.asarray(out["re"])[..., k] + 1j * np.asarray(out["im"])[..., k]
+        ).astype(np.complex64)
 
     def _zoom_step(self, x):
         """Channelize one raw chunk, accumulate the selected subchannel,
@@ -303,18 +359,8 @@ class GuiBackend:
         xn = np.asarray(x).reshape(-1)  # single-stream tap
         iq = bool(np.iscomplexobj(xn))
         rt = self._zoom_runtime(iq)
-        ch, zc = rt["ch"], self.zoom_cfg
-        k = int(zc["channel"]) % zc["m"]
-        if iq:
-            planes = np.stack([xn.real, xn.imag]).astype(np.float32)
-            out, rt["ch_state"] = ch.process_planes(planes, rt["ch_state"])
-        else:
-            out, rt["ch_state"] = ch.process(
-                xn.astype(np.float32), rt["ch_state"]
-            )
-        sub = (
-            np.asarray(out["re"])[..., k] + 1j * np.asarray(out["im"])[..., k]
-        ).astype(np.complex64)
+        zc = self.zoom_cfg
+        sub = self._zoom_front(rt, xn, iq)
         rt["buf"] = np.concatenate([rt["buf"], sub])
         nz = zc["fft_size"]
         while rt["buf"].shape[0] >= nz:
@@ -322,22 +368,30 @@ class GuiBackend:
             zout, rt["pipe_state"] = rt["pipe"].process(
                 frame[None, :], rt["pipe_state"], FM.BYPASS
             )
-            self._emit_zoom_frame(np.asarray(zout["magnitude"])[0, -1], k)
+            self._emit_zoom_frame(
+                np.asarray(zout["magnitude"])[0, -1],
+                int(zc["channel"]) % zc["m"],
+            )
 
     def _emit_zoom_frame(self, mag: np.ndarray, k: int):
         zc = self.zoom_cfg
         fs = self.sa.cfg.sample_rate
-        sub_rate = fs / zc["m"]
         nz = zc["fft_size"]
-        center_hz = k * sub_rate
-        if getattr(self, "_iq", False) and center_hz > fs / 2:
-            center_hz -= fs  # IQ subchannels wrap to negative frequencies
+        if zc["mode"] == "ddc":
+            sub_rate = fs / zc["decimation"]
+            center_hz = zc["center_hz"]
+        else:
+            sub_rate = fs / zc["m"]
+            center_hz = k * sub_rate
+            if getattr(self, "_iq", False) and center_hz > fs / 2:
+                center_hz -= fs  # IQ subchannels wrap to negative frequencies
         view = np.fft.fftshift(mag)  # subchannel stream is complex baseband
         offs = (np.arange(nz) - nz // 2) * (sub_rate / nz)
         peak = int(np.argmax(view))
         self.emit(
             "zoom_frame",
             {
+                "mode": zc["mode"],
                 "channel": k,
                 "center_khz": round(center_hz / 1e3, 3),
                 "span_hz": sub_rate,
@@ -351,30 +405,61 @@ class GuiBackend:
         )
 
     def set_zoom(self, cfg: dict) -> dict:
-        """Enable/disable zoom and pick the subchannel; ``m``/``taps``/
+        """Enable/disable zoom, pick the front-end ('pfb' subchannel grid
+        or 'ddc' arbitrary center), and its tuning; ``m``/``taps``/
         ``fft_size`` are session-fixed (traced shapes)."""
-        known = {"enabled", "channel"}
+        known = {"enabled", "mode", "channel", "center_khz", "decimation"}
         unknown = sorted(set(cfg) - known)
         if unknown:
             self.status(f"ignored unknown zoom fields: {unknown}", ok=False)
+        fs = self.sa.cfg.sample_rate
+        # Validate everything BEFORE mutating (atomic, like update_config).
+        updates = {}
+        if "mode" in cfg:
+            mode = str(cfg["mode"]).lower()
+            if mode not in ("pfb", "ddc"):
+                raise ValueError(f"zoom mode must be 'pfb' or 'ddc'; got {mode!r}")
+            updates["mode"] = mode
         if "channel" in cfg:
             ch = int(cfg["channel"])
             if not (0 <= ch < self.zoom_cfg["m"]):
                 raise ValueError(
                     f"zoom channel must be in [0, {self.zoom_cfg['m']})"
                 )
-            self.zoom_cfg["channel"] = ch
+            updates["channel"] = ch
+        if "center_khz" in cfg:
+            c = float(cfg["center_khz"]) * 1e3
+            if not (-fs / 2 <= c <= fs / 2):
+                raise ValueError(
+                    f"zoom center must be within +/-{fs / 2e3:.0f} kHz"
+                )
+            updates["center_hz"] = c
+        if "decimation" in cfg:
+            r = int(cfg["decimation"])
+            if not (2 <= r <= self.zoom_cfg["fft_size"] * 16):
+                raise ValueError(f"zoom decimation out of range: {r}")
+            updates["decimation"] = r
         if "enabled" in cfg:
-            self.zoom_cfg["enabled"] = bool(cfg["enabled"])
-        self._zoom_gen += 1  # rebuild states: channel switch restarts clean
-        sub_rate = self.sa.cfg.sample_rate / self.zoom_cfg["m"]
-        if self.zoom_cfg["enabled"]:
-            self.status(
-                f"zoom on: channel {self.zoom_cfg['channel']} "
-                f"({self.zoom_cfg['channel'] * sub_rate / 1e3:.1f} kHz, "
-                f"span {sub_rate / 1e3:.2f} kHz, "
-                f"{sub_rate / self.zoom_cfg['fft_size']:.2f} Hz/bin)"
-            )
+            updates["enabled"] = bool(cfg["enabled"])
+        self.zoom_cfg.update(updates)
+        self._zoom_gen += 1  # rebuild states: any retune restarts clean
+        zc = self.zoom_cfg
+        if zc["enabled"]:
+            if zc["mode"] == "ddc":
+                sub_rate = fs / zc["decimation"]
+                self.status(
+                    f"zoom on (ddc): {zc['center_hz'] / 1e3:.1f} kHz, "
+                    f"span {sub_rate / 1e3:.2f} kHz, "
+                    f"{sub_rate / zc['fft_size']:.2f} Hz/bin"
+                )
+            else:
+                sub_rate = fs / zc["m"]
+                self.status(
+                    f"zoom on: channel {zc['channel']} "
+                    f"({zc['channel'] * sub_rate / 1e3:.1f} kHz, "
+                    f"span {sub_rate / 1e3:.2f} kHz, "
+                    f"{sub_rate / zc['fft_size']:.2f} Hz/bin)"
+                )
         else:
             self.status("zoom off")
         return {"ok": True, "zoom": dict(self.zoom_cfg)}
