@@ -66,6 +66,23 @@ def test_chunked_equals_oneshot_bitwise(rng):
     assert st.offset == s_full.offset
 
 
+def test_chunks_shorter_than_history_bitwise(rng):
+    """Regression: chunks shorter than the (P-1)*R history must keep the
+    older history's remainder in the carried tail (chunked == one-shot)."""
+    ddc = DDC(fs=1e6, center_hz=250e3, decimation=8)  # hist = 56
+    x = rng.standard_normal(40 * 8).astype(np.float32)
+    o_full, s_full = ddc.process(x, ddc.initial_state(()))
+    st = ddc.initial_state(())
+    parts = []
+    for lo, hi in ((0, 32), (32, 48), (48, 64), (64, x.size)):  # 32 < 56
+        o, st = ddc.process(x[lo:hi], st)
+        parts.append(np.asarray(o["re"]))
+    got = np.concatenate(parts, axis=-1)
+    assert np.array_equal(got, np.asarray(o_full["re"]))
+    assert np.array_equal(np.asarray(st.tail_re), np.asarray(s_full.tail_re))
+    assert np.array_equal(np.asarray(st.tail_im), np.asarray(s_full.tail_im))
+
+
 def test_long_stream_phase_accuracy():
     """The f64 host phase tables keep the NCO exact over millions of
     samples — a tone at fc lands at DC with < -100 dBc wobble."""

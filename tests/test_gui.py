@@ -400,6 +400,44 @@ def test_zoom_ddc_mode_events():
     assert abs(est_hz - f_tone) < z["hz_per_bin"], (est_hz, f_tone)
 
 
+def test_zoom_ddc_mode_iq_source():
+    """Regression: DDC zoom with an IQ source (the DDC state excludes the
+    plane axis, unlike the Channelizer) — must produce frames, and a
+    negative center must resolve the tone."""
+    fs = 1e6
+    center_khz = -150.3
+    f_tone = center_khz * 1e3 + 700.0
+    backend = GuiBackend(
+        analyzer=SpectrumAnalyzer(PipelineConfig(channels=1)),
+        source=SyntheticSource(tones_hz=((f_tone, 0.5),), noise=0.001, iq=True),
+        display_fps=1000.0,
+    )
+    q = backend.subscribe()
+    backend.set_zoom(
+        {"enabled": True, "mode": "ddc", "center_khz": center_khz,
+         "decimation": 128}
+    )
+    backend.start_receiver()
+    try:
+        deadline = time.time() + 60
+        zooms = []
+        while time.time() < deadline and len(zooms) < 2:
+            try:
+                event, payload = q.get(timeout=1.0)
+            except Exception:
+                continue
+            if event == "zoom_frame":
+                zooms.append(json.loads(payload))
+    finally:
+        backend.stop_receiver()
+        backend.unsubscribe(q)
+    assert backend.zoom_cfg["enabled"], "zoom self-disabled on IQ source"
+    assert len(zooms) >= 2, "no ddc zoom frames from IQ source"
+    z = zooms[-1]
+    est_hz = z["center_khz"] * 1e3 + z["peak_offset_hz"]
+    assert abs(est_hz - f_tone) < z["hz_per_bin"], (est_hz, f_tone)
+
+
 def test_zoom_validation_and_state():
     backend = GuiBackend(
         analyzer=SpectrumAnalyzer(PipelineConfig(channels=1)),

@@ -287,3 +287,18 @@ def test_pallas_kernel_odd_sizes(rng):
         assert np.allclose(
             np.asarray(oa["re"]), np.asarray(ob["re"]), atol=1e-3
         ), steps
+
+
+@pytest.mark.parametrize("taps", [2, 9, 20, 33])
+def test_pallas_kernel_taps_where_halo_pad_not_dividing_group(rng, taps):
+    """Regression: taps whose halo pad (taps-1 rounded to 8) does NOT
+    divide the default 256-step group — the halo BlockSpec offset must
+    still land on the right rows (steps > group exercises group >1)."""
+    a = Channelizer(m=128, taps=taps, use_pallas=True)
+    b = Channelizer(m=128, taps=taps, use_pallas=False)
+    x = rng.standard_normal((1, 300 * 128)).astype(np.float32)
+    oa, _ = a.process(x, a.initial_state((1,)))
+    ob, _ = b.process(x, b.initial_state((1,)))
+    scale = np.abs(np.asarray(ob["re"])).max()
+    err = np.abs(np.asarray(oa["re"]) - np.asarray(ob["re"])).max()
+    assert err < 1e-5 * scale, (taps, err / scale)

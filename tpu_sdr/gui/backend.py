@@ -231,19 +231,20 @@ class GuiBackend:
         peak = int(np.argmax(window))
         traces = {}
         if self.traces_enabled:
+            # snapshot to locals: the HTTP thread may null these concurrently
+            # (update_config/reset_plot); compute on locals, assign back once
             sig = (mode, getattr(self, "_iq", False), base, lo, hi, pts)
-            if sig != self._trace_sig or self._trace_peak is None:
-                self._trace_sig = sig
-                self._trace_peak = dec.astype(np.float64)
-                self._trace_avg = dec.astype(np.float64)
+            pk, av = self._trace_peak, self._trace_avg
+            if sig != self._trace_sig or pk is None or av is None:
+                pk = dec.astype(np.float64)
+                av = dec.astype(np.float64)
             else:
-                np.maximum(self._trace_peak, dec, out=self._trace_peak)
-                self._trace_avg += self.trace_alpha * (
-                    dec - self._trace_avg
-                )
+                pk = np.maximum(pk, dec)
+                av = av + self.trace_alpha * (dec - av)
+            self._trace_sig, self._trace_peak, self._trace_avg = sig, pk, av
             traces = {
-                "trace_peak": np.round(self._trace_peak, 4).tolist(),
-                "trace_avg": np.round(self._trace_avg, 4).tolist(),
+                "trace_peak": np.round(pk, 4).tolist(),
+                "trace_avg": np.round(av, 4).tolist(),
             }
         # one _fps_window stamp per dispatch; each dispatch carries
         # frames_per_dispatch frames
@@ -275,7 +276,7 @@ class GuiBackend:
             return rt
         from tpu_sdr.runtime import SpectrumPipeline
 
-        zc = self.zoom_cfg
+        zc = dict(self.zoom_cfg)  # snapshot: set_zoom can mutate mid-step
         nz = zc["fft_size"]
         fs = self.sa.cfg.sample_rate
         if zc["mode"] == "ddc":
@@ -284,14 +285,20 @@ class GuiBackend:
             front = DDC(
                 fs=fs, center_hz=zc["center_hz"], decimation=zc["decimation"]
             )
-            front_state = front.initial_state((2,) if iq else ())
+            # DDC batch excludes the plane axis (planes (2, T) <-> state (hist,))
+            front_state = front.initial_state(())
             sub_rate = front.output_rate
+            center_hz = zc["center_hz"]
         else:
             from tpu_sdr.kernels.pfb import Channelizer
 
             front = Channelizer(m=zc["m"], taps=zc["taps"], sample_rate=fs)
             front_state = front.initial_state((2,) if iq else ())
             sub_rate = fs / zc["m"]
+            k = int(zc["channel"]) % zc["m"]
+            center_hz = k * sub_rate
+            if iq and center_hz > fs / 2:
+                center_hz -= fs  # IQ subchannels wrap to negative freqs
         # 1024-pt zoom FFT = 32x32 four-step at the decimated rate
         pipe = SpectrumPipeline(
             PipelineConfig(
@@ -302,6 +309,9 @@ class GuiBackend:
         self._zoom_rt = {
             "gen": self._zoom_gen,
             "iq": iq,
+            "cfg": zc,  # the config this runtime was BUILT for
+            "sub_rate": sub_rate,
+            "center_hz": center_hz,
             "front": front,
             "pipe": pipe,
             "front_state": front_state,
@@ -311,11 +321,26 @@ class GuiBackend:
         }
         return self._zoom_rt
 
+    @staticmethod
+    def _run_front(rt: dict, arr: np.ndarray, iq: bool) -> dict:
+        """Dispatch one chunk to the front-end (real vs IQ planes)."""
+        if iq:
+            planes = np.stack([arr.real, arr.imag]).astype(np.float32)
+            out, rt["front_state"] = rt["front"].process_planes(
+                planes, rt["front_state"]
+            )
+        else:
+            out, rt["front_state"] = rt["front"].process(
+                arr.astype(np.float32), rt["front_state"]
+            )
+        return out
+
     def _zoom_front(self, rt: dict, xn: np.ndarray, iq: bool) -> np.ndarray:
         """Run one raw chunk through the zoom front-end (PFB subchannel or
-        DDC); returns the new complex baseband samples."""
-        zc = self.zoom_cfg
-        front = rt["front"]
+        DDC); returns the new complex baseband samples. Uses rt's BUILT
+        config, never the live zoom_cfg (a set_zoom between runtime build
+        and this call must not mismatch front object and branch)."""
+        zc = rt["cfg"]
         if zc["mode"] == "ddc":
             # DDC consumes multiples of R; carry the remainder host-side
             r = zc["decimation"]
@@ -324,29 +349,12 @@ class GuiBackend:
             rt["raw"] = buf[take:]
             if not take:
                 return np.zeros(0, np.complex64)
-            chunk = buf[:take]
-            if iq:
-                planes = np.stack([chunk.real, chunk.imag]).astype(np.float32)
-                out, rt["front_state"] = front.process_planes(
-                    planes, rt["front_state"]
-                )
-            else:
-                out, rt["front_state"] = front.process(
-                    chunk.astype(np.float32), rt["front_state"]
-                )
+            out = self._run_front(rt, buf[:take], iq)
             return (
                 np.asarray(out["re"]) + 1j * np.asarray(out["im"])
             ).astype(np.complex64)
         k = int(zc["channel"]) % zc["m"]
-        if iq:
-            planes = np.stack([xn.real, xn.imag]).astype(np.float32)
-            out, rt["front_state"] = front.process_planes(
-                planes, rt["front_state"]
-            )
-        else:
-            out, rt["front_state"] = front.process(
-                xn.astype(np.float32), rt["front_state"]
-            )
+        out = self._run_front(rt, xn, iq)
         return (
             np.asarray(out["re"])[..., k] + 1j * np.asarray(out["im"])[..., k]
         ).astype(np.complex64)
@@ -359,32 +367,20 @@ class GuiBackend:
         xn = np.asarray(x).reshape(-1)  # single-stream tap
         iq = bool(np.iscomplexobj(xn))
         rt = self._zoom_runtime(iq)
-        zc = self.zoom_cfg
         sub = self._zoom_front(rt, xn, iq)
         rt["buf"] = np.concatenate([rt["buf"], sub])
-        nz = zc["fft_size"]
+        nz = rt["cfg"]["fft_size"]
         while rt["buf"].shape[0] >= nz:
             frame, rt["buf"] = rt["buf"][:nz], rt["buf"][nz:]
             zout, rt["pipe_state"] = rt["pipe"].process(
                 frame[None, :], rt["pipe_state"], FM.BYPASS
             )
-            self._emit_zoom_frame(
-                np.asarray(zout["magnitude"])[0, -1],
-                int(zc["channel"]) % zc["m"],
-            )
+            self._emit_zoom_frame(rt, np.asarray(zout["magnitude"])[0, -1])
 
-    def _emit_zoom_frame(self, mag: np.ndarray, k: int):
-        zc = self.zoom_cfg
-        fs = self.sa.cfg.sample_rate
+    def _emit_zoom_frame(self, rt: dict, mag: np.ndarray):
+        zc = rt["cfg"]
         nz = zc["fft_size"]
-        if zc["mode"] == "ddc":
-            sub_rate = fs / zc["decimation"]
-            center_hz = zc["center_hz"]
-        else:
-            sub_rate = fs / zc["m"]
-            center_hz = k * sub_rate
-            if getattr(self, "_iq", False) and center_hz > fs / 2:
-                center_hz -= fs  # IQ subchannels wrap to negative frequencies
+        sub_rate, center_hz = rt["sub_rate"], rt["center_hz"]
         view = np.fft.fftshift(mag)  # subchannel stream is complex baseband
         offs = (np.arange(nz) - nz // 2) * (sub_rate / nz)
         peak = int(np.argmax(view))
@@ -392,7 +388,7 @@ class GuiBackend:
             "zoom_frame",
             {
                 "mode": zc["mode"],
-                "channel": k,
+                "channel": int(zc["channel"]) % zc["m"],
                 "center_khz": round(center_hz / 1e3, 3),
                 "span_hz": sub_rate,
                 "hz_per_bin": sub_rate / nz,

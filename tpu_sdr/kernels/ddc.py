@@ -75,7 +75,7 @@ def _ddc_forward(x, tail_re, tail_im, bp, ramp, h2, p: int, r: int, iq: bool):
         yre = x * c
         yim = -(x * s)
     hist = (p - 1) * r
-    outs = []
+    outs, tails = [], []
     for y, tail in ((yre, tail_re), (yim, tail_im)):
         cat = jnp.concatenate([tail, y], axis=-1) if hist else y
         rows = cat.reshape(cat.shape[:-1] + (-1, r))
@@ -83,9 +83,10 @@ def _ddc_forward(x, tail_re, tail_im, bp, ramp, h2, p: int, r: int, iq: bool):
         for tp in range(1, p):
             acc = acc + rows[..., tp : tp + steps, :] * h2[tp]
         outs.append(jnp.sum(acc, axis=-1))
-    new_tail_re = yre[..., t - hist :] if hist else tail_re
-    new_tail_im = yim[..., t - hist :] if hist else tail_im
-    return outs[0], outs[1], new_tail_re, new_tail_im
+        # tail from CAT, not the chunk: a chunk shorter than hist must
+        # keep the older history's remainder (chunked == one-shot)
+        tails.append(cat[..., cat.shape[-1] - hist :] if hist else tail)
+    return outs[0], outs[1], tails[0], tails[1]
 
 
 class DDCState:

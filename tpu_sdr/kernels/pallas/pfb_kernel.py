@@ -88,8 +88,9 @@ def pfb_fold_dft(
     b, r, _ = rows.shape
     steps = r - (taps - 1)
     hp = _halo_pad(taps)
-    # group size: multiple of the halo block, no larger than needed
-    g = max(hp, min(group, ((steps + hp - 1) // hp) * hp))
+    # group size: MUST be a multiple of the halo block (the halo BlockSpec
+    # index (j+1)*(g//hp) is only correct when hp | g), no larger than needed
+    g = max(hp, min(group, (steps + hp - 1) // hp * hp) // hp * hp)
     steps_pad = ((steps + g - 1) // g) * g
     r_need = steps_pad + hp
     if r_need > r:
