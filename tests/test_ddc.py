@@ -155,6 +155,42 @@ def test_state_checkpoint_roundtrip(rng):
     assert np.array_equal(np.asarray(o1["re"]), np.asarray(o2["re"]))
 
 
+@pytest.mark.parametrize("mesh_shape", [(1, 2), (2, 1), (2, 4), (1, 8)])
+def test_sharded_equals_single_bitwise(rng, mesh_shape):
+    from tpu_sdr.shard import ShardedDDC, make_sdr_mesh
+
+    ddc = DDC(fs=1e6, center_hz=123_456.789, decimation=8)
+    c_ax, t_ax = mesh_shape
+    mesh = make_sdr_mesh(channel=c_ax, time=t_ax)
+    sh = ShardedDDC(ddc, mesh)
+    x = rng.standard_normal((4, 64 * 8)).astype(np.float32)
+    got, gst = sh.process(x, sh.initial_state((4,)))
+    ref, rst = ddc.process(x, ddc.initial_state((4,)))
+    assert np.array_equal(np.asarray(got["re"]), np.asarray(ref["re"]))
+    assert np.array_equal(np.asarray(got["im"]), np.asarray(ref["im"]))
+    assert np.array_equal(np.asarray(gst.tail_re), np.asarray(rst.tail_re))
+    assert gst.offset == rst.offset
+    # IQ planes, carried across two chunks
+    xs = rng.standard_normal((2, 4, 64 * 8)).astype(np.float32)
+    g1, s1 = sh.process_planes(xs, sh.initial_state((4,)))
+    g2, s2 = sh.process_planes(xs, s1)
+    r1, t1 = ddc.process_planes(xs, ddc.initial_state((4,)))
+    r2, t2 = ddc.process_planes(xs, t1)
+    assert np.array_equal(np.asarray(g2["re"]), np.asarray(r2["re"]))
+    assert np.array_equal(np.asarray(g2["im"]), np.asarray(r2["im"]))
+
+
+def test_sharded_validation(rng):
+    from tpu_sdr.shard import ShardedDDC, make_sdr_mesh
+
+    mesh = make_sdr_mesh(channel=1, time=8)
+    sh = ShardedDDC(DDC(decimation=8, taps_per_phase=8), mesh)  # hist=56
+    with pytest.raises(ValueError, match="halo"):
+        sh.process(np.zeros((1, 8 * 48), np.float32), sh.initial_state((1,)))
+    with pytest.raises(ValueError, match="divide"):
+        sh.process(np.zeros((1, 100), np.float32), sh.initial_state((1,)))
+
+
 def test_fir_design_contract():
     h = design_decimation_fir(8, taps_per_phase=8)
     assert h.size == 64

@@ -123,16 +123,18 @@ class ShardedChannelizer:
 
     def process(self, x, state, outputs: str = "complex"):
         """Real-input sharded channelization: x (C, T)."""
+        x = jnp.asarray(x, jnp.float32)
+        self._check(x, state, iq=False)  # friendly errors BEFORE the put
         x = self.shard_input(x, iq=False)
-        self._check(x, state, iq=False)
         return self._fn(False, outputs)(
             x, state, self.ch._h2, self.ch._cos, self.ch._sin
         )
 
     def process_planes(self, xs, state_planes, outputs: str = "complex"):
         """IQ-input sharded channelization: xs (2, C, T) re/im planes."""
-        xs = self.shard_input(xs, iq=True)
+        xs = jnp.asarray(xs, jnp.float32)
         self._check(xs, state_planes, iq=True)
+        xs = self.shard_input(xs, iq=True)
         return self._fn(True, outputs)(
             xs, state_planes, self.ch._h2, self.ch._cos, self.ch._sin
         )

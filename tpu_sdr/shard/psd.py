@@ -126,18 +126,16 @@ class ShardedWelchPSD:
 
     def compute(self, x) -> jnp.ndarray:
         """Real input (C, T) -> one-sided PSD (C, nperseg//2+1), replicated."""
-        x = jax.device_put(
-            jnp.asarray(x, jnp.float32),
-            NamedSharding(self.mesh, P("channel", "time")),
-        )
-        self._check(x)
+        x = jnp.asarray(x, jnp.float32)
+        self._check(x)  # friendly errors BEFORE the sharded put
+        x = jax.device_put(x, NamedSharding(self.mesh, P("channel", "time")))
         return self._fn(False)(x)
 
     def compute_iq(self, xs) -> jnp.ndarray:
         """IQ planes (2, C, T) -> two-sided PSD (C, nperseg), unshifted."""
-        xs = jax.device_put(
-            jnp.asarray(xs, jnp.float32),
-            NamedSharding(self.mesh, P(None, "channel", "time")),
-        )
+        xs = jnp.asarray(xs, jnp.float32)
         self._check(xs)
+        xs = jax.device_put(
+            xs, NamedSharding(self.mesh, P(None, "channel", "time"))
+        )
         return self._fn(True)(xs)
