@@ -13,13 +13,20 @@ R-block — ``scipy.signal.lfilter(h, 1, y)[R-1::R]`` is the golden model
 (tests/test_ddc.py, float64 oracle).
 
 TPU-first mapping:
-- **NCO phase accuracy**: naive ``frac(n * fc/fs)`` in f32 is garbage for
-  n ~ 1e6 (ulp(5e5) ≈ 0.03 cycles). The host computes, in float64, a
-  per-output-step table ``frac((offset + i*R) * fc/fs)`` and a one-block
-  ramp ``frac(j * fc/fs)``; the device adds the two f32 tables and takes
-  ``frac`` again — every phase is exact to f32 ulp-of-1 (~6e-8 cycles,
-  spurs < -140 dBc) for any stream length. The absolute sample offset
-  rides the streaming state as a host integer (exact).
+- **NCO = 32-bit phase accumulator in uint32 lanes** (the classic DDS
+  NCO, computed on the VPU). naive ``frac(n * fc/fs)`` in f32 is garbage
+  for n ~ 1e6 (ulp(5e5) ≈ 0.03 cycles); instead the tuning word
+  ``K = round(fc/fs * 2^32)`` makes the phase of sample n exactly
+  ``(n*K mod 2^32) / 2^32`` — wrapping uint32 multiply-adds, EXACT for
+  any stream length and bitwise-invariant to chunking/sharding by
+  construction. Only one uint32 scalar (the chunk's start phase,
+  ``offset*K mod 2^32`` computed from the exact host integer offset)
+  crosses the host boundary per chunk — the previous design shipped a
+  512 KB float64-derived phase table through the tunnel per dispatch
+  (~11 ms, 20x the kernel itself). Residual error: frequency quantizes
+  to fs/2^32 (~2.3e-4 Hz at 1 MSPS — the same semantics as a hardware
+  NCO) and the uint32→f32 phase conversion rounds to 2^-24 cycles
+  (spur floor ~ -120 dBc).
 - **Polyphase fold**: the decimating FIR is the PFB fold with the branch
   axis summed — P shifted multiply-accumulates over an (steps, R) layout
   (VPU), no per-sample loop, then a sum over R. h is reversed into
@@ -54,19 +61,31 @@ def design_decimation_fir(
     return (h / h.sum()).astype(np.float64)
 
 
+def _nco_cos_sin(phase0_u32, k_u32, t: int):
+    """cos/sin of the NCO carrier for t consecutive samples.
+
+    phase0_u32: uint32 scalar start phase (sample 0 of this chunk);
+    k_u32: uint32 scalar tuning word. Wrapping uint32 accumulator —
+    exact, so any chunking/sharding of the stream mixes identically."""
+    n = jax.lax.iota(jnp.uint32, t)
+    ph_u = phase0_u32 + n * k_u32  # wraps mod 2^32 (exact NCO semantics)
+    ph = ph_u.astype(jnp.float32) * jnp.float32(2.0**-32)
+    ang = (2.0 * np.pi) * ph
+    return jnp.cos(ang), jnp.sin(ang)
+
+
 @functools.partial(jax.jit, static_argnames=("p", "r", "iq"))
-def _ddc_forward(x, tail_re, tail_im, bp, ramp, h2, p: int, r: int, iq: bool):
+def _ddc_forward(
+    x, tail_re, tail_im, phase0_u32, k_u32, h2, p: int, r: int, iq: bool
+):
     """Mix + fold-decimate one chunk.
 
     x: (..., T) real or (2, ..., T) IQ planes; tail_*: (..., (p-1)*r) mixed
-    history; bp: (steps,) f32 block phases; ramp: (r,) f32 in-block phases.
+    history; phase0_u32/k_u32: uint32 NCO start phase and tuning word.
     Returns (out_re, out_im, new_tail_re, new_tail_im)."""
     t = x.shape[-1]
     steps = t // r
-    ph = bp[:, None] + ramp[None, :]
-    ph = ph - jnp.floor(ph)
-    ang = (2.0 * np.pi) * ph.reshape(-1)  # (T,)
-    c, s = jnp.cos(ang), jnp.sin(ang)
+    c, s = _nco_cos_sin(phase0_u32, k_u32, t)
     if iq:
         xr, xi = x[0], x[1]
         yre = xr * c + xi * s
@@ -165,21 +184,32 @@ class DDC:
     def retune(self, center_hz: float):
         """Change the NCO frequency (takes effect next chunk; the carrier
         phase restarts from the absolute-sample-index grid of the new
-        frequency — no phase continuity across a retune)."""
+        frequency — no phase continuity across a retune). The realized
+        frequency is quantized to the 32-bit tuning grid fs/2^32."""
         self.center_hz = float(center_hz)
         self._dphi = self.center_hz / self.fs
+        # 32-bit NCO tuning word; negative frequencies wrap (mod 2^32)
+        self._tuning_word = int(round(self._dphi * 2.0**32)) % (1 << 32)
+
+    @property
+    def realized_center_hz(self) -> float:
+        """The NCO's actual frequency after 32-bit tuning quantization
+        (within fs/2^33 of the requested center)."""
+        k = self._tuning_word
+        if k >= 1 << 31 and self._dphi < 0:
+            k -= 1 << 32
+        return k * self.fs / 2.0**32
 
     def initial_state(self, batch_shape: tuple = ()) -> DDCState:
         z = jnp.zeros(tuple(batch_shape) + (self.history_len,), jnp.float32)
         return DDCState(z, z, 0)
 
-    def _phase_tables(self, offset: int, steps: int):
-        i = offset + np.arange(steps, dtype=np.float64) * self.r
-        bp = np.mod(i * self._dphi, 1.0)
-        ramp = np.mod(np.arange(self.r, dtype=np.float64) * self._dphi, 1.0)
+    def _nco_scalars(self, offset: int):
+        """(start phase, tuning word) as uint32 scalars — the only
+        per-chunk host->device NCO traffic."""
         return (
-            jnp.asarray(bp, jnp.float32),
-            jnp.asarray(ramp, jnp.float32),
+            jnp.uint32((offset * self._tuning_word) % (1 << 32)),
+            jnp.uint32(self._tuning_word),
         )
 
     def _process(self, x, state: DDCState, iq: bool):
@@ -192,13 +222,13 @@ class DDC:
             raise ValueError(
                 f"state shape {tuple(state.tail_re.shape)} != {want}"
             )
-        bp, ramp = self._phase_tables(state.offset, t // self.r)
+        phase0, k = self._nco_scalars(state.offset)
         ore, oim, tre, tim = _ddc_forward(
             jnp.asarray(x, jnp.float32),
             state.tail_re,
             state.tail_im,
-            bp,
-            ramp,
+            phase0,
+            k,
             self._h2,
             p=self.p,
             r=self.r,

@@ -1,9 +1,11 @@
 """Time/channel-sharded DDC (capability extension).
 
 Same (channel, time) mesh as the rest of the framework. The NCO is
-trivially shardable — the host-computed float64 phase tables carry the
-absolute sample index, so each time shard mixes its slice with exactly
-the phases the single-device mixer would use (bit-identical). The
+trivially shardable — the 32-bit phase accumulator is a wrapping uint32
+multiply from the absolute sample index, so each time shard computes
+its slice's phases exactly (bit-identical to the single-device mixer:
+``local0 = phase0 + shard_index * t_loc * K`` wraps to the same words).
+The
 decimating FIR needs the previous (P-1)*R MIXED samples: each shard
 mixes locally, sends its mixed tail to the right neighbour with one
 ``ppermute``, and shard 0 splices the carried stream history — the same
@@ -16,8 +18,6 @@ Sharded == single-device bit-identity is tested for every mesh shape
 """
 
 from __future__ import annotations
-
-import numpy as np
 
 import jax
 import jax.numpy as jnp
@@ -50,13 +50,16 @@ class ShardedDDC:
         p, r = ddc.p, ddc.r
         time_shards = self.mesh.shape["time"]
 
-        def body(x, tail_re, tail_im, bp, ramp, h2):
+        def body(x, tail_re, tail_im, phase0, k, h2):
+            from tpu_sdr.kernels.ddc import _nco_cos_sin
+
             t = x.shape[-1]
             steps = t // r
-            ph = bp[:, None] + ramp[None, :]
-            ph = ph - jnp.floor(ph)
-            ang = (2.0 * np.pi) * ph.reshape(-1)
-            c, s = jnp.cos(ang), jnp.sin(ang)
+            # this shard's start phase: global start + idx*t_loc samples
+            # of tuning word — wrapping uint32, exact (== single device)
+            idx = jax.lax.axis_index("time").astype(jnp.uint32)
+            local0 = phase0 + idx * (jnp.uint32(t) * k)
+            c, s = _nco_cos_sin(local0, k, t)
             if iq:
                 yre = x[0] * c + x[1] * s
                 yim = x[1] * c - x[0] * s
@@ -94,8 +97,8 @@ class ShardedDDC:
                 P(*lead, "channel", "time"),  # x
                 P("channel", None),  # mixed tail re (replicated over time)
                 P("channel", None),  # mixed tail im
-                P("time"),  # block phases (absolute index baked in)
-                P(None),  # in-block ramp
+                P(),  # NCO start phase (uint32 scalar, replicated)
+                P(),  # NCO tuning word (uint32 scalar, replicated)
                 P(None),  # h2
             ),
             out_specs=(
@@ -139,11 +142,9 @@ class ShardedDDC:
         x = jax.device_put(
             x, NamedSharding(self.mesh, P(*lead, "channel", "time"))
         )
-        bp, ramp = self.ddc._phase_tables(
-            state.offset, x.shape[-1] // self.ddc.r
-        )
+        phase0, k = self.ddc._nco_scalars(state.offset)
         ore, oim, tre, tim = self._fn(iq)(
-            x, state.tail_re, state.tail_im, bp, ramp, self.ddc._h2
+            x, state.tail_re, state.tail_im, phase0, k, self.ddc._h2
         )
         return {"re": ore, "im": oim}, DDCState(
             tre, tim, state.offset + x.shape[-1]
