@@ -191,6 +191,47 @@ def test_sharded_validation(rng):
         sh.process(np.zeros((1, 100), np.float32), sh.initial_state((1,)))
 
 
+def test_property_sweep_random_designs(rng):
+    """Random (R, taps, window, fc, chunking, real/IQ) vs the f64 oracle
+    (at the realized 32-bit-tuning-grid frequency) — the same sweep
+    discipline as the PFB property tests."""
+    windows = ["hamming", "hann", ("kaiser", 6.0), "blackman"]
+    for trial in range(8):
+        r = int(rng.choice([2, 3, 4, 8, 16]))
+        tpp = int(rng.choice([2, 4, 8]))
+        fc = float(rng.uniform(-0.5, 0.5)) * 1e6
+        win = windows[trial % len(windows)]
+        iq = bool(trial % 2)
+        ddc = DDC(fs=1e6, center_hz=fc, decimation=r,
+                  taps_per_phase=tpp, window=win)
+        steps = int(rng.integers(20, 60))
+        t = steps * r
+        if iq:
+            x = (rng.standard_normal((2, 1, t))).astype(np.float32)
+            z = x[0].astype(np.float64) + 1j * x[1].astype(np.float64)
+            out, _ = ddc.process_planes(x, ddc.initial_state((1,)))
+        else:
+            x = rng.standard_normal((1, t)).astype(np.float32)
+            z = x.astype(np.float64)
+            out, _ = ddc.process(x, ddc.initial_state((1,)))
+        ref = _golden(z, 1e6, ddc.realized_center_hz, ddc.fir, r)
+        scale = max(np.abs(ref).max(), 1e-12)
+        err = np.abs(_cplx(out) - ref).max() / scale
+        assert err < 2e-5, (trial, r, tpp, fc, win, iq, err)
+        # random chunking must be bitwise identical to one-shot
+        cuts = np.sort(rng.choice(np.arange(1, steps), size=2, replace=False))
+        st = ddc.initial_state((1,))
+        parts = []
+        bounds = [0] + [int(c) * r for c in cuts] + [t]
+        for lo, hi in zip(bounds[:-1], bounds[1:]):
+            o, st = (ddc.process_planes(x[..., lo:hi], st) if iq
+                     else ddc.process(x[..., lo:hi], st))
+            parts.append(np.asarray(o["re"]))
+        assert np.array_equal(
+            np.concatenate(parts, axis=-1), np.asarray(out["re"])
+        ), (trial, bounds)
+
+
 def test_fir_design_contract():
     h = design_decimation_fir(8, taps_per_phase=8)
     assert h.size == 64

@@ -127,6 +127,32 @@ def test_compiled_pfb_kernel_vs_numpy(setup):
     assert rel < 1e-5, f"compiled pfb vs numpy: {rel}"
 
 
+def test_compiled_ddc_uint32_nco_vs_oracle(setup):
+    """The uint32 wrapping NCO + polyphase decimator compiled on the chip
+    vs the float64 lfilter oracle (locks the axon backend's uint32
+    multiply/convert semantics)."""
+    import scipy.signal as sps
+
+    from tpu_sdr.kernels.ddc import DDC
+
+    fs, fc, r = 1e6, 123_456.789, 8
+    ddc = DDC(fs=fs, center_hz=fc, decimation=r)
+    rng = np.random.default_rng(3)
+    x = rng.standard_normal((2, 128 * r)).astype(np.float32)
+    out, _ = ddc.process(x, ddc.initial_state((2,)))
+    got = np.asarray(out["re"], np.float64) + 1j * np.asarray(
+        out["im"], np.float64
+    )
+    n = np.arange(x.shape[-1], dtype=np.float64)
+    fc_q = ddc.realized_center_hz  # the 32-bit tuning grid frequency
+    y = np.asarray(x, np.float64) * np.exp(-2j * np.pi * (fc_q / fs) * n)
+    ref = sps.lfilter(np.asarray(ddc.fir, np.float64), 1.0, y, axis=-1)[
+        ..., r - 1 :: r
+    ]
+    rel = np.abs(got - ref).max() / np.abs(ref).max()
+    assert rel < 1e-5, f"compiled ddc vs oracle: {rel}"
+
+
 def test_compiled_pipeline_tone():
     from tpu_sdr import PipelineConfig, FilterMode
     from tpu_sdr.runtime import SpectrumPipeline
