@@ -76,6 +76,8 @@ def test_frame_events_flow(server):
     backend.unsubscribe(q)
     assert frame is not None, "no frame_data event"
     assert abs(frame["peak_freq_khz"] - 100.0) < 1.0
+    # sub-bin interpolated marker: ~61 Hz/bin display, peak good to <30 Hz
+    assert abs(frame["peak_freq_interp_khz"] - 100.0) < 0.03
     assert len(frame["magnitude"]) <= 2048
 
 

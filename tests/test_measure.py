@@ -1,0 +1,105 @@
+"""Measurement functions vs closed-form synthetic signals."""
+
+import numpy as np
+import pytest
+
+from tpu_sdr.runtime.measure import (
+    channel_power,
+    occupied_bandwidth,
+    peak_search,
+)
+from tpu_sdr.runtime.psd import WelchPSD
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(99)
+
+
+def test_channel_power_recovers_tone_power(rng):
+    fs, nperseg = 1e6, 4096
+    amp = 0.6
+    t = np.arange(64 * nperseg) / fs
+    x = (amp * np.sin(2 * np.pi * 200e3 * t)).astype(np.float32)
+    est = WelchPSD(fs=fs, nperseg=nperseg)
+    pxx = np.asarray(est.compute(x), np.float64)
+    f = est.frequencies()
+    p = channel_power(pxx, f, 195e3, 205e3)
+    assert p == pytest.approx(amp**2 / 2, rel=1e-3)  # mean-square of a sine
+    # out-of-band power is negligible
+    assert channel_power(pxx, f, 300e3, 400e3) < 1e-6 * p
+
+
+def test_channel_power_white_noise_density(rng):
+    """White noise: power in a band == variance * (band / Nyquist)."""
+    fs, nperseg = 1e6, 2048
+    x = rng.standard_normal(256 * nperseg).astype(np.float32)
+    est = WelchPSD(fs=fs, nperseg=nperseg)
+    pxx = np.asarray(est.compute(x), np.float64)
+    f = est.frequencies()
+    p = channel_power(pxx, f, 100e3, 200e3)
+    assert p == pytest.approx(np.var(x) * (100e3 / 500e3), rel=0.05)
+
+
+def test_occupied_bandwidth_of_filtered_noise(rng):
+    import scipy.signal as sps
+
+    fs, nperseg = 1e6, 4096
+    x = rng.standard_normal(256 * nperseg)
+    sos = sps.butter(8, [150e3 / 5e5, 250e3 / 5e5], "bandpass", output="sos")
+    xf = sps.sosfilt(sos, x).astype(np.float32)
+    est = WelchPSD(fs=fs, nperseg=nperseg)
+    pxx = np.asarray(est.compute(xf), np.float64)
+    f = est.frequencies()
+    lo, hi, obw = occupied_bandwidth(pxx, f, fraction=0.99)
+    # 99% OBW of a steep 100 kHz-wide bandpass: close to, and at least,
+    # the passband width; comfortably under 2x
+    assert 95e3 < obw < 160e3, obw
+    assert 130e3 < lo < 160e3 and 240e3 < hi < 280e3, (lo, hi)
+
+
+def test_peak_search_subbin_interpolation(rng):
+    """Two windowed tones: interpolated frequencies good to << 1 bin."""
+    fs, n = 1e6, 16384
+    f1, f2 = 123_456.0, 301_234.0
+    t = np.arange(n) / fs
+    w = np.hanning(n)
+    x = 1.0 * np.sin(2 * np.pi * f1 * t) + 0.3 * np.sin(2 * np.pi * f2 * t)
+    mag = np.abs(np.fft.rfft(x * w))
+    f = np.fft.rfftfreq(n, 1 / fs)
+    peaks = peak_search(mag, f, k=2)
+    assert len(peaks) == 2
+    bin_hz = fs / n
+    assert abs(peaks[0]["freq_hz"] - f1) < 0.05 * bin_hz
+    assert abs(peaks[1]["freq_hz"] - f2) < 0.05 * bin_hz
+    # levels keep the 1 : 0.3 amplitude ratio (within window scalloping)
+    ratio = peaks[1]["level"] / peaks[0]["level"]
+    assert ratio == pytest.approx(0.3, rel=0.02)
+
+
+def test_peak_search_min_separation(rng):
+    y = np.zeros(100)
+    y[40] = 10.0
+    y[42] = 9.0  # shoulder of the same feature
+    y[70] = 5.0
+    f = np.arange(100.0)
+    peaks = peak_search(y, f, k=3, min_separation_bins=5, db=False)
+    bins = [p["bin"] for p in peaks]
+    assert 40 in bins and 70 in bins and 42 not in bins
+
+
+def test_validation():
+    f = np.arange(10.0)
+    y = np.ones(10)
+    with pytest.raises(ValueError):
+        channel_power(y, f, 5.0, 2.0)
+    with pytest.raises(ValueError):
+        channel_power(y, f[:5], 1.0, 2.0)
+    with pytest.raises(ValueError):
+        occupied_bandwidth(y, f[::-1], 0.99)
+    with pytest.raises(ValueError):
+        occupied_bandwidth(y, f, 1.5)
+    with pytest.raises(ValueError):
+        peak_search(y, f, k=0)
+    with pytest.raises(ValueError):
+        occupied_bandwidth(np.zeros(10), f)

@@ -229,6 +229,16 @@ class GuiBackend:
         dec = np.maximum.reduceat(window, edges[:-1])
         freqs_khz = (base + lo + edges[:-1] * 1.0) * fs / n / 1000.0
         peak = int(np.argmax(window))
+        # sub-bin refinement of the peak marker (parabolic in dB) — the
+        # reference GUI reports only the raw bin (fft_analyzer_gui.py:444)
+        from tpu_sdr.runtime.measure import _parabolic
+
+        if 0 < peak < window.size - 1 and window[peak] > 0:
+            ydb = 20.0 * np.log10(np.maximum(window[peak - 1 : peak + 2], 1e-30))
+            d, _ = _parabolic(*ydb)
+        else:
+            d = 0.0
+        peak_interp_khz = float(base + lo + peak + d) * fs / n / 1000.0
         traces = {}
         if self.traces_enabled:
             # snapshot to locals: the HTTP thread may null these concurrently
@@ -257,6 +267,7 @@ class GuiBackend:
                 **traces,
                 "peak_bin": (base + lo + peak) % n,
                 "peak_freq_khz": (base + lo + peak) * fs / n / 1000.0,
+                "peak_freq_interp_khz": round(peak_interp_khz, 4),
                 "peak_mag": float(window[peak]),
                 "frames_received": self.sa.stats.frames_produced,
                 "incoming_fps": round(self.sa.stats.frames_produced and incoming_fps, 2),
