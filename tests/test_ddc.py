@@ -84,8 +84,8 @@ def test_chunks_shorter_than_history_bitwise(rng):
 
 
 def test_long_stream_phase_accuracy():
-    """The f64 host phase tables keep the NCO exact over millions of
-    samples — a tone at fc lands at DC with < -100 dBc wobble."""
+    """The uint32 phase accumulator keeps the NCO exact over millions of
+    samples — a tone at fc lands at DC with no phase drift."""
     fs, fc, r = 1e6, 333_333.25, 16
     ddc = DDC(fs=fs, center_hz=fc, decimation=r, taps_per_phase=16)
     st = ddc.initial_state(())

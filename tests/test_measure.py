@@ -88,6 +88,18 @@ def test_peak_search_min_separation(rng):
     assert 40 in bins and 70 in bins and 42 not in bins
 
 
+def test_peak_search_rejects_sloped_edges():
+    """Regression: a monotonic slope has ONE peak (its high edge); the low
+    edge must not be reported as a marker."""
+    y = np.linspace(10.0, 1.0, 50)
+    f = np.arange(50.0)
+    peaks = peak_search(y, f, k=3, db=False)
+    assert [p["bin"] for p in peaks] == [0]
+    # and the high edge IS reported (it beats its single neighbor)
+    y2 = np.linspace(1.0, 10.0, 50)
+    assert [p["bin"] for p in peak_search(y2, f, k=3, db=False)] == [49]
+
+
 def test_validation():
     f = np.arange(10.0)
     y = np.ones(10)
@@ -103,3 +115,23 @@ def test_validation():
         peak_search(y, f, k=0)
     with pytest.raises(ValueError):
         occupied_bandwidth(np.zeros(10), f)
+    with pytest.raises(ValueError):  # mismatched shapes
+        occupied_bandwidth(np.ones(5), f)
+    with pytest.raises(ValueError):  # single bin: no bin width
+        channel_power(np.ones(1), np.array([5.0]), 4.0, 6.0)
+
+
+def test_realized_center_alias():
+    from tpu_sdr.kernels.ddc import DDC
+
+    fs = 1e6
+    assert DDC(fs=fs, center_hz=123e3, decimation=4).realized_center_hz == (
+        pytest.approx(123e3, abs=fs / 2**33)
+    )
+    assert DDC(fs=fs, center_hz=-200e3, decimation=4).realized_center_hz == (
+        pytest.approx(-200e3, abs=fs / 2**33)
+    )
+    # beyond-Nyquist requests report the principal alias the NCO produces
+    assert DDC(fs=fs, center_hz=700e3, decimation=4).realized_center_hz == (
+        pytest.approx(-300e3, abs=fs / 2**33)
+    )

@@ -19,6 +19,7 @@ import numpy as np
 
 from tpu_sdr.control import SpectrumAnalyzer, designer as designer_mod
 from tpu_sdr.core.config import CommMode, FilterMode, PipelineConfig
+from tpu_sdr.runtime.measure import refine_peak
 
 
 class GuiBackend:
@@ -231,13 +232,7 @@ class GuiBackend:
         peak = int(np.argmax(window))
         # sub-bin refinement of the peak marker (parabolic in dB) — the
         # reference GUI reports only the raw bin (fft_analyzer_gui.py:444)
-        from tpu_sdr.runtime.measure import _parabolic
-
-        if 0 < peak < window.size - 1 and window[peak] > 0:
-            ydb = 20.0 * np.log10(np.maximum(window[peak - 1 : peak + 2], 1e-30))
-            d, _ = _parabolic(*ydb)
-        else:
-            d = 0.0
+        d, _ = refine_peak(window, peak)
         peak_interp_khz = float(base + lo + peak + d) * fs / n / 1000.0
         traces = {}
         if self.traces_enabled:

@@ -74,6 +74,28 @@ def _nco_cos_sin(phase0_u32, k_u32, t: int):
     return jnp.cos(ang), jnp.sin(ang)
 
 
+def _mix(x, phase0_u32, k_u32, iq: bool):
+    """Mix x with the NCO carrier exp(-j*2*pi*phase): real (..., T) or IQ
+    planes (2, ..., T) -> (yre, yim)."""
+    c, s = _nco_cos_sin(phase0_u32, k_u32, x.shape[-1])
+    if iq:
+        return x[0] * c + x[1] * s, x[1] * c - x[0] * s
+    return x * c, -(x * s)
+
+
+def _fold_decimate(cat, h2, p: int, r: int):
+    """Polyphase fold over (..., (steps+p-1)*r) -> (..., steps): the
+    causal FIR output at the last sample of each R-block (shared by the
+    single-device and sharded paths — one definition, one bitwise
+    behavior)."""
+    rows = cat.reshape(cat.shape[:-1] + (-1, r))
+    steps = rows.shape[-2] - (p - 1)
+    acc = rows[..., 0:steps, :] * h2[0]
+    for tp in range(1, p):
+        acc = acc + rows[..., tp : tp + steps, :] * h2[tp]
+    return jnp.sum(acc, axis=-1)
+
+
 @functools.partial(jax.jit, static_argnames=("p", "r", "iq"))
 def _ddc_forward(
     x, tail_re, tail_im, phase0_u32, k_u32, h2, p: int, r: int, iq: bool
@@ -83,25 +105,12 @@ def _ddc_forward(
     x: (..., T) real or (2, ..., T) IQ planes; tail_*: (..., (p-1)*r) mixed
     history; phase0_u32/k_u32: uint32 NCO start phase and tuning word.
     Returns (out_re, out_im, new_tail_re, new_tail_im)."""
-    t = x.shape[-1]
-    steps = t // r
-    c, s = _nco_cos_sin(phase0_u32, k_u32, t)
-    if iq:
-        xr, xi = x[0], x[1]
-        yre = xr * c + xi * s
-        yim = xi * c - xr * s
-    else:
-        yre = x * c
-        yim = -(x * s)
+    yre, yim = _mix(x, phase0_u32, k_u32, iq)
     hist = (p - 1) * r
     outs, tails = [], []
     for y, tail in ((yre, tail_re), (yim, tail_im)):
         cat = jnp.concatenate([tail, y], axis=-1) if hist else y
-        rows = cat.reshape(cat.shape[:-1] + (-1, r))
-        acc = rows[..., 0:steps, :] * h2[0]
-        for tp in range(1, p):
-            acc = acc + rows[..., tp : tp + steps, :] * h2[tp]
-        outs.append(jnp.sum(acc, axis=-1))
+        outs.append(_fold_decimate(cat, h2, p, r))
         # tail from CAT, not the chunk: a chunk shorter than hist must
         # keep the older history's remainder (chunked == one-shot)
         tails.append(cat[..., cat.shape[-1] - hist :] if hist else tail)
@@ -193,10 +202,13 @@ class DDC:
 
     @property
     def realized_center_hz(self) -> float:
-        """The NCO's actual frequency after 32-bit tuning quantization
-        (within fs/2^33 of the requested center)."""
+        """The NCO's actual frequency after 32-bit tuning quantization:
+        within fs/2^33 of the requested center for in-Nyquist tunes
+        (|fc| <= fs/2); a request beyond Nyquist returns its alias
+        (mod fs into [-fs/2, fs/2) — the frequency the NCO actually
+        produces)."""
         k = self._tuning_word
-        if k >= 1 << 31 and self._dphi < 0:
+        if k >= 1 << 31:  # principal alias: map [fs/2, fs) to [-fs/2, 0)
             k -= 1 << 32
         return k * self.fs / 2.0**32
 

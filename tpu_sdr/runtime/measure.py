@@ -34,6 +34,8 @@ def channel_power(
     freqs = np.asarray(freqs, np.float64)
     if pxx.shape != freqs.shape:
         raise ValueError(f"pxx {pxx.shape} vs freqs {freqs.shape}")
+    if freqs.size < 2:
+        raise ValueError("need at least 2 bins to infer the bin width")
     if f_hi <= f_lo:
         raise ValueError(f"need f_lo < f_hi; got [{f_lo}, {f_hi}]")
     df = float(np.median(np.diff(np.sort(freqs))))
@@ -51,6 +53,8 @@ def occupied_bandwidth(
     """
     pxx = np.asarray(pxx, np.float64)
     freqs = np.asarray(freqs, np.float64)
+    if pxx.shape != freqs.shape:
+        raise ValueError(f"pxx {pxx.shape} vs freqs {freqs.shape}")
     if not 0.0 < fraction < 1.0:
         raise ValueError(f"fraction must be in (0, 1); got {fraction}")
     if np.any(np.diff(freqs) <= 0):
@@ -74,6 +78,24 @@ def _parabolic(ym1: float, y0: float, yp1: float) -> tuple[float, float]:
         return 0.0, y0
     d = 0.5 * (ym1 - yp1) / denom
     return d, y0 - 0.25 * (ym1 - yp1) * d
+
+
+def refine_peak(
+    spectrum: np.ndarray, i: int, db: bool = True
+) -> tuple[float, float]:
+    """(sub-bin offset, interpolated level) of the local maximum at bin i.
+
+    Parabolic interpolation across the two neighbors, in dB when ``db``
+    (the standard estimator for windowed-FFT tones). Edge bins return
+    offset 0 and their own level."""
+    y = np.asarray(spectrum, np.float64)
+    if not 0 < i < y.size - 1:
+        return 0.0, float(y[i])
+    tri = y[i - 1 : i + 2]
+    if db:
+        tri = 20.0 * np.log10(np.maximum(tri, 1e-300))
+    d, v = _parabolic(*tri)
+    return float(d), float(10.0 ** (v / 20.0) if db else v)
 
 
 def peak_search(
@@ -101,24 +123,21 @@ def peak_search(
     order = np.argsort(y)[::-1]
     taken: list[int] = []
     out = []
-    yi = 20.0 * np.log10(np.maximum(y, 1e-300)) if db else y
     df = float(np.median(np.diff(freqs))) if n > 1 else 0.0
     for idx in order:
         i = int(idx)
-        if 0 < i < n - 1 and not (y[i] >= y[i - 1] and y[i] >= y[i + 1]):
-            continue  # not a local max (plateau ties allowed)
+        # local-max test including the edges (an edge bin must still beat
+        # its one neighbor — a sloped floor's low edge is NOT a peak)
+        if (i > 0 and y[i] < y[i - 1]) or (i < n - 1 and y[i] < y[i + 1]):
+            continue
         if any(abs(i - j) < min_separation_bins for j in taken):
             continue
-        if 0 < i < n - 1:
-            d, v = _parabolic(yi[i - 1], yi[i], yi[i + 1])
-        else:
-            d, v = 0.0, yi[i]
-        level = 10.0 ** (v / 20.0) if db else v
+        d, level = refine_peak(y, i, db=db)
         out.append(
             {
                 "bin": i,
                 "freq_hz": float(freqs[i] + d * df),
-                "level": float(level),
+                "level": level,
             }
         )
         taken.append(i)

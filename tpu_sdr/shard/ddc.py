@@ -23,7 +23,7 @@ import jax
 import jax.numpy as jnp
 from jax.sharding import NamedSharding, PartitionSpec as P
 
-from tpu_sdr.kernels.ddc import DDC, DDCState
+from tpu_sdr.kernels.ddc import DDC, DDCState, _fold_decimate, _mix
 
 
 class ShardedDDC:
@@ -51,21 +51,12 @@ class ShardedDDC:
         time_shards = self.mesh.shape["time"]
 
         def body(x, tail_re, tail_im, phase0, k, h2):
-            from tpu_sdr.kernels.ddc import _nco_cos_sin
-
             t = x.shape[-1]
-            steps = t // r
             # this shard's start phase: global start + idx*t_loc samples
             # of tuning word — wrapping uint32, exact (== single device)
-            idx = jax.lax.axis_index("time").astype(jnp.uint32)
-            local0 = phase0 + idx * (jnp.uint32(t) * k)
-            c, s = _nco_cos_sin(local0, k, t)
-            if iq:
-                yre = x[0] * c + x[1] * s
-                yim = x[1] * c - x[0] * s
-            else:
-                yre = x * c
-                yim = -(x * s)
+            idx = jax.lax.axis_index("time")
+            local0 = phase0 + idx.astype(jnp.uint32) * (jnp.uint32(t) * k)
+            yre, yim = _mix(x, local0, k, iq)
             outs, new_tails = [], []
             for y, carried in ((yre, tail_re), (yim, tail_im)):
                 tail = y[..., t - hist :] if hist else carried
@@ -75,17 +66,12 @@ class ShardedDDC:
                         "time",
                         [(i, i + 1) for i in range(time_shards - 1)],
                     )
-                    idx = jax.lax.axis_index("time")
                     halo = jnp.where(idx == 0, carried, left)
                     new_tail = jax.lax.all_gather(tail, "time")[-1]
                 else:
                     halo, new_tail = carried, tail
                 cat = jnp.concatenate([halo, y], axis=-1) if hist else y
-                rows = cat.reshape(cat.shape[:-1] + (-1, r))
-                acc = rows[..., 0:steps, :] * h2[0]
-                for tp in range(1, p):
-                    acc = acc + rows[..., tp : tp + steps, :] * h2[tp]
-                outs.append(jnp.sum(acc, axis=-1))
+                outs.append(_fold_decimate(cat, h2, p, r))
                 new_tails.append(new_tail)
             return outs[0], outs[1], new_tails[0], new_tails[1]
 
