@@ -232,6 +232,39 @@ def test_property_sweep_random_designs(rng):
         ), (trial, bounds)
 
 
+def test_bank_matches_individual_ddcs_bitwise(rng):
+    from tpu_sdr.kernels.ddc import DDCBank
+
+    centers = [77e3, -150e3, 313_131.5]
+    bank = DDCBank(fs=1e6, centers_hz=centers, decimation=8)
+    x = rng.standard_normal((2, 48 * 8)).astype(np.float32)
+    bout, bst = bank.process(x, bank.initial_state((2,)))
+    for i, fc in enumerate(centers):
+        d = DDC(fs=1e6, center_hz=fc, decimation=8)
+        o, s = d.process(x, d.initial_state((2,)))
+        assert np.array_equal(np.asarray(bout["re"])[i], np.asarray(o["re"])), i
+        assert np.array_equal(np.asarray(bout["im"])[i], np.asarray(o["im"])), i
+        assert np.array_equal(
+            np.asarray(bst.tail_re)[i], np.asarray(s.tail_re)
+        ), i
+    # streaming continuity across chunks
+    st = bank.initial_state((2,))
+    o1, st = bank.process(x[:, : 24 * 8], st)
+    o2, st = bank.process(x[:, 24 * 8 :], st)
+    joined = np.concatenate([np.asarray(o1["re"]), np.asarray(o2["re"])], -1)
+    assert np.array_equal(joined, np.asarray(bout["re"]))
+    assert st.offset == bst.offset
+    # IQ input gains the carrier axis too
+    xs = rng.standard_normal((2, 1, 24 * 8)).astype(np.float32)
+    oq, _ = bank.process_planes(xs, bank.initial_state((1,)))
+    assert np.asarray(oq["re"]).shape == (3, 1, 24)
+    # validation
+    with pytest.raises(ValueError):
+        DDCBank(centers_hz=[])
+    with pytest.raises(ValueError):
+        bank.process(x, bank.initial_state((3,)))
+
+
 def test_fir_design_contract():
     h = design_decimation_fir(8, taps_per_phase=8)
     assert h.size == 64

@@ -136,13 +136,37 @@ def _cmd_selftest(args) -> int:
         oc, s = pipe.process(x[i * int(n) : (i + 1) * int(n)], s, FilterMode.CUSTOM)
         chunks.append(np.asarray(oc["magnitude"]))
     ok_det = np.array_equal(np.concatenate(chunks, axis=1), np.asarray(o1["magnitude"]))
+    # channelizer: the 250 kHz tone lands in subchannel 32
+    from tpu_sdr.kernels.pfb import Channelizer
+
+    ch = Channelizer(m=128, taps=8)
+    co, _ = ch.process(x[None, : 64 * 128], ch.initial_state((1,)))
+    cpw = (np.asarray(co["re"]) ** 2 + np.asarray(co["im"]) ** 2)[0].mean(0)
+    top3 = set(np.argsort(cpw)[-3:].tolist())
+    # 250 kHz -> subchannel 32 exactly; 400 kHz straddles 51.2
+    ok_pfb = 32 in top3 and top3 & {51, 52}
+    # DDC + Welch PSD: tune to 400 kHz, tone appears at baseband DC
+    # (detrend would remove a DC-centered tone, so it's off here)
+    from tpu_sdr.kernels.ddc import DDC
+    from tpu_sdr.runtime import WelchPSD
+
+    ddc = DDC(fs=fs, center_hz=400e3, decimation=16)
+    do, _ = ddc.process(x, ddc.initial_state(()))
+    est = WelchPSD(fs=ddc.output_rate, nperseg=1024, detrend=False)
+    psd = np.asarray(
+        est.compute_iq(np.asarray(do["re"])[128:], np.asarray(do["im"])[128:])
+    )
+    fbins = est.frequencies(onesided=False)
+    ok_ddc = abs(fbins[int(np.argmax(psd))]) <= ddc.output_rate / 1024
     for name, ok in [
         (f"tone peaks at bins {sorted(peaks)}", ok_peaks),
         (f"400 kHz suppression {supp:.1f} dB", ok_supp),
         ("chunked == one-shot (bitwise)", ok_det),
+        ("channelizer: 250 kHz -> subchannel 32", ok_pfb),
+        ("DDC @400 kHz + Welch PSD: tone at baseband DC", ok_ddc),
     ]:
         print(f"  [{'PASS' if ok else 'FAIL'}] {name}")
-    ok = ok_peaks and ok_supp and ok_det
+    ok = ok_peaks and ok_supp and ok_det and ok_pfb and ok_ddc
     print("selftest:", "PASS" if ok else "FAIL")
     return 0 if ok else 1
 

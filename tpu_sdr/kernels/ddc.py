@@ -255,3 +255,123 @@ class DDC:
     def process_planes(self, xs, state: DDCState):
         """IQ planes (2, ..., T) -> complex baseband planes (..., T/R)."""
         return self._process(xs, state, iq=True)
+
+
+class DDCBank:
+    """K simultaneous down-converters on ONE shared input stream
+    (multi-carrier monitoring). All carriers share the decimation and
+    anti-alias FIR; each has its own 32-bit tuning word. The whole bank
+    is one vmapped dispatch over the carrier axis — the input is read
+    once and mixed K ways on the VPU. Output planes gain a leading
+    carrier axis: (K, ..., T/R). Bitwise-identical to K independent
+    ``DDC`` instances (tested)."""
+
+    def __init__(
+        self,
+        fs: float = 1_000_000.0,
+        centers_hz=(100_000.0,),
+        decimation: int = 8,
+        fir: np.ndarray | None = None,
+        taps_per_phase: int = 8,
+        window: str = "hamming",
+    ):
+        if len(centers_hz) < 1:
+            raise ValueError("need at least one carrier")
+        self._template = DDC(
+            fs=fs,
+            center_hz=float(centers_hz[0]),
+            decimation=decimation,
+            fir=fir,
+            taps_per_phase=taps_per_phase,
+            window=window,
+        )
+        self._fwd = {}  # iq -> jitted vmapped forward (ONE compiled dispatch)
+        self.retune(centers_hz)
+
+    def retune(self, centers_hz):
+        """Replace the carrier set (next chunk; count must not change
+        after the first process call only if you want to avoid a
+        retrace — shapes are static per K)."""
+        if len(centers_hz) < 1:
+            raise ValueError("need at least one carrier")
+        self.centers_hz = [float(c) for c in centers_hz]
+        fs = self._template.fs
+        self._words = [
+            int(round(c / fs * 2.0**32)) % (1 << 32) for c in self.centers_hz
+        ]
+
+    @property
+    def k(self) -> int:
+        return len(self.centers_hz)
+
+    @property
+    def fs(self) -> float:
+        return self._template.fs
+
+    @property
+    def output_rate(self) -> float:
+        return self._template.output_rate
+
+    @property
+    def history_len(self) -> int:
+        return self._template.history_len
+
+    @property
+    def realized_centers_hz(self) -> list[float]:
+        out = []
+        for w in self._words:
+            if w >= 1 << 31:
+                w -= 1 << 32
+            out.append(w * self.fs / 2.0**32)
+        return out
+
+    def initial_state(self, batch_shape: tuple = ()) -> DDCState:
+        z = jnp.zeros(
+            (self.k,) + tuple(batch_shape) + (self._template.history_len,),
+            jnp.float32,
+        )
+        return DDCState(z, z, 0)
+
+    def _process(self, x, state: DDCState, iq: bool):
+        tmpl = self._template
+        t = x.shape[-1]
+        if t % tmpl.r:
+            raise ValueError(f"chunk length {t} not a multiple of R={tmpl.r}")
+        batch = x.shape[1:-1] if iq else x.shape[:-1]
+        want = (self.k,) + tuple(batch) + (tmpl.history_len,)
+        if tuple(state.tail_re.shape) != want:
+            raise ValueError(
+                f"state shape {tuple(state.tail_re.shape)} != {want}"
+            )
+        phase0 = jnp.asarray(
+            [(state.offset * w) % (1 << 32) for w in self._words], jnp.uint32
+        )
+        words = jnp.asarray(self._words, jnp.uint32)
+        if iq not in self._fwd:
+            # jit the vmapped forward: without the outer jit, vmap
+            # dispatches op-by-op (measured 10x slower through the tunnel)
+            self._fwd[iq] = jax.jit(
+                jax.vmap(
+                    functools.partial(
+                        _ddc_forward.__wrapped__, p=tmpl.p, r=tmpl.r, iq=iq
+                    ),
+                    in_axes=(None, 0, 0, 0, 0, None),
+                )
+            )
+        ore, oim, tre, tim = self._fwd[iq](
+            jnp.asarray(x, jnp.float32),
+            state.tail_re,
+            state.tail_im,
+            phase0,
+            words,
+            tmpl._h2,
+        )
+        return {"re": ore, "im": oim}, DDCState(tre, tim, state.offset + t)
+
+    def process(self, x, state: DDCState):
+        """Real input (..., T) -> complex planes (K, ..., T/R)."""
+        return self._process(x, state, iq=False)
+
+    def process_planes(self, xs, state: DDCState):
+        """IQ planes (2, ..., T) -> complex planes (K, ..., T/R)."""
+        return self._process(xs, state, iq=True)
