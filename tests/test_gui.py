@@ -362,6 +362,63 @@ def test_zoom_mode_events():
     assert abs(est_hz - f_tone) < z["hz_per_bin"], (est_hz, f_tone)
 
 
+def _drain_frames(q, seconds):
+    frames = []
+    deadline = time.time() + seconds
+    while time.time() < deadline:
+        try:
+            ev, payload = q.get(timeout=0.25)
+        except Exception:
+            continue
+        if ev == "frame_data":
+            frames.append(json.loads(payload))
+    return frames
+
+
+def test_trigger_modes():
+    """Band-power trigger: 'normal' gates frames on threshold; 'single'
+    freezes after one crossing until re-armed."""
+    backend = GuiBackend(
+        analyzer=SpectrumAnalyzer(PipelineConfig(channels=1)),
+        source=SyntheticSource(tones_hz=((100_000.0, 0.5),), noise=0.005),
+        display_fps=1000.0,
+    )
+    q = backend.subscribe()
+    backend.start_receiver()
+    try:
+        assert _drain_frames(q, 8), "no frames in free run"
+        # normal mode, threshold far above the tone: display holds
+        r = backend.set_trigger(
+            {"enabled": True, "mode": "normal", "threshold_db": 200.0,
+             "f_lo_khz": 90.0, "f_hi_khz": 110.0}
+        )
+        assert r["ok"] and r["armed"]
+        _drain_frames(q, 2)  # flush in-flight frames
+        assert not _drain_frames(q, 3), "frames leaked above threshold"
+        # drop the threshold below the tone: frames flow, marked triggered
+        backend.set_trigger({"threshold_db": -60.0})
+        flowing = _drain_frames(q, 6)
+        assert flowing and all(f["triggered"] for f in flowing)
+        # single mode: exactly one frame per arm
+        backend.set_trigger({"mode": "single", "rearm": True})
+        _drain_frames(q, 2)
+        assert not backend._trigger_armed  # fired
+        assert not _drain_frames(q, 3), "frames after single-shot froze"
+        backend.set_trigger({"rearm": True})
+        assert len(_drain_frames(q, 4)) == 1, "re-arm must yield ONE frame"
+        # validation
+        with pytest.raises(ValueError, match="trigger mode"):
+            backend.set_trigger({"mode": "auto"})
+        with pytest.raises(ValueError, match="f_lo"):
+            backend.set_trigger({"f_lo_khz": 200.0, "f_hi_khz": 100.0})
+        st = backend.get_state()
+        assert st["trigger"]["mode"] == "single" and not st["trigger"]["armed"]
+    finally:
+        backend.set_trigger({"enabled": False})
+        backend.stop_receiver()
+        backend.unsubscribe(q)
+
+
 def test_zoom_ddc_mode_events():
     """DDC zoom: arbitrary (off-grid) center frequency; the zoom_frame
     peak recovers the tone offset from the tuned center."""

@@ -67,6 +67,17 @@ class GuiBackend:
         self._trace_sig = None
         self._trace_peak = None
         self._trace_avg = None
+        # Band-power trigger (classic analyzer capture): 'normal' shows
+        # only frames whose in-band peak level crosses the threshold;
+        # 'single' freezes on the first crossing until re-armed.
+        self.trigger_cfg = {
+            "enabled": False,
+            "mode": "single",  # 'single' | 'normal'
+            "f_lo_khz": 0.0,
+            "f_hi_khz": 500.0,
+            "threshold_db": -20.0,
+        }
+        self._trigger_armed = True
         # Zoom mode: PFB-channelize the raw stream and run a small spectrum
         # pipeline on ONE subchannel (the zoom-FFT workflow, demo_zoom.py).
         # m/taps/fft_size are fixed per session; channel is live-switchable.
@@ -192,14 +203,94 @@ class GuiBackend:
                         f"zoom disabled after error: {type(e).__name__}: {e}",
                         ok=False,
                     )
-            if now - self._last_emit < 1.0 / self.display_fps:
+            # trigger gate: evaluated per dispatch, BEFORE the rate limiter
+            trig = dict(self.trigger_cfg)  # snapshot (HTTP thread mutates)
+            triggered = False
+            if trig["enabled"]:
+                level = self._band_level_db(wf_mag, trig)
+                fired = level >= trig["threshold_db"]
+                if trig["mode"] == "single":
+                    if not (self._trigger_armed and fired):
+                        continue  # frozen (or waiting): hold the display
+                    self._trigger_armed = False
+                    triggered = True
+                    self.status(
+                        f"triggered at {level:.1f} dB "
+                        f"({trig['f_lo_khz']:g}-{trig['f_hi_khz']:g} kHz); "
+                        "display frozen until re-arm"
+                    )
+                else:  # normal: only show crossing frames
+                    if not fired:
+                        continue
+                    triggered = True
+            if not triggered and now - self._last_emit < 1.0 / self.display_fps:
                 continue
             self._last_emit = now
-            self._emit_frame(disp, mode)
+            self._emit_frame(disp, mode, triggered=triggered)
             if self.waterfall_enabled:
                 self._emit_waterfall_row(wf_mag)
 
-    def _emit_frame(self, mag: np.ndarray, mode: str | None = None):
+    def _band_level_db(self, mag: np.ndarray, trig: dict) -> float:
+        """Peak in-band level (dB of the magnitude row) for the trigger —
+        the same dB axis the display shows."""
+        n = self.sa.cfg.fft_size
+        fs = self.sa.cfg.sample_rate
+        if getattr(self, "_iq", False):
+            view = np.fft.fftshift(mag)
+            lo = int(np.clip((n // 2) - trig["f_hi_khz"] * 1e3 * n / fs, 0, n - 2))
+            hi = int(np.clip((n // 2) + trig["f_hi_khz"] * 1e3 * n / fs, lo + 1, n))
+        else:
+            view = mag[: n // 2]
+            lo = int(np.clip(trig["f_lo_khz"] * 1e3 * n / fs, 0, n // 2 - 1))
+            hi = int(np.clip(trig["f_hi_khz"] * 1e3 * n / fs, lo + 1, n // 2))
+        return float(20.0 * np.log10(max(float(np.max(view[lo:hi])), 1e-30)))
+
+    def set_trigger(self, cfg: dict) -> dict:
+        """Configure the band-power trigger; {'rearm': true} re-arms a
+        fired single-shot trigger. Validates atomically."""
+        known = {"enabled", "mode", "f_lo_khz", "f_hi_khz", "threshold_db",
+                 "rearm"}
+        unknown = sorted(set(cfg) - known)
+        if unknown:
+            self.status(f"ignored unknown trigger fields: {unknown}", ok=False)
+        updates = {}
+        if "mode" in cfg:
+            m = str(cfg["mode"]).lower()
+            if m not in ("single", "normal"):
+                raise ValueError(f"trigger mode must be single|normal; got {m!r}")
+            updates["mode"] = m
+        if "f_lo_khz" in cfg or "f_hi_khz" in cfg:
+            lo = float(cfg.get("f_lo_khz", self.trigger_cfg["f_lo_khz"]))
+            hi = float(cfg.get("f_hi_khz", self.trigger_cfg["f_hi_khz"]))
+            if not (0 <= lo < hi):
+                raise ValueError(f"need 0 <= f_lo < f_hi; got [{lo}, {hi}] kHz")
+            updates["f_lo_khz"], updates["f_hi_khz"] = lo, hi
+        if "threshold_db" in cfg:
+            updates["threshold_db"] = float(cfg["threshold_db"])
+        if "enabled" in cfg:
+            updates["enabled"] = bool(cfg["enabled"])
+        self.trigger_cfg.update(updates)
+        if cfg.get("rearm") or updates.get("enabled"):
+            self._trigger_armed = True
+        state = "armed" if self._trigger_armed else "fired"
+        if self.trigger_cfg["enabled"]:
+            self.status(
+                f"trigger {self.trigger_cfg['mode']} {state}: "
+                f"{self.trigger_cfg['f_lo_khz']:g}-"
+                f"{self.trigger_cfg['f_hi_khz']:g} kHz "
+                f">= {self.trigger_cfg['threshold_db']:g} dB"
+            )
+        else:
+            self.status("trigger off")
+        return {
+            "ok": True,
+            "trigger": dict(self.trigger_cfg),
+            "armed": self._trigger_armed,
+        }
+
+    def _emit_frame(
+        self, mag: np.ndarray, mode: str | None = None, triggered: bool = False
+    ):
         if mode is None:
             mode = self.display_mode
         n = self.sa.cfg.fft_size
@@ -263,6 +354,7 @@ class GuiBackend:
                 "peak_bin": (base + lo + peak) % n,
                 "peak_freq_khz": (base + lo + peak) * fs / n / 1000.0,
                 "peak_freq_interp_khz": round(peak_interp_khz, 4),
+                "triggered": triggered,
                 "peak_mag": float(window[peak]),
                 "frames_received": self.sa.stats.frames_produced,
                 "incoming_fps": round(self.sa.stats.frames_produced and incoming_fps, 2),
@@ -683,6 +775,7 @@ class GuiBackend:
             "filter_config": self.filter_config,
             "display_mode": self.display_mode,
             "zoom": dict(self.zoom_cfg),
+            "trigger": {**self.trigger_cfg, "armed": self._trigger_armed},
             "stats": self.sa.stats.as_dict(),
             "config": {
                 "fft_size": self.sa.cfg.fft_size,

@@ -15,6 +15,8 @@ POST endpoints mirroring the reference's SocketIO event set
   POST /api/update_filter_config  {designer fields}
   POST /api/update_config       {display_fps, display_points, waterfall_enabled}
   POST /api/set_zoom            {"enabled": bool, "channel": 0..127}
+  POST /api/set_trigger         {"enabled", "mode", "f_lo_khz", "f_hi_khz",
+                                 "threshold_db", "rearm"}
   POST /api/reset_plot
   POST /api/generate_filter_preview
   POST /api/apply_filter_to_fpga
@@ -140,6 +142,8 @@ def _make_handler(backend: GuiBackend):
                     self._json({"ok": True})
                 elif route == "/api/set_zoom":
                     self._json(backend.set_zoom(dict(args)))
+                elif route == "/api/set_trigger":
+                    self._json(backend.set_trigger(dict(args)))
                 elif route == "/api/generate_filter_preview":
                     self._json(backend.generate_filter_preview())
                 elif route == "/api/apply_filter_to_fpga":
