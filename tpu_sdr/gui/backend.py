@@ -226,9 +226,14 @@ class GuiBackend:
             if not triggered and now - self._last_emit < 1.0 / self.display_fps:
                 continue
             self._last_emit = now
-            self._emit_frame(disp, mode, triggered=triggered)
-            if self.waterfall_enabled:
-                self._emit_waterfall_row(wf_mag)
+            try:
+                self._emit_frame(disp, mode, triggered=triggered)
+                if self.waterfall_enabled:
+                    self._emit_waterfall_row(wf_mag)
+            except Exception as e:  # display errors must not kill acquisition
+                self.status(
+                    f"display error: {type(e).__name__}: {e}", ok=False
+                )
 
     def _band_level_db(self, mag: np.ndarray, trig: dict) -> float:
         """Peak in-band level (dB of the magnitude row) for the trigger —
