@@ -1,0 +1,97 @@
+"""SampleRecorder capture -> FileSource playback roundtrips."""
+
+import json
+
+import numpy as np
+import pytest
+
+from tpu_sdr.runtime.recorder import RecordingSource, SampleRecorder
+from tpu_sdr.runtime.source import FileSource, SyntheticSource
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(5)
+
+
+def test_real_roundtrip(tmp_path, rng):
+    path = str(tmp_path / "cap.npy")
+    rec = SampleRecorder(path, fs=2e6)
+    chunks = [rng.standard_normal((2, n)).astype(np.float32) for n in (100, 37, 63)]
+    for c in chunks:
+        rec.append(c)
+    meta = rec.close()
+    assert meta == {
+        "fs": 2e6, "channels": 2, "complex": False,
+        "samples": 200, "samples_seen": 200,
+    }
+    src = FileSource(path)
+    assert src.fs == 2e6  # sidecar overrides the default
+    got = src.read(200)
+    np.testing.assert_array_equal(got, np.concatenate(chunks, axis=-1))
+    # looped playback wraps
+    np.testing.assert_array_equal(src.read(200), got)
+
+
+def test_complex_iq_roundtrip(tmp_path, rng):
+    path = str(tmp_path / "iq.npy")
+    rec = SampleRecorder(path, fs=1e6)
+    z = (rng.standard_normal(256) + 1j * rng.standard_normal(256)).astype(
+        np.complex64
+    )
+    rec.append(z)  # 1-D chunk is promoted to (1, n)
+    meta = rec.close()
+    assert meta["complex"] and meta["channels"] == 1
+    src = FileSource(path)
+    got = src.read(256)
+    assert np.iscomplexobj(got)
+    np.testing.assert_array_equal(got[0], z)
+
+
+def test_ring_keeps_last_n(tmp_path, rng):
+    path = str(tmp_path / "ring.npy")
+    rec = SampleRecorder(path, fs=1e6, max_samples=150)
+    full = rng.standard_normal((1, 400)).astype(np.float32)
+    for i in range(0, 400, 80):
+        rec.append(full[:, i : i + 80])
+    meta = rec.close()
+    assert meta["samples"] == 150 and meta["samples_seen"] == 400
+    got = np.load(path)
+    np.testing.assert_array_equal(got, full[:, -150:])
+
+
+def test_recording_source_tees_displayed_samples(tmp_path):
+    path = str(tmp_path / "tee.npy")
+    inner = SyntheticSource(tones_hz=((50e3, 0.5),), noise=0.0)
+    rec = SampleRecorder(path, fs=inner.fs)
+    src = RecordingSource(inner, rec)
+    a = src.read(128)
+    b = src.read(64)
+    rec.close()
+    got = np.load(path)
+    np.testing.assert_array_equal(
+        got, np.concatenate([np.atleast_2d(a), np.atleast_2d(b)], axis=-1)
+    )
+    # sidecar exists with the source's rate
+    assert json.load(open(str(tmp_path / "tee.json")))["fs"] == inner.fs
+
+
+def test_validation(tmp_path, rng):
+    rec = SampleRecorder(str(tmp_path / "v.npy"))
+    with pytest.raises(ValueError):
+        rec.append(np.zeros((2, 2, 2), np.float32))
+    rec.append(np.zeros((2, 8), np.float32))
+    with pytest.raises(ValueError, match="signature"):
+        rec.append(np.zeros((3, 8), np.float32))
+    with pytest.raises(ValueError, match="signature"):
+        rec.append(np.zeros((2, 8), np.complex64))
+    rec.close()
+    with pytest.raises(ValueError):
+        rec.append(np.zeros((2, 8), np.float32))
+    with pytest.raises(ValueError):
+        rec.close()
+    with pytest.raises(ValueError):
+        SampleRecorder(str(tmp_path / "x.npy"), max_samples=0)
+    empty = SampleRecorder(str(tmp_path / "e.npy"))
+    with pytest.raises(ValueError, match="nothing recorded"):
+        empty.close()

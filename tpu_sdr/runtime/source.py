@@ -16,6 +16,7 @@ the GUI demo does; the bench never does).
 
 from __future__ import annotations
 
+import os
 import time
 from typing import Callable, Sequence
 
@@ -89,15 +90,24 @@ class SyntheticSource:
 
 
 class FileSource:
-    """Looped playback of a capture file (.npy, or raw int16/float32)."""
+    """Looped playback of a capture file (.npy — real or complex/IQ, e.g.
+    a ``SampleRecorder`` capture — or raw int16/float32). A JSON sidecar
+    written by the recorder overrides ``fs``."""
 
     def __init__(self, path: str, fs: float = 1_000_000.0, channels: int = 1):
         if path.endswith(".npy"):
             data = np.load(path)
+            sidecar = path[: -len(".npy")] + ".json"
+            if os.path.exists(sidecar):
+                import json
+
+                with open(sidecar) as f:
+                    fs = float(json.load(f).get("fs", fs))
         else:
             raw = np.fromfile(path, dtype=np.int16)
             data = raw.astype(np.float32) / qf.Q15_SCALE
-        self.data = np.atleast_2d(np.asarray(data, np.float32))
+        dtype = np.complex64 if np.iscomplexobj(data) else np.float32
+        self.data = np.atleast_2d(np.asarray(data, dtype))
         self.fs = fs
         self.channels = channels
         self.pos = 0
