@@ -419,6 +419,41 @@ def test_trigger_modes():
         backend.unsubscribe(q)
 
 
+def test_trigger_band_and_rearm_semantics():
+    """Regressions: IQ band honors f_lo (DC must not fire a 90-110 kHz
+    trigger); repeated enabled=true must NOT re-arm a fired single-shot."""
+    backend = GuiBackend(
+        analyzer=SpectrumAnalyzer(PipelineConfig(channels=1)),
+        source=SyntheticSource(tones_hz=((100_000.0, 0.5),)),
+    )
+    n = backend.sa.cfg.fft_size
+    trig = {"f_lo_khz": 90.0, "f_hi_khz": 110.0}
+    # IQ: strong DC bin + in-band bin at -100 kHz
+    backend._iq = True
+    mag = np.full(n, 1e-6)
+    mag[0] = 1e3  # DC (bin 0 pre-shift)
+    assert backend._band_level_db(mag, trig) < -100  # DC excluded
+    mag2 = np.full(n, 1e-6)
+    mag2[-int(100e3 * n / 1e6)] = 1e3  # -100 kHz (negative sideband)
+    assert backend._band_level_db(mag2, trig) > 50
+    backend._iq = False
+    mag3 = np.full(n, 1e-6)
+    mag3[int(50e3 * n / 1e6)] = 1e3  # 50 kHz, below f_lo
+    assert backend._band_level_db(mag3, trig) < -100
+    # re-arm only on explicit rearm or off->on transition
+    backend.set_trigger({"enabled": True, "mode": "single"})
+    assert backend._trigger_armed
+    backend._trigger_armed = False  # simulate a fired capture
+    backend.set_trigger({"enabled": True, "threshold_db": -10.0})
+    assert not backend._trigger_armed, "field tweak must not re-arm"
+    backend.set_trigger({"rearm": True})
+    assert backend._trigger_armed
+    backend._trigger_armed = False
+    backend.set_trigger({"enabled": False})
+    backend.set_trigger({"enabled": True})
+    assert backend._trigger_armed, "off->on transition re-arms"
+
+
 def test_zoom_ddc_mode_events():
     """DDC zoom: arbitrary (off-grid) center frequency; the zoom_frame
     peak recovers the tone offset from the tuned center."""

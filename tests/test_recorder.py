@@ -95,3 +95,16 @@ def test_validation(tmp_path, rng):
     empty = SampleRecorder(str(tmp_path / "e.npy"))
     with pytest.raises(ValueError, match="nothing recorded"):
         empty.close()
+    # an empty close must NOT brick the recorder: append-then-close works
+    empty.append(np.ones((1, 4), np.float32))
+    assert empty.close()["samples"] == 4
+
+
+def test_ring_trim_releases_big_chunk(tmp_path, rng):
+    """Regression: the ring trim must COPY, not keep a view whose .base
+    is the whole original chunk."""
+    rec = SampleRecorder(str(tmp_path / "r.npy"), max_samples=100)
+    rec.append(rng.standard_normal((1, 10_000)).astype(np.float32))
+    head = rec._chunks[0]
+    assert head.shape[-1] == 100
+    assert head.base is None or head.base.shape[-1] <= 100

@@ -144,7 +144,7 @@ def _cmd_selftest(args) -> int:
     cpw = (np.asarray(co["re"]) ** 2 + np.asarray(co["im"]) ** 2)[0].mean(0)
     top3 = set(np.argsort(cpw)[-3:].tolist())
     # 250 kHz -> subchannel 32 exactly; 400 kHz straddles 51.2
-    ok_pfb = 32 in top3 and top3 & {51, 52}
+    ok_pfb = 32 in top3 and bool(top3 & {51, 52})
     # DDC + Welch PSD: tune to 400 kHz, tone appears at baseband DC
     # (detrend would remove a DC-centered tone, so it's off here)
     from tpu_sdr.kernels.ddc import DDC

@@ -206,6 +206,7 @@ class GuiBackend:
             # trigger gate: evaluated per dispatch, BEFORE the rate limiter
             trig = dict(self.trigger_cfg)  # snapshot (HTTP thread mutates)
             triggered = False
+            force_emit = False  # only single-shot's ONE frame skips the limiter
             if trig["enabled"]:
                 level = self._band_level_db(wf_mag, trig)
                 fired = level >= trig["threshold_db"]
@@ -213,17 +214,17 @@ class GuiBackend:
                     if not (self._trigger_armed and fired):
                         continue  # frozen (or waiting): hold the display
                     self._trigger_armed = False
-                    triggered = True
+                    triggered = force_emit = True
                     self.status(
                         f"triggered at {level:.1f} dB "
                         f"({trig['f_lo_khz']:g}-{trig['f_hi_khz']:g} kHz); "
                         "display frozen until re-arm"
                     )
-                else:  # normal: only show crossing frames
+                else:  # normal: only show crossing frames (rate-limited)
                     if not fired:
                         continue
                     triggered = True
-            if not triggered and now - self._last_emit < 1.0 / self.display_fps:
+            if not force_emit and now - self._last_emit < 1.0 / self.display_fps:
                 continue
             self._last_emit = now
             try:
@@ -237,18 +238,29 @@ class GuiBackend:
 
     def _band_level_db(self, mag: np.ndarray, trig: dict) -> float:
         """Peak in-band level (dB of the magnitude row) for the trigger —
-        the same dB axis the display shows."""
+        the same dB axis the display shows. The band is [f_lo, f_hi] kHz;
+        IQ streams evaluate BOTH sidebands (|f| in the band), unlike the
+        display crop which is deliberately symmetric-from-DC."""
         n = self.sa.cfg.fft_size
         fs = self.sa.cfg.sample_rate
+        lo_b = trig["f_lo_khz"] * 1e3 * n / fs
+        hi_b = trig["f_hi_khz"] * 1e3 * n / fs
         if getattr(self, "_iq", False):
             view = np.fft.fftshift(mag)
-            lo = int(np.clip((n // 2) - trig["f_hi_khz"] * 1e3 * n / fs, 0, n - 2))
-            hi = int(np.clip((n // 2) + trig["f_hi_khz"] * 1e3 * n / fs, lo + 1, n))
+            c = n // 2
+            level = 0.0
+            for a, b in (
+                (c + lo_b, c + hi_b),  # positive sideband
+                (c - hi_b, c - lo_b),  # negative sideband
+            ):
+                a = int(np.clip(a, 0, n - 2))
+                b = int(np.clip(b, a + 1, n))
+                level = max(level, float(np.max(view[a:b])))
         else:
-            view = mag[: n // 2]
-            lo = int(np.clip(trig["f_lo_khz"] * 1e3 * n / fs, 0, n // 2 - 1))
-            hi = int(np.clip(trig["f_hi_khz"] * 1e3 * n / fs, lo + 1, n // 2))
-        return float(20.0 * np.log10(max(float(np.max(view[lo:hi])), 1e-30)))
+            lo = int(np.clip(lo_b, 0, n // 2 - 1))
+            hi = int(np.clip(hi_b, lo + 1, n // 2))
+            level = float(np.max(mag[lo:hi]))
+        return float(20.0 * np.log10(max(level, 1e-30)))
 
     def set_trigger(self, cfg: dict) -> dict:
         """Configure the band-power trigger; {'rearm': true} re-arms a
@@ -274,8 +286,12 @@ class GuiBackend:
             updates["threshold_db"] = float(cfg["threshold_db"])
         if "enabled" in cfg:
             updates["enabled"] = bool(cfg["enabled"])
+        was_enabled = self.trigger_cfg["enabled"]
         self.trigger_cfg.update(updates)
-        if cfg.get("rearm") or updates.get("enabled"):
+        # re-arm on explicit request or an off->on TRANSITION only — the UI
+        # resends enabled=true on every field tweak, which must not quietly
+        # overwrite a frozen single-shot capture
+        if cfg.get("rearm") or (updates.get("enabled") and not was_enabled):
             self._trigger_armed = True
         state = "armed" if self._trigger_armed else "fired"
         if self.trigger_cfg["enabled"]:

@@ -61,6 +61,18 @@ def design_decimation_fir(
     return (h / h.sum()).astype(np.float64)
 
 
+def _tuning_word(fs: float, center_hz: float) -> int:
+    """32-bit NCO tuning word: round(fc/fs * 2^32) mod 2^32."""
+    return int(round(center_hz / fs * 2.0**32)) % (1 << 32)
+
+
+def _principal_alias_hz(fs: float, word: int) -> float:
+    """The frequency a tuning word actually produces, in [-fs/2, fs/2)."""
+    if word >= 1 << 31:
+        word -= 1 << 32
+    return word * fs / 2.0**32
+
+
 def _nco_cos_sin(phase0_u32, k_u32, t: int):
     """cos/sin of the NCO carrier for t consecutive samples.
 
@@ -198,7 +210,7 @@ class DDC:
         self.center_hz = float(center_hz)
         self._dphi = self.center_hz / self.fs
         # 32-bit NCO tuning word; negative frequencies wrap (mod 2^32)
-        self._tuning_word = int(round(self._dphi * 2.0**32)) % (1 << 32)
+        self._tuning_word = _tuning_word(self.fs, self.center_hz)
 
     @property
     def realized_center_hz(self) -> float:
@@ -207,10 +219,7 @@ class DDC:
         (|fc| <= fs/2); a request beyond Nyquist returns its alias
         (mod fs into [-fs/2, fs/2) — the frequency the NCO actually
         produces)."""
-        k = self._tuning_word
-        if k >= 1 << 31:  # principal alias: map [fs/2, fs) to [-fs/2, 0)
-            k -= 1 << 32
-        return k * self.fs / 2.0**32
+        return _principal_alias_hz(self.fs, self._tuning_word)
 
     def initial_state(self, batch_shape: tuple = ()) -> DDCState:
         z = jnp.zeros(tuple(batch_shape) + (self.history_len,), jnp.float32)
@@ -296,9 +305,7 @@ class DDCBank:
             raise ValueError("need at least one carrier")
         self.centers_hz = [float(c) for c in centers_hz]
         fs = self._template.fs
-        self._words = [
-            int(round(c / fs * 2.0**32)) % (1 << 32) for c in self.centers_hz
-        ]
+        self._words = [_tuning_word(fs, c) for c in self.centers_hz]
 
     @property
     def k(self) -> int:
@@ -318,12 +325,7 @@ class DDCBank:
 
     @property
     def realized_centers_hz(self) -> list[float]:
-        out = []
-        for w in self._words:
-            if w >= 1 << 31:
-                w -= 1 << 32
-            out.append(w * self.fs / 2.0**32)
-        return out
+        return [_principal_alias_hz(self.fs, w) for w in self._words]
 
     def initial_state(self, batch_shape: tuple = ()) -> DDCState:
         z = jnp.zeros(

@@ -73,16 +73,21 @@ class SampleRecorder:
                 self._buffered -= self._chunks.pop(0).shape[-1]
             excess = self._buffered - self.max_samples
             if excess > 0:
-                self._chunks[0] = self._chunks[0][..., excess:]
+                # copy, not slice: a view would keep the whole original
+                # chunk array alive, defeating the ring's memory bound
+                # (ascontiguousarray is NOT enough — it returns the view
+                # unchanged when the slice happens to be contiguous)
+                self._chunks[0] = self._chunks[0][..., excess:].copy()
                 self._buffered -= excess
 
     def close(self) -> dict:
         """Write the capture; returns the sidecar metadata dict."""
         if self._closed:
             raise ValueError("recorder already closed")
-        self._closed = True
         if self._sig is None:
+            # not fatal: the recorder stays usable (append then close)
             raise ValueError("nothing recorded")
+        self._closed = True
         data = np.concatenate(self._chunks, axis=-1)
         self._chunks.clear()
         np.save(self.path, data)
