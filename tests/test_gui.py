@@ -419,6 +419,42 @@ def test_trigger_modes():
         backend.unsubscribe(q)
 
 
+def test_record_endpoints(tmp_path, monkeypatch):
+    """Rec: raw samples captured from the live loop into captures/."""
+    monkeypatch.chdir(tmp_path)
+    backend = GuiBackend(
+        analyzer=SpectrumAnalyzer(PipelineConfig(channels=1)),
+        source=SyntheticSource(tones_hz=((100_000.0, 0.5),), noise=0.0),
+        display_fps=1000.0,
+    )
+    backend.start_receiver()
+    try:
+        with pytest.raises(ValueError, match="not recording"):
+            backend.stop_record()
+        r = backend.start_record(max_seconds=2.0)
+        assert r["ok"] and r["path"].startswith("captures/")
+        with pytest.raises(ValueError, match="already recording"):
+            backend.start_record()
+        deadline = time.time() + 20
+        while time.time() < deadline and backend._recorder is not None and (
+            backend._recorder.samples_written < 16384
+        ):
+            time.sleep(0.2)
+        meta = backend.stop_record()
+        assert meta["ok"] and meta["samples"] >= 16384
+        # the capture replays: tone at 100 kHz
+        from tpu_sdr.runtime.source import FileSource
+
+        src = FileSource(meta["path"])
+        assert src.fs == backend.sa.cfg.sample_rate
+        x = src.read(16384)[0]
+        spec = np.abs(np.fft.rfft(x * np.hanning(x.size)))
+        f = np.fft.rfftfreq(x.size, 1 / src.fs)
+        assert abs(f[np.argmax(spec)] - 100e3) < 200
+    finally:
+        backend.stop_receiver()
+
+
 def test_trigger_band_and_rearm_semantics():
     """Regressions: IQ band honors f_lo (DC must not fire a 90-110 kHz
     trigger); repeated enabled=true must NOT re-arm a fired single-shot."""

@@ -78,6 +78,10 @@ class GuiBackend:
             "threshold_db": -20.0,
         }
         self._trigger_armed = True
+        # raw-sample capture (runtime/recorder): armed from the HTTP
+        # thread, appended from the acquisition loop
+        self._recorder = None
+        self._record_path = None
         # Zoom mode: PFB-channelize the raw stream and run a small spectrum
         # pipeline on ONE subchannel (the zoom-FFT workflow, demo_zoom.py).
         # m/taps/fft_size are fixed per session; channel is live-switchable.
@@ -162,6 +166,13 @@ class GuiBackend:
         while not self._stop.is_set():
             x = self.source.read(chunk, pace=self.pace)
             self._iq = bool(np.iscomplexobj(x))
+            rec = self._recorder  # snapshot: HTTP thread swaps it
+            if rec is not None:
+                try:
+                    rec.append(np.atleast_2d(x))
+                except ValueError as e:  # closed/shape flip: drop cleanly
+                    self._recorder = None
+                    self.status(f"recording stopped: {e}", ok=False)
             # snapshot the mode once per iteration: it can be flipped from
             # the HTTP thread between the request and the decode otherwise
             # (the snapshot is threaded through _emit_frame too)
@@ -261,6 +272,44 @@ class GuiBackend:
             hi = int(np.clip(hi_b, lo + 1, n // 2))
             level = float(np.max(mag[lo:hi]))
         return float(20.0 * np.log10(max(level, 1e-30)))
+
+    def start_record(self, max_seconds: float = 60.0) -> dict:
+        """Arm raw-sample capture into ./captures/ (ring-bounded)."""
+        import os
+        import time as _t
+
+        from tpu_sdr.runtime.recorder import SampleRecorder
+
+        if self._recorder is not None:
+            raise ValueError("already recording; stop_record first")
+        fs = self.sa.cfg.sample_rate
+        max_seconds = float(np.clip(float(max_seconds), 0.1, 600.0))
+        os.makedirs("captures", exist_ok=True)
+        path = os.path.join(
+            "captures", _t.strftime("capture_%Y%m%d_%H%M%S.npy")
+        )
+        self._record_path = path
+        self._recorder = SampleRecorder(
+            path, fs=fs, max_samples=int(max_seconds * fs)
+        )
+        self.status(f"recording to {path} (last {max_seconds:g}s kept)")
+        return {"ok": True, "path": path}
+
+    def stop_record(self) -> dict:
+        """Finalize the capture file; returns its metadata."""
+        rec, self._recorder = self._recorder, None
+        if rec is None:
+            raise ValueError("not recording")
+        try:
+            meta = rec.close()
+        except ValueError as e:  # nothing recorded yet
+            self.status(f"recording discarded: {e}", ok=False)
+            return {"ok": False, "error": str(e)}
+        self.status(
+            f"capture saved: {self._record_path} "
+            f"({meta['samples']} samples @ {meta['fs']:g} Hz)"
+        )
+        return {"ok": True, "path": self._record_path, **meta}
 
     def set_trigger(self, cfg: dict) -> dict:
         """Configure the band-power trigger; {'rearm': true} re-arms a

@@ -17,6 +17,8 @@ POST endpoints mirroring the reference's SocketIO event set
   POST /api/set_zoom            {"enabled": bool, "channel": 0..127}
   POST /api/set_trigger         {"enabled", "mode", "f_lo_khz", "f_hi_khz",
                                  "threshold_db", "rearm"}
+  POST /api/start_record        {"max_seconds": 60} -> captures/<ts>.npy
+  POST /api/stop_record         finalize; returns capture metadata
   POST /api/reset_plot
   POST /api/generate_filter_preview
   POST /api/apply_filter_to_fpga
@@ -144,6 +146,14 @@ def _make_handler(backend: GuiBackend):
                     self._json(backend.set_zoom(dict(args)))
                 elif route == "/api/set_trigger":
                     self._json(backend.set_trigger(dict(args)))
+                elif route == "/api/start_record":
+                    self._json(
+                        backend.start_record(
+                            float(args.get("max_seconds", 60.0))
+                        )
+                    )
+                elif route == "/api/stop_record":
+                    self._json(backend.stop_record())
                 elif route == "/api/generate_filter_preview":
                     self._json(backend.generate_filter_preview())
                 elif route == "/api/apply_filter_to_fpga":
