@@ -182,6 +182,43 @@ def test_sharded_welch_validation(rng):
         sh.compute(np.zeros((1, 7 * 512), np.float32))
 
 
+def test_property_sweep_random_configs(rng):
+    """Random (nperseg, noverlap, window, scaling, detrend, average,
+    real/IQ, signal length) vs scipy.signal.welch — sweep discipline."""
+    windows = ["hann", "hamming", ("kaiser", 7.0), "blackmanharris", "boxcar"]
+    for trial in range(10):
+        nperseg = int(rng.choice([256, 500, 513, 1024]))
+        noverlap = int(rng.integers(0, nperseg))
+        kw = dict(
+            nperseg=nperseg,
+            noverlap=noverlap,
+            window=windows[trial % len(windows)],
+            scaling=("density", "spectrum")[trial % 2],
+            detrend=("constant", False)[(trial // 2) % 2],
+            average=("mean", "median")[(trial // 3) % 2],
+        )
+        est = WelchPSD(fs=1e6, **kw)
+        t_len = int(rng.integers(4 * nperseg, 9 * nperseg))
+        iq = bool(trial % 3 == 2)
+        if iq:
+            z = (
+                rng.standard_normal(t_len) + 1j * rng.standard_normal(t_len)
+            ).astype(np.complex64)
+            got = np.asarray(
+                est.compute_iq(z.real.copy(), z.imag.copy()), np.float64
+            )
+            _, ref = sps.welch(
+                np.asarray(z, np.complex128), fs=1e6,
+                return_onesided=False, **kw,
+            )
+        else:
+            x = rng.standard_normal(t_len).astype(np.float32)
+            got = np.asarray(est.compute(x), np.float64)
+            _, ref = sps.welch(np.asarray(x, np.float64), fs=1e6, **kw)
+        assert got.shape == ref.shape, (trial, kw)
+        assert _rel(got, ref) < 5e-5, (trial, kw, iq, _rel(got, ref))
+
+
 def test_median_bias_matches_scipy():
     try:
         from scipy.signal._spectral_py import _median_bias as ref
