@@ -153,6 +153,24 @@ def test_compiled_ddc_uint32_nco_vs_oracle(setup):
     assert rel < 1e-5, f"compiled ddc vs oracle: {rel}"
 
 
+def test_compiled_ddc_bank_matches_singles(setup):
+    """The jitted vmapped bank on the chip == independent DDCs."""
+    from tpu_sdr.kernels.ddc import DDC, DDCBank
+
+    centers = [77e3, -150e3, 313_131.5]
+    bank = DDCBank(fs=1e6, centers_hz=centers, decimation=8)
+    rng = np.random.default_rng(4)
+    x = rng.standard_normal((2, 64 * 8)).astype(np.float32)
+    bout, _ = bank.process(x, bank.initial_state((2,)))
+    for i, fc in enumerate(centers):
+        d = DDC(fs=1e6, center_hz=fc, decimation=8)
+        o, _ = d.process(x, d.initial_state((2,)))
+        got = np.asarray(bout["re"])[i]
+        ref = np.asarray(o["re"])
+        rel = np.abs(got - ref).max() / max(np.abs(ref).max(), 1e-12)
+        assert rel < 1e-6, (i, rel)
+
+
 def test_compiled_pipeline_tone():
     from tpu_sdr import PipelineConfig, FilterMode
     from tpu_sdr.runtime import SpectrumPipeline

@@ -846,6 +846,9 @@ class GuiBackend:
             "display_mode": self.display_mode,
             "zoom": dict(self.zoom_cfg),
             "trigger": {**self.trigger_cfg, "armed": self._trigger_armed},
+            "recording": (
+                None if self._recorder is None else self._record_path
+            ),
             "stats": self.sa.stats.as_dict(),
             "config": {
                 "fft_size": self.sa.cfg.fft_size,
