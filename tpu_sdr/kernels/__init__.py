@@ -1,3 +1,4 @@
-from tpu_sdr.kernels import window, biquad, fft, magnitude, pfb, ddc  # noqa: F401
+from tpu_sdr.kernels import window, biquad, fft, magnitude, pfb, ddc, resample  # noqa: F401
 from tpu_sdr.kernels.pfb import Channelizer  # noqa: F401
 from tpu_sdr.kernels.ddc import DDC, DDCBank  # noqa: F401
+from tpu_sdr.kernels.resample import Resampler  # noqa: F401
