@@ -2,3 +2,10 @@ from tpu_sdr.kernels import window, biquad, fft, magnitude, pfb, ddc, resample  
 from tpu_sdr.kernels.pfb import Channelizer  # noqa: F401
 from tpu_sdr.kernels.ddc import DDC, DDCBank  # noqa: F401
 from tpu_sdr.kernels.resample import Resampler  # noqa: F401
+from tpu_sdr.kernels import demod  # noqa: F401
+from tpu_sdr.kernels.demod import (  # noqa: F401
+    AGC,
+    AMDemodulator,
+    FMDemodulator,
+    SSBDemodulator,
+)
