@@ -72,6 +72,30 @@ class TestWaterfall:
         assert dec.max() == pytest.approx(60.0, abs=0.1)  # 20log10(1000)
         assert dec.shape == (1024,)
 
+    def test_decimate_db_detectors(self):
+        from tpu_sdr.runtime.waterfall import detect_bucketed
+
+        mag = np.ones(1024, np.float32)
+        mag[100] = 10.0
+        mag[101] = 0.1
+        buckets = mag.reshape(256, 4)
+        for det, ref in (
+            ("peak", buckets.max(-1)),
+            ("minpeak", buckets.min(-1)),
+            ("avg", buckets.mean(-1)),
+            ("rms", np.sqrt((buckets**2).mean(-1))),
+            ("sample", buckets[:, 0]),
+        ):
+            dec = np.asarray(decimate_db(mag, points=256, db=False, detector=det))
+            np.testing.assert_allclose(dec, ref, rtol=1e-6)
+            # Host path (uneven-capable) agrees on even buckets.
+            host = detect_bucketed(mag, np.arange(0, 1025, 4), det)
+            np.testing.assert_allclose(host, ref, rtol=1e-6)
+        with pytest.raises(ValueError, match="detector"):
+            decimate_db(mag, points=256, detector="bogus")
+        with pytest.raises(ValueError, match="edges"):
+            detect_bucketed(mag, np.array([0, 0, 4]), "peak")
+
     def test_waterfall_ring_and_traces(self):
         wf = Waterfall(points=64, depth=4)
         for i in range(6):

@@ -240,6 +240,39 @@ def test_update_config_and_reset_plot(server):
         _post(srv, "start_receiver")
 
 
+def test_detector_config(server):
+    """The waterfall display detector is selectable via update_config and
+    reported in /api/state."""
+    srv, backend = server
+    # Quiesce the acquisition thread: latest() must reflect OUR pushes.
+    _post(srv, "stop_receiver")
+    try:
+        assert _post(srv, "update_config", {"detector": "rms"})["ok"]
+        assert backend.detector == "rms"
+        assert json.loads(_get(srv, "/api/state"))["detector"] == "rms"
+        # invalid detector rejected, config unchanged
+        try:
+            _post(srv, "update_config", {"detector": "bogus"})
+        except Exception:
+            pass
+        assert backend.detector == "rms"
+        # the emit path applies the detector: avg of a flat-with-spike row
+        # is below its peak
+        row = np.ones(backend.sa.cfg.fft_size, np.float32)
+        row[100] = 100.0
+        backend.detector = "peak"
+        backend._emit_waterfall_row(row)
+        peak_db = float(backend.waterfall.latest().max())
+        backend.detector = "avg"
+        backend._emit_waterfall_row(row)
+        avg_db = float(backend.waterfall.latest().max())
+        assert peak_db == pytest.approx(40.0, abs=0.1)
+        assert avg_db < peak_db - 10
+    finally:
+        backend.detector = "peak"
+        _post(srv, "start_receiver")
+
+
 def test_trace_overlays(server):
     """Peak-hold / average detector traces ride frame_data when enabled."""
     srv, backend = server

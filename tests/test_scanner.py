@@ -1,0 +1,98 @@
+"""Spectrum scanner: occupancy detection, power calibration, PSD cross-check."""
+
+import numpy as np
+import pytest
+
+from tpu_sdr.runtime.scanner import SpectrumScanner
+
+FS = 1_000_000.0
+
+
+def _tones(freqs_amps, t_len, fs=FS, noise=1e-4, seed=0):
+    rng = np.random.default_rng(seed)
+    n = np.arange(t_len)
+    x = noise * rng.standard_normal(t_len)
+    for f, a in freqs_amps:
+        x = x + a * np.cos(2 * np.pi * f * n / fs + rng.uniform(0, 2 * np.pi))
+    return x.astype(np.float32)
+
+
+def test_scanner_finds_exactly_the_occupied_channels():
+    sc = SpectrumScanner(FS, 0.0, 500e3, channel_bw=25e3, threshold_db=10.0)
+    assert sc.n_channels == 20
+    # Tones in channels 2 (62.5 kHz), 7 (187.5 kHz), 15 (387.5 kHz).
+    x = _tones([(62.5e3, 0.5), (187.5e3, 0.2), (387.5e3, 0.05)], 262144)
+    res = sc.scan(x)
+    assert list(np.flatnonzero(res.occupied)) == [2, 7, 15]
+    hits = res.hits
+    assert [round(h["center_hz"]) for h in hits] == [62500, 187500, 387500]
+    assert hits[0]["snr_db"] > hits[1]["snr_db"] > hits[2]["snr_db"] > 10.0
+
+
+def test_scanner_power_calibration():
+    """A real tone of amplitude A in-channel reads mean|z|^2 = A^2/4."""
+    sc = SpectrumScanner(FS, 0.0, 500e3, channel_bw=25e3)
+    x = _tones([(112.5e3, 0.8)], 262144, noise=0.0)
+    res = sc.scan(x)
+    ch = 4  # 112.5 kHz
+    assert res.power[ch] == pytest.approx(0.8**2 / 4, rel=0.02)
+
+
+def test_scanner_matches_welch_psd_band_power():
+    """DDC-measured channel power == integrated Welch PSD over the band
+    (within a fraction of a dB)."""
+    import scipy.signal as sps
+
+    from tpu_sdr.runtime.measure import channel_power
+
+    sc = SpectrumScanner(FS, 0.0, 500e3, channel_bw=25e3)
+    x = _tones([(237.5e3, 0.3)], 262144, noise=1e-3)
+    res = sc.scan(x)
+    freqs, pxx = sps.welch(np.asarray(x, np.float64), fs=FS, nperseg=16384)
+    p_band = channel_power(pxx, freqs, 225e3, 250e3)
+    # Welch band power counts the full real-tone power A^2/2; the DDC
+    # baseband reads A^2/4 (one mixer image) -> factor 2.
+    assert 10 * np.log10(2 * res.power[9]) == pytest.approx(
+        10 * np.log10(p_band), abs=0.3
+    )
+
+
+def test_scanner_iq_and_batched_input():
+    sc = SpectrumScanner(FS, -200e3, 200e3, channel_bw=25e3, k_per_dispatch=8)
+    assert sc.n_channels == 16
+    rng = np.random.default_rng(7)
+    n = np.arange(131072)
+    # A noise floor keeps filter-stopband leakage (~112 dB down) below
+    # the occupancy threshold, as in any real capture.
+    z = 0.4 * np.exp(2j * np.pi * (-112.5e3) * n / FS) + 1e-4 * (
+        rng.standard_normal(n.size) + 1j * rng.standard_normal(n.size)
+    )
+    planes = np.stack([z.real, z.imag]).astype(np.float32)
+    res = sc.scan_planes(planes)
+    # -112.5 kHz is channel 3 of the grid starting at -200 kHz.
+    assert list(np.flatnonzero(res.occupied)) == [3]
+    # An IQ tone has no image: mean|z|^2 = A^2.
+    assert res.power[3] == pytest.approx(0.16, rel=0.02)
+    # Batched input averages captures.
+    x2 = np.stack([planes, planes], axis=1)  # (2, batch=2, T)
+    res2 = sc.scan_planes(x2)
+    assert res2.power[3] == pytest.approx(res.power[3], rel=1e-6)
+
+
+def test_scanner_validation():
+    with pytest.raises(ValueError, match="empty span"):
+        SpectrumScanner(FS, 100.0, 100.0)
+    with pytest.raises(ValueError, match="channel_bw"):
+        SpectrumScanner(FS, 0.0, 1e5, channel_bw=-1)
+    sc = SpectrumScanner(FS, 0.0, 500e3, channel_bw=25e3)
+    with pytest.raises(ValueError, match="at least"):
+        sc.scan(np.zeros(64, np.float32))
+
+
+def test_scanner_last_batch_padding():
+    """n_channels not a multiple of k_per_dispatch still scans every channel."""
+    sc = SpectrumScanner(FS, 0.0, 475e3, channel_bw=25e3, k_per_dispatch=8)
+    assert sc.n_channels == 19
+    x = _tones([(462.5e3, 0.5)], 131072)  # the LAST channel
+    res = sc.scan(x)
+    assert list(np.flatnonzero(res.occupied)) == [18]

@@ -59,6 +59,9 @@ class GuiBackend:
 
         self.waterfall = Waterfall(points=512, depth=160)
         self.waterfall_enabled = True
+        # Display detector (bucketed decimation mode) for the waterfall row:
+        # peak | minpeak | avg | rms | sample.
+        self.detector = "peak"
         # Peak-hold / EMA-average trace overlays (classic analyzer detector
         # modes) computed over the decimated display vector; reset whenever
         # the display signature (mode/range/points) changes.
@@ -634,9 +637,11 @@ class GuiBackend:
             half = np.fft.fftshift(mag)  # full baseband for IQ
         else:
             half = mag[: n // 2]
+        from tpu_sdr.runtime.waterfall import detect_bucketed
+
         pts = self.waterfall.points
         edges = np.linspace(0, half.shape[0], pts + 1).astype(int)
-        dec = np.maximum.reduceat(half, edges[:-1])
+        dec = detect_bucketed(half, edges, self.detector)
         row_db = 20.0 * np.log10(np.maximum(dec, 1e-9))
         self.waterfall.push(row_db)
         self.emit(
@@ -792,6 +797,7 @@ class GuiBackend:
             "waterfall_enabled",
             "traces_enabled",
             "trace_alpha",
+            "detector",
         }
         unknown = sorted(set(cfg) - known)
         # Parse everything BEFORE mutating anything: a malformed field must
@@ -813,6 +819,14 @@ class GuiBackend:
             updates["trace_alpha"] = float(
                 np.clip(float(cfg["trace_alpha"]), 0.01, 1.0)
             )
+        if "detector" in cfg:
+            from tpu_sdr.runtime.waterfall import DETECTORS
+
+            det = str(cfg["detector"]).lower()
+            if det not in DETECTORS:
+                raise ValueError(
+                    f"detector must be one of {DETECTORS}; got {det!r}")
+            updates["detector"] = det
         for k, v in updates.items():
             setattr(self, k, v)
         if updates.get("traces_enabled") is False:
@@ -844,6 +858,7 @@ class GuiBackend:
             "freq_range_khz": self.freq_range_khz,
             "filter_config": self.filter_config,
             "display_mode": self.display_mode,
+            "detector": self.detector,
             "zoom": dict(self.zoom_cfg),
             "trigger": {**self.trigger_cfg, "armed": self._trigger_armed},
             "recording": (

@@ -1,0 +1,158 @@
+"""Frequency scanner: sweep a DDC bank across a span, report occupancy.
+
+Capability extension — the reference shows one fixed 0..500 kHz spectrum
+(its display crop, `scripts/templates/index.html:313-314`); it cannot
+search a band for activity. The scanner grids a span into channels,
+tunes a ``DDCBank`` batch to each grid chunk (K carriers mixed in ONE
+jitted vmapped dispatch — the input is read once per batch), measures
+per-channel band power from the decimated baseband, and flags channels
+above an adaptive threshold (median noise floor + ``threshold_db``).
+
+Power semantics: mean |z|^2 of the complex baseband AFTER the DDC's
+anti-alias FIR, transient discarded — i.e. the power inside the
+channel's fs/R passband, the same quantity as integrating a Welch PSD
+over the channel (cross-checked in tests/test_scanner.py). A full-scale
+real tone (amplitude A) in-channel reads A^2/2... the complex baseband
+carries the tone's analytic power at |z| = A/2 per plane pair; see the
+test for the exact calibration contract (mean|z|^2 = A^2/4 for a real
+input tone, the standard mixer image split).
+
+The default FIR (16 taps/branch, Blackman-Harris) measures ~112 dB
+adjacent-channel rejection (vs ~64 dB for the DDC's general-purpose
+8-tap Hamming default) — a scanner's threshold decisions are only as
+good as its channel filter's stopband.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import numpy as np
+
+from tpu_sdr.kernels.ddc import DDCBank
+
+
+@dataclasses.dataclass
+class ScanResult:
+    centers_hz: np.ndarray  # (n_channels,)
+    power: np.ndarray  # (n_channels,) linear mean|z|^2
+    power_db: np.ndarray  # (n_channels,) 10*log10(power)
+    noise_floor_db: float  # median of power_db
+    occupied: np.ndarray  # (n_channels,) bool
+    threshold_db: float
+
+    @property
+    def hits(self) -> list[dict]:
+        """Occupied channels, strongest first."""
+        idx = np.flatnonzero(self.occupied)
+        idx = idx[np.argsort(-self.power_db[idx])]
+        return [
+            {
+                "center_hz": float(self.centers_hz[i]),
+                "power_db": float(self.power_db[i]),
+                "snr_db": float(self.power_db[i] - self.noise_floor_db),
+            }
+            for i in idx
+        ]
+
+
+class SpectrumScanner:
+    """Grid [f_start, f_stop) into ``channel_bw``-wide channels and scan.
+
+    ``k_per_dispatch`` carriers are mixed per DDCBank dispatch; the last
+    batch is padded by repeating its first center (padding results are
+    dropped). ``decimation`` defaults to the largest R whose output rate
+    still covers one channel. Works on real input (``scan``) or IQ
+    planes (``scan_planes``)."""
+
+    def __init__(
+        self,
+        fs: float = 1_000_000.0,
+        f_start: float = 0.0,
+        f_stop: float = 500_000.0,
+        channel_bw: float = 25_000.0,
+        threshold_db: float = 10.0,
+        k_per_dispatch: int = 16,
+        decimation: int | None = None,
+        taps_per_phase: int = 16,
+        window: str = "blackmanharris",
+    ):
+        if f_stop <= f_start:
+            raise ValueError(f"empty span [{f_start}, {f_stop})")
+        if channel_bw <= 0:
+            raise ValueError(f"channel_bw must be > 0; got {channel_bw}")
+        self.fs = float(fs)
+        self.channel_bw = float(channel_bw)
+        self.threshold_db = float(threshold_db)
+        n = int(np.floor((f_stop - f_start) / channel_bw))
+        if n < 1:
+            raise ValueError("span narrower than one channel")
+        self.centers_hz = f_start + channel_bw * (0.5 + np.arange(n))
+        r = int(decimation) if decimation else max(1, int(self.fs // channel_bw))
+        self.k = min(int(k_per_dispatch), n)
+        self.bank = DDCBank(
+            fs=self.fs,
+            centers_hz=[float(c) for c in self.centers_hz[: self.k]],
+            decimation=r,
+            taps_per_phase=taps_per_phase,
+            window=window,
+        )
+
+    @property
+    def n_channels(self) -> int:
+        return self.centers_hz.size
+
+    @property
+    def decimation(self) -> int:
+        return self.bank._template.r
+
+    def _measure_batch(self, x, centers, iq: bool) -> np.ndarray:
+        self.bank.retune([float(c) for c in centers])
+        batch = x.shape[1:-1] if iq else x.shape[:-1]
+        state = self.bank.initial_state(batch)
+        out, _ = (self.bank.process_planes if iq else self.bank.process)(x, state)
+        re = np.asarray(out["re"], np.float64)
+        im = np.asarray(out["im"], np.float64)
+        # Discard the FIR transient: the first P-1 decimated outputs ramp
+        # from zero history.
+        skip = min(self.bank._template.p - 1, re.shape[-1] - 1)
+        p2 = re[..., skip:] ** 2 + im[..., skip:] ** 2
+        # Average over time and any input batch dims; keep the carrier axis.
+        return p2.mean(axis=tuple(range(1, p2.ndim)))
+
+    def _scan(self, x, iq: bool) -> ScanResult:
+        t = x.shape[-1]
+        r = self.decimation
+        t_use = (t // r) * r
+        if t_use < r * (self.bank._template.p + 1):
+            raise ValueError(
+                f"need at least {r * (self.bank._template.p + 1)} samples; got {t}")
+        x = x[..., :t_use]
+        power = np.empty(self.n_channels)
+        for lo in range(0, self.n_channels, self.k):
+            batch = self.centers_hz[lo : lo + self.k]
+            pad = self.k - batch.size
+            if pad:
+                batch = np.concatenate([batch, np.repeat(batch[:1], pad)])
+            p = self._measure_batch(x, batch, iq)
+            power[lo : lo + self.k - pad] = p[: self.k - pad]
+        power_db = 10.0 * np.log10(np.maximum(power, 1e-30))
+        floor = float(np.median(power_db))
+        occupied = power_db > floor + self.threshold_db
+        return ScanResult(
+            centers_hz=self.centers_hz.copy(),
+            power=power,
+            power_db=power_db,
+            noise_floor_db=floor,
+            occupied=occupied,
+            threshold_db=self.threshold_db,
+        )
+
+    def scan(self, x) -> ScanResult:
+        """Real input (T,) or (..., T): batch dims are averaged into the
+        per-channel power (a multi-capture scan)."""
+        return self._scan(np.asarray(x, np.float32), iq=False)
+
+    def scan_planes(self, xs) -> ScanResult:
+        """IQ planes (2, ..., T)."""
+        return self._scan(np.asarray(xs, np.float32), iq=True)

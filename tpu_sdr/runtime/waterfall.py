@@ -20,22 +20,69 @@ import jax.numpy as jnp
 import numpy as np
 
 
-@functools.partial(jax.jit, static_argnames=("points", "db"))
-def decimate_db(
-    mag: jnp.ndarray, points: int = 1024, db: bool = True, floor: float = 1e-9
-):
-    """Peak-preserving decimation of magnitudes (..., N) -> (..., points).
+DETECTORS = ("peak", "minpeak", "avg", "rms", "sample")
 
-    Max-pool buckets keep narrowband peaks visible at any zoom (a mean-pool
-    would bury a 1-bin tone 12 dB for every 16x decimation).
+
+@functools.partial(jax.jit, static_argnames=("points", "db", "detector"))
+def decimate_db(
+    mag: jnp.ndarray,
+    points: int = 1024,
+    db: bool = True,
+    floor: float = 1e-9,
+    detector: str = "peak",
+):
+    """Bucketed detector decimation of magnitudes (..., N) -> (..., points).
+
+    ``detector`` selects the classic analyzer display detectors:
+    ``peak`` (default — max-pool keeps a 1-bin tone visible at any zoom;
+    a mean-pool buries it 12 dB per 16x decimation), ``minpeak``,
+    ``avg`` (mean), ``rms`` (power-correct averaging), ``sample`` (first
+    bin per bucket).
     """
     n = mag.shape[-1]
     if n % points:
         raise ValueError(f"bins {n} not divisible by points {points}")
-    pooled = jnp.max(mag.reshape(*mag.shape[:-1], points, n // points), axis=-1)
+    b = mag.reshape(*mag.shape[:-1], points, n // points)
+    if detector == "peak":
+        pooled = jnp.max(b, axis=-1)
+    elif detector == "minpeak":
+        pooled = jnp.min(b, axis=-1)
+    elif detector == "avg":
+        pooled = jnp.mean(b, axis=-1)
+    elif detector == "rms":
+        pooled = jnp.sqrt(jnp.mean(b * b, axis=-1))
+    elif detector == "sample":
+        pooled = b[..., 0]
+    else:
+        raise ValueError(f"detector must be one of {DETECTORS}; got {detector!r}")
     if db:
         pooled = 20.0 * jnp.log10(jnp.maximum(pooled, floor))
     return pooled
+
+
+def detect_bucketed(x: np.ndarray, edges: np.ndarray, detector: str = "peak"):
+    """Host-side bucketed detector with UNEVEN buckets (the GUI's
+    display-crop path): x (N,), edges (points+1,) strictly increasing
+    bin boundaries -> (points,). Same detector vocabulary as
+    ``decimate_db``."""
+    x = np.asarray(x)
+    edges = np.asarray(edges, int)
+    if edges.ndim != 1 or edges.size < 2 or np.any(np.diff(edges) < 1):
+        raise ValueError("edges must be strictly increasing, >= 2 entries")
+    x = x[: edges[-1]]  # reduceat's last bucket runs to the end of x
+    starts = edges[:-1]
+    if detector == "peak":
+        return np.maximum.reduceat(x, starts)
+    if detector == "minpeak":
+        return np.minimum.reduceat(x, starts)
+    counts = np.diff(edges)
+    if detector == "avg":
+        return np.add.reduceat(x, starts) / counts
+    if detector == "rms":
+        return np.sqrt(np.add.reduceat(x * x, starts) / counts)
+    if detector == "sample":
+        return x[starts]
+    raise ValueError(f"detector must be one of {DETECTORS}; got {detector!r}")
 
 
 class Waterfall:
