@@ -128,6 +128,45 @@ def test_receiver_validation():
         Receiver(mode="fm")
 
 
+def test_receiver_bank_two_stations():
+    from tpu_sdr.runtime.receiver import ReceiverBank
+
+    bank = ReceiverBank(fs=FS, centers_hz=[150e3, 350e3], mode="wbfm",
+                        audio_rate=16e3)
+    t_len = 4 * bank.chunk_granularity
+    n = np.arange(t_len)
+    x = np.zeros(t_len)
+    tones = {150e3: 700.0, 350e3: 1100.0}
+    for fc, fa in tones.items():
+        msg = np.sin(2 * np.pi * fa * n / FS)
+        x = x + 0.4 * np.cos(
+            2 * np.pi * fc * n / FS + 2 * np.pi * 75e3 / FS * np.cumsum(msg))
+    audio, _ = bank.process(x.astype(np.float32), bank.initial_state())
+    rate = float(bank.realized_audio_rate)
+    a = np.asarray(audio, np.float64)
+    assert a.shape[0] == 2
+    skip = int(0.01 * rate)
+    assert _tone_hz(a[0, skip:], rate) == pytest.approx(
+        700.0, abs=2 * rate / (a.shape[1] - skip))
+    assert _tone_hz(a[1, skip:], rate) == pytest.approx(
+        1100.0, abs=2 * rate / (a.shape[1] - skip))
+
+
+def test_receiver_bank_bitwise_equals_singles():
+    from tpu_sdr.runtime.receiver import ReceiverBank
+
+    centers = [150e3, 350e3]
+    bank = ReceiverBank(fs=FS, centers_hz=centers, mode="wbfm",
+                        audio_rate=16e3)
+    t_len = 2 * bank.chunk_granularity
+    x = _fm_rf(FS, 150e3, 500.0, 75e3, t_len)
+    a_bank, _ = bank.process(x, bank.initial_state())
+    for i, fc in enumerate(centers):
+        rx = Receiver(fs=FS, center_hz=fc, mode="wbfm", audio_rate=16e3)
+        a_one, _ = rx.process(x, rx.initial_state())
+        np.testing.assert_array_equal(np.asarray(a_bank[i]), np.asarray(a_one))
+
+
 def test_write_wav_roundtrip(tmp_path):
     import wave
 

@@ -35,7 +35,7 @@ import numpy as np
 
 import jax.numpy as jnp
 
-from tpu_sdr.kernels.ddc import DDC, DDCState
+from tpu_sdr.kernels.ddc import DDC, DDCBank, DDCState
 from tpu_sdr.kernels.demod import (
     AGC,
     AGCState,
@@ -184,6 +184,82 @@ class Receiver:
         self._check(xs.shape[-1])
         bb, ds = self.ddc.process_planes(jnp.asarray(xs, jnp.float32), state.ddc)
         return self._run(bb, state, ds)
+
+
+class ReceiverBank:
+    """K simultaneous receivers on ONE shared wideband stream.
+
+    All stations share the mode/audio-rate presets; each has its own
+    carrier. The mix rides a single ``DDCBank`` vmapped dispatch (the
+    input is read once), and every later stage (demod, AGC, resampler)
+    is batched over the leading station axis — output audio is
+    ``(K, T')``. Bitwise-identical to K independent ``Receiver``
+    instances (tested)."""
+
+    def __init__(self, fs: float = 1_000_000.0,
+                 centers_hz=(100_000.0,), mode: str = "wbfm",
+                 audio_rate: float = 48_000.0, agc_mu: float = 2e-3,
+                 taps_per_phase: int = 12, max_resample_den: int = 512):
+        if len(centers_hz) < 1:
+            raise ValueError("need at least one station")
+        # A template Receiver supplies every preset + the shared stages.
+        self._rx = Receiver(fs=fs, center_hz=float(centers_hz[0]), mode=mode,
+                            audio_rate=audio_rate, agc_mu=agc_mu,
+                            taps_per_phase=taps_per_phase,
+                            max_resample_den=max_resample_den)
+        shift = self._rx._sideband_shift
+        self.bank = DDCBank(
+            fs=fs, centers_hz=[float(c) + shift for c in centers_hz],
+            decimation=self._rx.decimation, fir=self._rx.ddc.fir)
+        self.centers_hz = [float(c) for c in centers_hz]
+
+    @property
+    def k(self) -> int:
+        return len(self.centers_hz)
+
+    @property
+    def fs(self) -> float:
+        return self._rx.fs
+
+    @property
+    def mode(self) -> str:
+        return self._rx.mode
+
+    @property
+    def realized_audio_rate(self) -> float:
+        return self._rx.realized_audio_rate
+
+    @property
+    def chunk_granularity(self) -> int:
+        return self._rx.chunk_granularity
+
+    def retune(self, centers_hz):
+        shift = self._rx._sideband_shift
+        self.centers_hz = [float(c) for c in centers_hz]
+        self.bank.retune([c + shift for c in self.centers_hz])
+
+    def initial_state(self, batch_shape: tuple = ()) -> ReceiverState:
+        b = (self.k,) + tuple(batch_shape)
+        rx = self._rx
+        return ReceiverState(
+            self.bank.initial_state(tuple(batch_shape)),
+            rx.demod.initial_state(b),
+            None if rx.agc is None else rx.agc.initial_state(b),
+            rx.resampler.initial_state(b),
+        )
+
+    def process(self, x, state: ReceiverState):
+        """Real wideband (..., T) -> audio (K, ..., T')."""
+        self._rx._check(x.shape[-1])
+        bb, ds = self.bank.process(jnp.asarray(x, jnp.float32), state.ddc)
+        return self._rx._run(bb, state, ds)
+
+    def process_planes(self, xs, state: ReceiverState):
+        """IQ wideband planes (2, ..., T) -> audio (K, ..., T')."""
+        self._rx._check(xs.shape[-1])
+        bb, ds = self.bank.process_planes(jnp.asarray(xs, jnp.float32),
+                                          state.ddc)
+        return self._rx._run(bb, state, ds)
 
 
 def write_wav(path, audio, rate: float, peak: float = 0.9):
