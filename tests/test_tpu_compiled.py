@@ -183,3 +183,60 @@ def test_compiled_pipeline_tone():
     mag = np.array(out["magnitude"])[0, -1][: n // 2]
     assert np.argmax(mag) == 4096
     assert int(st.frame_count) == 2
+
+
+def test_compiled_resampler_vs_upfirdn(setup):
+    """The polyphase L/M resampler compiled on the chip vs the scipy
+    upfirdn float64 oracle (locks strided-slice + MAC ordering)."""
+    import scipy.signal as sps
+
+    from tpu_sdr.kernels.resample import Resampler
+
+    rs = Resampler(up=3, down=2, taps_per_phase=8)
+    rng = np.random.default_rng(5)
+    x = rng.standard_normal((2, 40 * 2)).astype(np.float32)
+    out, _ = rs.process(x, rs.initial_state((2,)))
+    got = np.asarray(out, np.float64)
+    ref = sps.upfirdn(np.asarray(rs.fir, np.float64),
+                      np.asarray(x, np.float64), 3, 2)[..., : got.shape[-1]]
+    assert np.abs(got - ref).max() < 2e-5
+
+
+def test_compiled_fm_demod_vs_oracle(setup):
+    """Quadrature discriminator + affine-prefix de-emphasis on the chip
+    vs the float64 sequential oracle (locks atan2 + the blocked
+    Hillis-Steele affine solver)."""
+    import scipy.signal as sps
+
+    from tpu_sdr.kernels.demod import FMDemodulator, deemphasis_sos
+
+    fs, dev = 200e3, 75e3
+    fm = FMDemodulator(fs, deviation_hz=dev, deemphasis_tau=75e-6)
+    rng = np.random.default_rng(6)
+    n = np.arange(4096)
+    msg = np.sin(2 * np.pi * 1000 * n / fs)
+    ph = 2 * np.pi * dev / fs * np.cumsum(msg)
+    re = np.cos(ph).astype(np.float32)
+    im = np.sin(ph).astype(np.float32)
+    audio, _ = fm.process(re, im, fm.initial_state())
+    z = re.astype(np.float64) + 1j * im.astype(np.float64)
+    zp = np.concatenate([[0.0], z[:-1]])
+    disc = np.angle(z * np.conj(zp)) * fs / (2 * np.pi) / dev
+    ref = sps.sosfilt(deemphasis_sos(fs, 75e-6), disc)
+    assert np.abs(np.asarray(audio, np.float64) - ref).max() < 1e-3
+
+
+def test_compiled_agc_vs_sequential(setup):
+    """The blocked affine AGC on the chip vs the sequential float64 loop."""
+    from tpu_sdr.kernels.demod import AGC
+
+    rng = np.random.default_rng(8)
+    x = (0.1 + np.abs(rng.standard_normal(1024))).astype(np.float32)
+    agc = AGC(mu=5e-3, ref=1.0)
+    y, _ = agc.process_real(x, agc.initial_state())
+    g = np.empty(x.size + 1)
+    g[0] = 1.0
+    for i in range(x.size):
+        g[i + 1] = g[i] * (1 - 5e-3 * x[i]) + 5e-3
+    rel = np.abs(np.asarray(y, np.float64) - g[:-1] * x).max()
+    assert rel < 1e-4
