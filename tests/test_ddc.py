@@ -4,7 +4,7 @@ import numpy as np
 import pytest
 import scipy.signal as sps
 
-from tpu_sdr.kernels.ddc import DDC, DDCState, design_decimation_fir
+from tpu_sdr.kernels.ddc import DDC, DDCBank, DDCState, design_decimation_fir
 
 
 @pytest.fixture
@@ -178,6 +178,48 @@ def test_sharded_equals_single_bitwise(rng, mesh_shape):
     r2, t2 = ddc.process_planes(xs, t1)
     assert np.array_equal(np.asarray(g2["re"]), np.asarray(r2["re"]))
     assert np.array_equal(np.asarray(g2["im"]), np.asarray(r2["im"]))
+
+
+@pytest.mark.parametrize("mesh_shape", [(2, 4), (4, 2), (8, 1), (1, 8)])
+def test_sharded_bank_equals_single_bitwise(rng, mesh_shape):
+    """Carrier-sharded bank == single-device DDCBank, every mesh shape."""
+    from tpu_sdr.shard import ShardedDDCBank, make_sdr_mesh
+
+    centers = [77e3, -150e3, 313_131.5, 42e3, 250e3, -321e3, 111e3, 9e3]
+    bank = DDCBank(fs=1e6, centers_hz=centers, decimation=8)
+    c_ax, t_ax = mesh_shape
+    mesh = make_sdr_mesh(channel=c_ax, time=t_ax)
+    sh = ShardedDDCBank(bank, mesh)
+    x = rng.standard_normal(128 * 8).astype(np.float32)
+    got, gst = sh.process(x, sh.initial_state())
+    ref, rst = bank.process(x, bank.initial_state())
+    assert np.array_equal(np.asarray(got["re"]), np.asarray(ref["re"]))
+    assert np.array_equal(np.asarray(got["im"]), np.asarray(ref["im"]))
+    assert np.array_equal(np.asarray(gst.tail_re), np.asarray(rst.tail_re))
+    # IQ planes, state carried across two chunks + a retune in between
+    xs = rng.standard_normal((2, 128 * 8)).astype(np.float32)
+    g1, s1 = sh.process_planes(xs, sh.initial_state())
+    r1, t1 = bank.process_planes(xs, bank.initial_state())
+    new_centers = [c + 1000.0 for c in centers]
+    sh.retune(new_centers)
+    bank.retune(new_centers)
+    g2, _ = sh.process_planes(xs, s1)
+    r2, _ = bank.process_planes(xs, t1)
+    assert np.array_equal(np.asarray(g2["re"]), np.asarray(r2["re"]))
+    assert np.array_equal(np.asarray(g2["im"]), np.asarray(r2["im"]))
+
+
+def test_sharded_bank_validation(rng):
+    from tpu_sdr.shard import ShardedDDCBank, make_sdr_mesh
+
+    bank = DDCBank(fs=1e6, centers_hz=[1e3, 2e3, 3e3], decimation=8)
+    sh = ShardedDDCBank(bank, make_sdr_mesh(channel=2, time=4))
+    with pytest.raises(ValueError, match="carriers must divide"):
+        sh.process(np.zeros(64 * 8, np.float32), sh.initial_state())
+    bank4 = DDCBank(fs=1e6, centers_hz=[1e3, 2e3, 3e3, 4e3], decimation=8)
+    sh4 = ShardedDDCBank(bank4, make_sdr_mesh(channel=2, time=4))
+    with pytest.raises(ValueError, match="ONE stream"):
+        sh4.process(np.zeros((2, 64 * 8), np.float32), sh4.initial_state())
 
 
 def test_sharded_validation(rng):

@@ -89,6 +89,31 @@ def test_scanner_validation():
         sc.scan(np.zeros(64, np.float32))
 
 
+@pytest.mark.parametrize("mesh_shape", [(2, 4), (4, 2), (8, 1)])
+def test_scanner_sharded_equals_single(mesh_shape):
+    """Scanner over a (channel, time) mesh == the single-device scan,
+    bitwise (the carrier-sharded DDCBank contract)."""
+    from tpu_sdr.shard import make_sdr_mesh
+
+    c_ax, t_ax = mesh_shape
+    mesh = make_sdr_mesh(channel=c_ax, time=t_ax)
+    x = _tones([(137.5e3, 0.4), (362.5e3, 0.02)], 131072)
+    kw = dict(channel_bw=25e3, k_per_dispatch=8, taps_per_phase=8)
+    single = SpectrumScanner(FS, 0.0, 500e3, **kw).scan(x)
+    sharded = SpectrumScanner(FS, 0.0, 500e3, mesh=mesh, **kw).scan(x)
+    np.testing.assert_array_equal(sharded.power, single.power)
+    np.testing.assert_array_equal(sharded.occupied, single.occupied)
+
+
+def test_scanner_mesh_k_validation():
+    from tpu_sdr.shard import make_sdr_mesh
+
+    mesh = make_sdr_mesh(channel=8, time=1)
+    with pytest.raises(ValueError, match="divide over"):
+        SpectrumScanner(FS, 0.0, 500e3, channel_bw=25e3, k_per_dispatch=12,
+                        mesh=mesh)
+
+
 def test_scanner_last_batch_padding():
     """n_channels not a multiple of k_per_dispatch still scans every channel."""
     sc = SpectrumScanner(FS, 0.0, 475e3, channel_bw=25e3, k_per_dispatch=8)

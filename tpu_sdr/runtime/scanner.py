@@ -76,6 +76,7 @@ class SpectrumScanner:
         decimation: int | None = None,
         taps_per_phase: int = 16,
         window: str = "blackmanharris",
+        mesh=None,
     ):
         if f_stop <= f_start:
             raise ValueError(f"empty span [{f_start}, {f_stop})")
@@ -97,6 +98,19 @@ class SpectrumScanner:
             taps_per_phase=taps_per_phase,
             window=window,
         )
+        self._exec = self.bank
+        self.mesh = mesh
+        if mesh is not None:
+            # Carrier-sharded scan: K carriers spread over the mesh's
+            # channel axis, the stream over its time axis. Input must
+            # then be a single stream (no extra batch dims).
+            from tpu_sdr.shard.ddcbank import ShardedDDCBank
+
+            if self.k % mesh.shape["channel"]:
+                raise ValueError(
+                    f"k_per_dispatch={self.k} must divide over "
+                    f"{mesh.shape['channel']} channel shards")
+            self._exec = ShardedDDCBank(self.bank, mesh)
 
     @property
     def n_channels(self) -> int:
@@ -107,10 +121,14 @@ class SpectrumScanner:
         return self.bank._template.r
 
     def _measure_batch(self, x, centers, iq: bool) -> np.ndarray:
-        self.bank.retune([float(c) for c in centers])
-        batch = x.shape[1:-1] if iq else x.shape[:-1]
-        state = self.bank.initial_state(batch)
-        out, _ = (self.bank.process_planes if iq else self.bank.process)(x, state)
+        self._exec.retune([float(c) for c in centers])
+        if self.mesh is None:
+            batch = x.shape[1:-1] if iq else x.shape[:-1]
+            state = self.bank.initial_state(batch)
+        else:
+            state = self._exec.initial_state()
+        out, _ = (self._exec.process_planes if iq else self._exec.process)(
+            x, state)
         re = np.asarray(out["re"], np.float64)
         im = np.asarray(out["im"], np.float64)
         # Discard the FIR transient: the first P-1 decimated outputs ramp
@@ -123,7 +141,8 @@ class SpectrumScanner:
     def _scan(self, x, iq: bool) -> ScanResult:
         t = x.shape[-1]
         r = self.decimation
-        t_use = (t // r) * r
+        grain = r * (1 if self.mesh is None else self.mesh.shape["time"])
+        t_use = (t // grain) * grain
         if t_use < r * (self.bank._template.p + 1):
             raise ValueError(
                 f"need at least {r * (self.bank._template.p + 1)} samples; got {t}")

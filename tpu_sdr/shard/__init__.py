@@ -4,3 +4,4 @@ from tpu_sdr.shard.latency import LatencyPipeline  # noqa: F401
 from tpu_sdr.shard.channelizer import ShardedChannelizer  # noqa: F401
 from tpu_sdr.shard.psd import ShardedWelchPSD  # noqa: F401
 from tpu_sdr.shard.ddc import ShardedDDC  # noqa: F401
+from tpu_sdr.shard.ddcbank import ShardedDDCBank  # noqa: F401
