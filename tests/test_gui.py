@@ -273,6 +273,48 @@ def test_detector_config(server):
         _post(srv, "start_receiver")
 
 
+def test_audio_demod_endpoints(server, tmp_path, monkeypatch):
+    """The live-audio receiver: enable via set_audio, feed FM chunks
+    through the loop tap, save a WAV via save_audio."""
+    import wave
+
+    srv, backend = server
+    _post(srv, "stop_receiver")
+    monkeypatch.chdir(tmp_path)  # captures/ lands in tmp
+    try:
+        r = _post(srv, "set_audio",
+                  {"enabled": True, "center_khz": 250.0, "mode": "wbfm"})
+        assert r["ok"] and backend.audio_cfg["enabled"]
+        # Feed synthesized WBFM chunks exactly like the acquisition loop.
+        fs = backend.sa.cfg.sample_rate
+        g = backend._audio_rt["rx"].chunk_granularity
+        n = np.arange(8 * g)
+        msg = np.sin(2 * np.pi * 1000.0 * n / fs)
+        ph = 2 * np.pi * 250e3 * n / fs + 2 * np.pi * 75e3 / fs * np.cumsum(msg)
+        x = (0.5 * np.cos(ph)).astype(np.float32)
+        for i in range(0, x.size, 2 * g):
+            backend._audio_step(x[i : i + 2 * g])
+        st = json.loads(_get(srv, "/api/state"))["audio"]
+        assert st["enabled"] and st["buffered_seconds"] > 0
+        out = _post(srv, "save_audio")
+        assert out["ok"] and out["seconds"] > 0
+        with wave.open(out["path"], "rb") as w:
+            rate = w.getframerate()
+            pcm = np.frombuffer(w.readframes(w.getnframes()), "<i2")
+        a = pcm.astype(np.float64)[int(0.01 * rate):]
+        spec = np.abs(np.fft.rfft(a * np.hanning(a.size)))
+        f_peak = np.argmax(spec) * rate / a.size
+        assert f_peak == pytest.approx(1000.0, abs=3 * rate / a.size)
+        # invalid mode rejected with a 400
+        import urllib.error
+
+        with pytest.raises(urllib.error.HTTPError):
+            _post(srv, "set_audio", {"mode": "fm"})
+    finally:
+        _post(srv, "set_audio", {"enabled": False})
+        _post(srv, "start_receiver")
+
+
 def test_trace_overlays(server):
     """Peak-hold / average detector traces ride frame_data when enabled."""
     srv, backend = server

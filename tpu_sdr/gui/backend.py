@@ -85,6 +85,16 @@ class GuiBackend:
         # thread, appended from the acquisition loop
         self._recorder = None
         self._record_path = None
+        # Live audio demod (runtime/receiver): a Receiver tees every raw
+        # chunk; the demodulated audio accumulates in a bounded ring the
+        # save_audio route writes to WAV.
+        self.audio_cfg = {
+            "enabled": False,
+            "center_khz": 100.0,
+            "mode": "wbfm",
+            "max_seconds": 30.0,
+        }
+        self._audio_rt = None
         # Zoom mode: PFB-channelize the raw stream and run a small spectrum
         # pipeline on ONE subchannel (the zoom-FFT workflow, demo_zoom.py).
         # m/taps/fft_size are fixed per session; channel is live-switchable.
@@ -215,6 +225,17 @@ class GuiBackend:
                     self._zoom_rt = None
                     self.status(
                         f"zoom disabled after error: {type(e).__name__}: {e}",
+                        ok=False,
+                    )
+            # audio demod taps every raw chunk too (carried receiver state)
+            if self.audio_cfg["enabled"]:
+                try:
+                    self._audio_step(x)
+                except Exception as e:  # audio must never kill acquisition
+                    self.audio_cfg["enabled"] = False
+                    self._audio_rt = None
+                    self.status(
+                        f"audio disabled after error: {type(e).__name__}: {e}",
                         ok=False,
                     )
             # trigger gate: evaluated per dispatch, BEFORE the rate limiter
@@ -571,6 +592,105 @@ class GuiBackend:
             },
         )
 
+    # ---------------- live audio demod (the 'listen' feature) -------------
+
+    def _audio_step(self, x):
+        """Tee one raw chunk into the receiver; accumulate demodulated
+        audio in the bounded ring (newest kept)."""
+        rt = self._audio_rt
+        if rt is None:
+            return
+        xn = np.asarray(x)
+        if xn.ndim > 1:
+            xn = xn[0]  # listen to channel 0 of multi-channel sources
+        iq = bool(np.iscomplexobj(xn))
+        if iq != rt["iq"]:
+            raise ValueError("source real/IQ type changed; re-enable audio")
+        buf = np.concatenate([rt["raw"], xn])
+        g = rt["rx"].chunk_granularity
+        take = (buf.shape[0] // g) * g
+        rt["raw"] = buf[take:]
+        if not take:
+            return
+        seg = buf[:take]
+        if iq:
+            planes = np.stack([seg.real, seg.imag]).astype(np.float32)
+            audio, rt["state"] = rt["rx"].process_planes(planes, rt["state"])
+        else:
+            audio, rt["state"] = rt["rx"].process(
+                seg.astype(np.float32), rt["state"])
+        ring = np.concatenate([rt["audio"], np.asarray(audio, np.float32)])
+        rt["audio"] = ring[-rt["max_samples"]:]
+
+    def set_audio(self, cfg: dict) -> dict:
+        """Enable/disable the live receiver: {'enabled', 'center_khz',
+        'mode' (wbfm|nbfm|am|usb|lsb), 'max_seconds'}. Enabling (re)builds
+        the receiver and clears the audio ring."""
+        from tpu_sdr.runtime.receiver import MODES, Receiver
+
+        known = {"enabled", "center_khz", "mode", "max_seconds"}
+        unknown = sorted(set(cfg) - known)
+        ac = dict(self.audio_cfg)
+        if "center_khz" in cfg:
+            ac["center_khz"] = float(cfg["center_khz"])
+        if "mode" in cfg:
+            mode = str(cfg["mode"]).lower()
+            if mode not in MODES:
+                raise ValueError(f"mode must be one of {MODES}; got {mode!r}")
+            ac["mode"] = mode
+        if "max_seconds" in cfg:
+            ac["max_seconds"] = float(np.clip(float(cfg["max_seconds"]), 1, 600))
+        if "enabled" in cfg:
+            ac["enabled"] = bool(cfg["enabled"])
+        self.audio_cfg = ac
+        if ac["enabled"]:
+            rx = Receiver(
+                fs=self.sa.cfg.sample_rate,
+                center_hz=ac["center_khz"] * 1e3,
+                mode=ac["mode"],
+            )
+            rate = float(rx.realized_audio_rate)
+            self._audio_rt = {
+                "rx": rx,
+                "state": rx.initial_state(),
+                "iq": bool(getattr(self, "_iq", False)),
+                "raw": np.zeros(
+                    0,
+                    np.complex64 if getattr(self, "_iq", False) else np.float32,
+                ),
+                "audio": np.zeros(0, np.float32),
+                "rate": rate,
+                "max_samples": int(ac["max_seconds"] * rate),
+            }
+            self.status(
+                f"audio on: {ac['mode']} at {ac['center_khz']:g} kHz "
+                f"-> {rate:.0f} Hz audio")
+        else:
+            self._audio_rt = None
+            self.status("audio off")
+        if unknown:
+            self.status(f"ignored unknown audio fields: {unknown}", ok=False)
+        return {"ok": True, "audio": dict(self.audio_cfg)}
+
+    def save_audio(self) -> dict:
+        """Write the buffered audio ring to captures/audio_<ts>.wav."""
+        import os
+        import time as _t
+
+        from tpu_sdr.runtime.receiver import write_wav
+
+        rt = self._audio_rt
+        if rt is None or rt["audio"].size == 0:
+            raise ValueError("no audio buffered; enable audio first")
+        os.makedirs("captures", exist_ok=True)
+        path = os.path.join(
+            "captures", _t.strftime("audio_%Y%m%d_%H%M%S.wav"))
+        write_wav(path, rt["audio"], rt["rate"])
+        seconds = rt["audio"].size / rt["rate"]
+        self.status(f"audio saved: {path} ({seconds:.1f} s)")
+        return {"ok": True, "path": path, "seconds": round(seconds, 2),
+                "rate": rt["rate"]}
+
     def set_zoom(self, cfg: dict) -> dict:
         """Enable/disable zoom, pick the front-end ('pfb' subchannel grid
         or 'ddc' arbitrary center), and its tuning; ``m``/``taps``/
@@ -864,6 +984,14 @@ class GuiBackend:
             "recording": (
                 None if self._recorder is None else self._record_path
             ),
+            "audio": {
+                **self.audio_cfg,
+                "buffered_seconds": (
+                    0.0 if self._audio_rt is None
+                    else round(
+                        self._audio_rt["audio"].size / self._audio_rt["rate"], 2)
+                ),
+            },
             "stats": self.sa.stats.as_dict(),
             "config": {
                 "fft_size": self.sa.cfg.fft_size,

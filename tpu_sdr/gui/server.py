@@ -19,6 +19,8 @@ POST endpoints mirroring the reference's SocketIO event set
                                  "threshold_db", "rearm"}
   POST /api/start_record        {"max_seconds": 60} -> captures/<ts>.npy
   POST /api/stop_record         finalize; returns capture metadata
+  POST /api/set_audio           {"enabled", "center_khz", "mode", "max_seconds"}
+  POST /api/save_audio          write buffered audio -> captures/audio_<ts>.wav
   POST /api/reset_plot
   POST /api/generate_filter_preview
   POST /api/apply_filter_to_fpga
@@ -154,6 +156,10 @@ def _make_handler(backend: GuiBackend):
                     )
                 elif route == "/api/stop_record":
                     self._json(backend.stop_record())
+                elif route == "/api/set_audio":
+                    self._json(backend.set_audio(dict(args)))
+                elif route == "/api/save_audio":
+                    self._json(backend.save_audio())
                 elif route == "/api/generate_filter_preview":
                     self._json(backend.generate_filter_preview())
                 elif route == "/api/apply_filter_to_fpga":
