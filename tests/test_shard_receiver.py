@@ -1,0 +1,142 @@
+"""Sharded receiver chain: every stage and the full composition must be
+BITWISE identical to the single-device path, for every mesh shape."""
+
+import numpy as np
+import pytest
+
+from tpu_sdr.kernels.demod import AGC, AMDemodulator, FMDemodulator, SSBDemodulator
+from tpu_sdr.kernels.resample import Resampler
+from tpu_sdr.runtime.receiver import Receiver
+from tpu_sdr.shard import (
+    ShardedAGC,
+    ShardedAMDemodulator,
+    ShardedFMDemodulator,
+    ShardedReceiver,
+    ShardedResampler,
+    ShardedSSBDemodulator,
+    make_sdr_mesh,
+)
+
+FS = 100_000.0
+MESHES = [(1, 8), (2, 4), (4, 2), (8, 1)]
+
+
+def _planes(rng, c, t):
+    return (rng.standard_normal((c, t)).astype(np.float32),
+            rng.standard_normal((c, t)).astype(np.float32))
+
+
+@pytest.mark.parametrize("mesh_shape", MESHES)
+def test_sharded_fm_bitwise(rng, mesh_shape):
+    c_ax, t_ax = mesh_shape
+    mesh = make_sdr_mesh(channel=c_ax, time=t_ax)
+    fm = FMDemodulator(FS, deviation_hz=5e3, deemphasis_tau=75e-6)
+    sh = ShardedFMDemodulator(fm, mesh)
+    c, t = 8, t_ax * 512
+    re, im = _planes(rng, c, t)
+    # two chunks with carried state on BOTH paths
+    s1, s2 = fm.initial_state((c,)), sh.initial_state((c,))
+    for _ in range(2):
+        a_ref, s1 = fm.process(re, im, s1)
+        a_got, s2 = sh.process(re, im, s2)
+        np.testing.assert_array_equal(np.asarray(a_got), np.asarray(a_ref))
+    np.testing.assert_array_equal(np.asarray(s2.filt), np.asarray(s1.filt))
+    np.testing.assert_array_equal(np.asarray(s2.prev_re), np.asarray(s1.prev_re))
+
+
+@pytest.mark.parametrize("mesh_shape", [(2, 4), (1, 8)])
+def test_sharded_am_bitwise(rng, mesh_shape):
+    c_ax, t_ax = mesh_shape
+    mesh = make_sdr_mesh(channel=c_ax, time=t_ax)
+    am = AMDemodulator(FS)
+    sh = ShardedAMDemodulator(am, mesh)
+    c, t = 4, t_ax * 384
+    re, im = _planes(rng, c, t)
+    a_ref, s1 = am.process(re, im, am.initial_state((c,)))
+    a_got, s2 = sh.process(re, im, sh.initial_state((c,)))
+    np.testing.assert_array_equal(np.asarray(a_got), np.asarray(a_ref))
+    b_ref, _ = am.process(im, re, s1)
+    b_got, _ = sh.process(im, re, s2)
+    np.testing.assert_array_equal(np.asarray(b_got), np.asarray(b_ref))
+
+
+@pytest.mark.parametrize("mesh_shape", [(2, 4), (4, 2)])
+def test_sharded_ssb_bitwise(rng, mesh_shape):
+    c_ax, t_ax = mesh_shape
+    mesh = make_sdr_mesh(channel=c_ax, time=t_ax)
+    ssb = SSBDemodulator(FS, bfo_hz=1500.0)
+    sh = ShardedSSBDemodulator(ssb, mesh)
+    c, t = 4, t_ax * 256
+    re, im = _planes(rng, c, t)
+    s1, s2 = ssb.initial_state((c,)), sh.initial_state((c,))
+    for _ in range(2):
+        a_ref, s1 = ssb.process(re, im, s1)
+        a_got, s2 = sh.process(re, im, s2)
+        np.testing.assert_array_equal(np.asarray(a_got), np.asarray(a_ref))
+
+
+@pytest.mark.parametrize("mesh_shape", [(2, 4), (1, 8)])
+def test_sharded_agc_bitwise(rng, mesh_shape):
+    c_ax, t_ax = mesh_shape
+    mesh = make_sdr_mesh(channel=c_ax, time=t_ax)
+    agc = AGC(mu=5e-3, ref=1.0)
+    sh = ShardedAGC(agc, mesh)
+    c, t = 4, t_ax * 256
+    x = rng.standard_normal((c, t)).astype(np.float32)
+    y_ref, s1 = agc.process_real(x, agc.initial_state((c,)))
+    y_got, s2 = sh.process_real(x, sh.initial_state((c,)))
+    np.testing.assert_array_equal(np.asarray(y_got), np.asarray(y_ref))
+    np.testing.assert_array_equal(np.asarray(s2.gain), np.asarray(s1.gain))
+    # complex planes path, carried state
+    re, im = _planes(rng, c, t)
+    r_ref, i_ref, _ = agc.process(re, im, s1)
+    r_got, i_got, _ = sh.process(re, im, s2)
+    np.testing.assert_array_equal(np.asarray(r_got), np.asarray(r_ref))
+    np.testing.assert_array_equal(np.asarray(i_got), np.asarray(i_ref))
+
+
+@pytest.mark.parametrize("mesh_shape", MESHES)
+def test_sharded_resampler_bitwise(rng, mesh_shape):
+    c_ax, t_ax = mesh_shape
+    mesh = make_sdr_mesh(channel=c_ax, time=t_ax)
+    rs = Resampler(up=3, down=2, taps_per_phase=6)
+    sh = ShardedResampler(rs, mesh)
+    c, t = 8, t_ax * 64
+    x = rng.standard_normal((c, t)).astype(np.float32)
+    s1, s2 = rs.initial_state((c,)), sh.initial_state((c,))
+    for _ in range(2):
+        y_ref, s1 = rs.process(x, s1)
+        y_got, s2 = sh.process(x, s2)
+        np.testing.assert_array_equal(np.asarray(y_got), np.asarray(y_ref))
+    np.testing.assert_array_equal(np.asarray(s2.tail), np.asarray(s1.tail))
+
+
+@pytest.mark.parametrize("mode", ["wbfm", "am", "usb"])
+@pytest.mark.parametrize("mesh_shape", [(2, 4), (1, 8)])
+def test_sharded_receiver_bitwise(mode, mesh_shape):
+    c_ax, t_ax = mesh_shape
+    mesh = make_sdr_mesh(channel=c_ax, time=t_ax)
+    fs = 1_000_000.0
+    rx = Receiver(fs=fs, center_hz=250e3, mode=mode, audio_rate=16e3)
+    sh = ShardedReceiver(rx, mesh)
+    assert sh.chunk_granularity == t_ax * rx.chunk_granularity
+    c = 2
+    t = sh.chunk_granularity
+    n = np.arange(t)
+    msg = np.sin(2 * np.pi * 500.0 * n / fs)
+    ph = 2 * np.pi * 250e3 * n / fs + 2 * np.pi * 50e3 / fs * np.cumsum(msg)
+    x = np.stack([0.5 * np.cos(ph), 0.4 * np.cos(ph + 0.3)]).astype(np.float32)
+    s1, s2 = rx.initial_state((c,)), sh.initial_state((c,))
+    for _ in range(2):
+        a_ref, s1 = rx.process(x, s1)
+        a_got, s2 = sh.process(x, s2)
+        np.testing.assert_array_equal(np.asarray(a_got), np.asarray(a_ref))
+
+
+def test_sharded_receiver_validation():
+    mesh = make_sdr_mesh(channel=1, time=8)
+    rx = Receiver(fs=1e6, center_hz=100e3, mode="wbfm", audio_rate=16e3)
+    sh = ShardedReceiver(rx, mesh)
+    with pytest.raises(ValueError, match="chunk_granularity"):
+        sh.process(np.zeros((1, rx.chunk_granularity), np.float32),
+                   sh.initial_state((1,)))

@@ -60,15 +60,12 @@ def dc_block_sos(r: float = 0.995) -> np.ndarray:
 # ------------------------------------------------- blocked affine solver
 
 
-@functools.partial(jax.jit, static_argnames=("block",))
-def _affine_prefix_blocked(a, b, y0, block: int):
-    """Solve y[n] = a[n]*y[n-1] + b[n] (inclusive), y[-1] = y0.
-
-    a, b: (..., T) with T % block == 0; y0: (...,). Returns
-    (y (..., T), y_final (...,)). The in-block tree is a fixed
-    Hillis-Steele over ``block`` elements and the inter-block chain is a
-    sequential scan, so the op order — and every rounding — is identical
-    for any block-multiple chunking of the stream."""
+def _inblock_prefix(a, b, block: int):
+    """Inclusive Hillis-Steele prefix of affine maps inside fixed-size
+    blocks: a, b (..., T) -> (A, B) of shape (..., G, L) with
+    y_k(in block) = A[..., k] * y_in + B[..., k]. The tree is always over
+    exactly L elements, so the op order is identical no matter how many
+    blocks a dispatch carries or how blocks are sharded across devices."""
     lead = a.shape[:-1]
     L = block
     G = a.shape[-1] // L
@@ -81,32 +78,59 @@ def _affine_prefix_blocked(a, b, y0, block: int):
         B_e = jnp.pad(B[..., :-d], pad)
         A, B = A * A_e, A * B_e + B
         d *= 2
-    # Chain block-final affines: y_in of block j+1 = A_last*y_in + B_last.
-    A_last = jnp.moveaxis(A[..., -1], -1, 0)  # (G, ...)
-    B_last = jnp.moveaxis(B[..., -1], -1, 0)
+    return A, B
+
+
+def _chain_blocks(A_last, B_last, y0, lead_ndim: int):
+    """Sequential scan over block-final affines (the canonical state
+    order): A_last, B_last (..., G); y0 (...,). Returns
+    (y_final (...,), y_ins (..., G))."""
+    A_g = jnp.moveaxis(A_last, -1, 0)  # (G, ...)
+    B_g = jnp.moveaxis(B_last, -1, 0)
 
     def step(y, ab):
         a_j, b_j = ab
         return a_j * y + b_j, y
 
-    y_final, y_ins = jax.lax.scan(step, y0, (A_last, B_last))
-    y_ins = jnp.moveaxis(y_ins, 0, len(lead))  # (..., G)
+    y_final, y_ins = jax.lax.scan(step, y0, (A_g, B_g))
+    return y_final, jnp.moveaxis(y_ins, 0, lead_ndim)
+
+
+def _affine_prefix_raw(a, b, y0, block: int):
+    """Solve y[n] = a[n]*y[n-1] + b[n] (inclusive), y[-1] = y0.
+
+    a, b: (..., T) with T % block == 0; y0: (...,). Returns
+    (y (..., T), y_final (...,)). The in-block tree is a fixed
+    Hillis-Steele over ``block`` elements and the inter-block chain is a
+    sequential scan, so the op order — and every rounding — is identical
+    for any block-multiple chunking of the stream. Un-jitted so the
+    fused forwards and the sharded path inline the identical ops."""
+    lead = a.shape[:-1]
+    A, B = _inblock_prefix(a, b, block)
+    y_final, y_ins = _chain_blocks(A[..., -1], B[..., -1], y0, len(lead))
     y = A * y_ins[..., None] + B
-    return y.reshape(*lead, G * L), y_final
+    return y.reshape(*lead, a.shape[-1]), y_final
+
+
+_affine_prefix_blocked = functools.partial(
+    jax.jit, static_argnames=("block",))(_affine_prefix_raw)
 
 
 # --------------------------------------------------------- FM discriminator
 
 
-@functools.partial(jax.jit, static_argnames=("fs",))
-def _fm_disc(re, im, prev_re, prev_im, fs: float):
+def _fm_disc_raw(re, im, prev_re, prev_im, fs: float):
     """Instantaneous frequency (Hz) of z = re + j*im, one sample of
-    history carried in prev_* (..., 1)."""
+    history carried in prev_* (..., 1). Un-jitted so the sharded path
+    can inline the identical ops."""
     re1 = jnp.concatenate([prev_re, re[..., :-1]], axis=-1)
     im1 = jnp.concatenate([prev_im, im[..., :-1]], axis=-1)
     dot = re * re1 + im * im1
     cross = im * re1 - re * im1
     return jnp.arctan2(cross, dot) * jnp.float32(fs / (2.0 * np.pi))
+
+
+_fm_disc = functools.partial(jax.jit, static_argnames=("fs",))(_fm_disc_raw)
 
 
 def fm_discriminate(re, im, prev_re, prev_im, fs: float):
@@ -130,16 +154,32 @@ class AGCState:
         return cls(jnp.asarray(d["gain"]), int(d["offset"]))
 
 
-@functools.partial(jax.jit, static_argnames=("block",))
-def _agc_gains(mag, g0, mu, ref, block: int):
-    """Gains for y[n] = g[n-1]*x[n] under the linear loop
-    g[n] = g[n-1]*(1 - mu*mag[n]) + mu*ref — affine in g with
-    time-varying a[n]."""
-    g, g_final = _affine_prefix_blocked(
-        1.0 - mu * mag, jnp.broadcast_to(mu * ref, mag.shape), g0, block
-    )
+def _agc_solve(mag, g0, mu: float, ref: float, block: int, affine=_affine_prefix_raw,
+               **affine_kw):
+    """Shared gain solve for y[n] = g[n-1]*x[n] under the linear loop
+    g[n] = g[n-1]*(1 - mu*mag[n]) + mu*ref. Returns (g inclusive,
+    g_final); textually shared by the single-device fused forwards and
+    the sharded mirror so both graphs fold identically."""
+    return affine(
+        1.0 - jnp.float32(mu) * mag,
+        jnp.broadcast_to(jnp.float32(mu * ref), mag.shape),
+        g0, block, **affine_kw)
+
+
+@functools.partial(jax.jit, static_argnames=("mu", "ref", "block"))
+def _agc_forward_real(x, g0, mu: float, ref: float, block: int):
+    mag = jnp.abs(x)
+    g, g_final = _agc_solve(mag, g0, mu, ref, block)
     g_prev = jnp.concatenate([g0[..., None], g[..., :-1]], axis=-1)
-    return g_prev, g_final
+    return g_prev * x, g_final
+
+
+@functools.partial(jax.jit, static_argnames=("mu", "ref", "block"))
+def _agc_forward_planes(re, im, g0, mu: float, ref: float, block: int):
+    mag = jnp.sqrt(re * re + im * im)
+    g, g_final = _agc_solve(mag, g0, mu, ref, block)
+    g_prev = jnp.concatenate([g0[..., None], g[..., :-1]], axis=-1)
+    return g_prev * re, g_prev * im, g_final
 
 
 class AGC:
@@ -160,33 +200,68 @@ class AGC:
     def initial_state(self, batch_shape: tuple = ()) -> AGCState:
         return AGCState(jnp.full(batch_shape, self.g_init, jnp.float32), 0)
 
-    def _gains(self, mag, state: AGCState):
-        t = mag.shape[-1]
+    def _check(self, x, state: AGCState):
+        t = x.shape[-1]
         if t % self.block:
             raise ValueError(
                 f"chunk length {t} not a multiple of block={self.block}")
-        if tuple(state.gain.shape) != tuple(mag.shape[:-1]):
+        if tuple(state.gain.shape) != tuple(x.shape[:-1]):
             raise ValueError(
-                f"state shape {tuple(state.gain.shape)} != {tuple(mag.shape[:-1])}")
-        return _agc_gains(mag, state.gain,
-                          jnp.float32(self.mu), jnp.float32(self.ref),
-                          block=self.block)
+                f"state shape {tuple(state.gain.shape)} != {tuple(x.shape[:-1])}")
 
     def process_real(self, x, state: AGCState):
         x = jnp.asarray(x, jnp.float32)
-        g_prev, g_final = self._gains(jnp.abs(x), state)
-        return g_prev * x, AGCState(g_final, state.offset + x.shape[-1])
+        self._check(x, state)
+        y, g_final = _agc_forward_real(
+            x, state.gain, mu=self.mu, ref=self.ref, block=self.block)
+        return y, AGCState(g_final, state.offset + x.shape[-1])
 
     def process(self, re, im, state: AGCState):
         """Complex planes: one gain track drives both planes."""
         re = jnp.asarray(re, jnp.float32)
         im = jnp.asarray(im, jnp.float32)
-        g_prev, g_final = self._gains(jnp.sqrt(re * re + im * im), state)
-        return g_prev * re, g_prev * im, AGCState(
-            g_final, state.offset + re.shape[-1])
+        self._check(re, state)
+        yre, yim, g_final = _agc_forward_planes(
+            re, im, state.gain, mu=self.mu, ref=self.ref, block=self.block)
+        return yre, yim, AGCState(g_final, state.offset + re.shape[-1])
 
 
 # ------------------------------------------------------------ demodulators
+
+
+@functools.partial(jax.jit, static_argnames=("fs", "dev", "pole", "block"))
+def _fm_forward(re, im, prev_re, prev_im, filt, fs: float, dev: float,
+                pole, block: int):
+    """Fused FM forward — ONE graph, so XLA's algebraic simplifications
+    apply identically here and in the sharded mirror (shard/demod.py);
+    separate per-stage jits would fold differently and break sharded
+    bitwise parity (measured: 1-ulp divergence from the scale-multiply
+    fold)."""
+    audio = _fm_disc_raw(re, im, prev_re, prev_im, fs)
+    audio = audio * jnp.float32(1.0 / dev)
+    if pole is not None:
+        a = jnp.float32(pole)
+        audio, filt = _affine_prefix_raw(
+            jnp.broadcast_to(a, audio.shape), (1.0 - a) * audio, filt, block)
+    return audio, re[..., -1:], im[..., -1:], filt
+
+
+@functools.partial(jax.jit, static_argnames=("pole", "block"))
+def _am_forward(re, im, prev_re, prev_im, filt, pole: float, block: int):
+    env = jnp.sqrt(re * re + im * im)
+    prev_env = jnp.sqrt(prev_re * prev_re + prev_im * prev_im)
+    env1 = jnp.concatenate([prev_env, env[..., :-1]], axis=-1)
+    audio, filt = _affine_prefix_raw(
+        jnp.broadcast_to(jnp.float32(pole), env.shape), env - env1, filt,
+        block)
+    return audio, re[..., -1:], im[..., -1:], filt
+
+
+@jax.jit
+def _ssb_forward(re, im, phase0, word):
+    c, s = _nco_cos_sin(phase0, word, re.shape[-1])
+    audio = re * c + im * s  # Re{z * (c - j*s)}
+    return audio, re[..., -1:], im[..., -1:]
 
 
 class DemodState:
@@ -244,16 +319,11 @@ class FMDemodulator:
         if t % self.block:
             raise ValueError(
                 f"chunk length {t} not a multiple of block={self.block}")
-        audio = _fm_disc(re, im, state.prev_re, state.prev_im, self.fs)
-        audio = audio * jnp.float32(1.0 / self.deviation_hz)
-        filt = state.filt
-        if self._pole is not None:
-            a = jnp.float32(self._pole)
-            audio, filt = _affine_prefix_blocked(
-                jnp.broadcast_to(a, audio.shape),
-                (1.0 - a) * audio, filt, self.block)
-        return audio, DemodState(
-            re[..., -1:], im[..., -1:], filt, state.offset + t)
+        audio, pr, pi, filt = _fm_forward(
+            re, im, state.prev_re, state.prev_im, state.filt,
+            fs=self.fs, dev=self.deviation_hz, pole=self._pole,
+            block=self.block)
+        return audio, DemodState(pr, pi, filt, state.offset + t)
 
 
 class AMDemodulator:
@@ -277,15 +347,10 @@ class AMDemodulator:
         if t % self.block:
             raise ValueError(
                 f"chunk length {t} not a multiple of block={self.block}")
-        env = jnp.sqrt(re * re + im * im)
-        prev_env = jnp.sqrt(state.prev_re * state.prev_re
-                            + state.prev_im * state.prev_im)
-        env1 = jnp.concatenate([prev_env, env[..., :-1]], axis=-1)
-        audio, filt = _affine_prefix_blocked(
-            jnp.broadcast_to(jnp.float32(self.dc_pole), env.shape),
-            env - env1, state.filt, self.block)
-        return audio, DemodState(
-            re[..., -1:], im[..., -1:], filt, state.offset + t)
+        audio, pr, pi, filt = _am_forward(
+            re, im, state.prev_re, state.prev_im, state.filt,
+            pole=self.dc_pole, block=self.block)
+        return audio, DemodState(pr, pi, filt, state.offset + t)
 
 
 class SSBDemodulator:
@@ -318,7 +383,5 @@ class SSBDemodulator:
         im = jnp.asarray(im, jnp.float32)
         t = re.shape[-1]
         phase0 = jnp.uint32((state.offset * self._word) % (1 << 32))
-        c, s = _nco_cos_sin(phase0, jnp.uint32(self._word), t)
-        audio = re * c + im * s  # Re{z * (c - j*s)}
-        return audio, DemodState(
-            re[..., -1:], im[..., -1:], state.filt, state.offset + t)
+        audio, pr, pi = _ssb_forward(re, im, phase0, jnp.uint32(self._word))
+        return audio, DemodState(pr, pi, state.filt, state.offset + t)

@@ -161,9 +161,7 @@ class Receiver:
         audio, dm = self.demod.process(bb["re"], bb["im"], state.demod)
         agc_state = state.agc
         if self.agc is not None:
-            g_prev, g_final = self.agc._gains(jnp.abs(audio), state.agc)
-            audio = g_prev * audio
-            agc_state = AGCState(g_final, state.agc.offset + audio.shape[-1])
+            audio, agc_state = self.agc.process_real(audio, state.agc)
         audio, rs = self.resampler.process(audio, state.resamp)
         return audio, ReceiverState(ddc_state, dm, agc_state, rs)
 

@@ -5,3 +5,11 @@ from tpu_sdr.shard.channelizer import ShardedChannelizer  # noqa: F401
 from tpu_sdr.shard.psd import ShardedWelchPSD  # noqa: F401
 from tpu_sdr.shard.ddc import ShardedDDC  # noqa: F401
 from tpu_sdr.shard.ddcbank import ShardedDDCBank  # noqa: F401
+from tpu_sdr.shard.demod import (  # noqa: F401
+    ShardedAGC,
+    ShardedAMDemodulator,
+    ShardedFMDemodulator,
+    ShardedSSBDemodulator,
+)
+from tpu_sdr.shard.resample import ShardedResampler  # noqa: F401
+from tpu_sdr.shard.receiver import ShardedReceiver  # noqa: F401

@@ -1,0 +1,84 @@
+"""The full tune-to-audio chain over the (channel, time) mesh.
+
+Composes the sharded stages — ``ShardedDDC`` (mixed-tail halo),
+sharded demod/AGC (one-sample halo + replicated affine-chain replay),
+``ShardedResampler`` (input-tail halo) — into one streaming receiver
+whose audio is BITWISE identical to the single-device ``Receiver`` for
+every mesh shape (tested in tests/test_shard_receiver.py). Data stays
+(channel, time)-sharded on device between stages; only the per-stage
+carried state (a few floats per channel) is replicated.
+"""
+
+from __future__ import annotations
+
+import jax
+
+from tpu_sdr.kernels.demod import AMDemodulator, FMDemodulator, SSBDemodulator
+from tpu_sdr.runtime.receiver import Receiver, ReceiverState
+from tpu_sdr.shard.ddc import ShardedDDC
+from tpu_sdr.shard.demod import (
+    ShardedAGC,
+    ShardedAMDemodulator,
+    ShardedFMDemodulator,
+    ShardedSSBDemodulator,
+)
+from tpu_sdr.shard.resample import ShardedResampler
+
+
+class ShardedReceiver:
+    """``Receiver`` over a (channel, time) mesh. Input is (C, T) real
+    wideband (or (2, C, T) IQ planes): C over the channel axis, T over
+    time. Chunks must be multiples of ``chunk_granularity`` (the
+    single-device granularity times the time-shard count)."""
+
+    def __init__(self, rx: Receiver, mesh: jax.sharding.Mesh):
+        self.rx = rx
+        self.mesh = mesh
+        self.ddc = ShardedDDC(rx.ddc, mesh)
+        if isinstance(rx.demod, FMDemodulator):
+            self.demod = ShardedFMDemodulator(rx.demod, mesh)
+        elif isinstance(rx.demod, AMDemodulator):
+            self.demod = ShardedAMDemodulator(rx.demod, mesh)
+        elif isinstance(rx.demod, SSBDemodulator):
+            self.demod = ShardedSSBDemodulator(rx.demod, mesh)
+        else:  # pragma: no cover - future demod kinds
+            raise TypeError(f"unsupported demod {type(rx.demod).__name__}")
+        self.agc = None if rx.agc is None else ShardedAGC(rx.agc, mesh)
+        self.resampler = ShardedResampler(rx.resampler, mesh)
+        self.chunk_granularity = mesh.shape["time"] * rx.chunk_granularity
+
+    @property
+    def realized_audio_rate(self) -> float:
+        return self.rx.realized_audio_rate
+
+    def retune(self, center_hz: float):
+        self.rx.retune(center_hz)
+
+    def initial_state(self, batch_shape: tuple = ()) -> ReceiverState:
+        return self.rx.initial_state(batch_shape)
+
+    def _run(self, bb, state: ReceiverState, ddc_state):
+        audio, dm = self.demod.process(bb["re"], bb["im"], state.demod)
+        agc_state = state.agc
+        if self.agc is not None:
+            audio, agc_state = self.agc.process_real(audio, state.agc)
+        audio, rs = self.resampler.process(audio, state.resamp)
+        return audio, ReceiverState(ddc_state, dm, agc_state, rs)
+
+    def _check(self, t: int):
+        if t % self.chunk_granularity:
+            raise ValueError(
+                f"chunk length {t} not a multiple of "
+                f"chunk_granularity={self.chunk_granularity}")
+
+    def process(self, x, state: ReceiverState):
+        """Real wideband (C, T) -> (audio (C, T'), state)."""
+        self._check(x.shape[-1])
+        bb, ds = self.ddc.process(x, state.ddc)
+        return self._run(bb, state, ds)
+
+    def process_planes(self, xs, state: ReceiverState):
+        """IQ wideband planes (2, C, T) -> (audio (C, T'), state)."""
+        self._check(xs.shape[-1])
+        bb, ds = self.ddc.process_planes(xs, state.ddc)
+        return self._run(bb, state, ds)
