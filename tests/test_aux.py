@@ -94,7 +94,24 @@ class TestWaterfall:
         with pytest.raises(ValueError, match="detector"):
             decimate_db(mag, points=256, detector="bogus")
         with pytest.raises(ValueError, match="edges"):
-            detect_bucketed(mag, np.array([0, 0, 4]), "peak")
+            detect_bucketed(mag, np.array([0, 5, 4]), "peak")  # decreasing
+        with pytest.raises(ValueError, match="out of range"):
+            detect_bucketed(mag, np.array([0, 2000]), "peak")
+
+    def test_detect_bucketed_duplicate_edges(self):
+        """More display points than bins (small-FFT configs): duplicate
+        edges follow reduceat semantics — empty bucket = start bin —
+        for EVERY detector (the GUI waterfall must not raise)."""
+        from tpu_sdr.runtime.waterfall import detect_bucketed
+
+        x = np.arange(8, dtype=np.float64)
+        edges = np.linspace(0, 8, 17).astype(int)  # 16 buckets over 8 bins
+        for det in ("peak", "minpeak", "avg", "rms", "sample"):
+            out = detect_bucketed(x, edges, det)
+            assert out.shape == (16,)
+            assert np.isfinite(out).all()
+        np.testing.assert_array_equal(
+            detect_bucketed(x, edges, "peak"), np.repeat(x, 2))
 
     def test_waterfall_ring_and_traces(self):
         wf = Waterfall(points=64, depth=4)

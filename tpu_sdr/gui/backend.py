@@ -971,6 +971,7 @@ class GuiBackend:
         )
 
     def get_state(self) -> dict:
+        art = self._audio_rt  # snapshot: HTTP/acquisition threads swap it
         return {
             "running": self.sa.running,
             "filter_mode": self.sa.filter_mode.name,
@@ -987,9 +988,8 @@ class GuiBackend:
             "audio": {
                 **self.audio_cfg,
                 "buffered_seconds": (
-                    0.0 if self._audio_rt is None
-                    else round(
-                        self._audio_rt["audio"].size / self._audio_rt["rate"], 2)
+                    0.0 if art is None
+                    else round(art["audio"].size / art["rate"], 2)
                 ),
             },
             "stats": self.sa.stats.as_dict(),

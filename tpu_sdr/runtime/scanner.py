@@ -10,12 +10,12 @@ above an adaptive threshold (median noise floor + ``threshold_db``).
 
 Power semantics: mean |z|^2 of the complex baseband AFTER the DDC's
 anti-alias FIR, transient discarded — i.e. the power inside the
-channel's fs/R passband, the same quantity as integrating a Welch PSD
-over the channel (cross-checked in tests/test_scanner.py). A full-scale
-real tone (amplitude A) in-channel reads A^2/2... the complex baseband
-carries the tone's analytic power at |z| = A/2 per plane pair; see the
-test for the exact calibration contract (mean|z|^2 = A^2/4 for a real
-input tone, the standard mixer image split).
+channel's fs/R passband. Calibration contract (tested): a real tone of
+amplitude A in-channel reads mean|z|^2 = A^2/4 (|z| = A/2: the mixer
+keeps one of the two spectral images); an IQ tone reads A^2. The
+corresponding Welch band power for the real tone is A^2/2, so the
+cross-check in tests/test_scanner.py compares 2x the scanner reading
+against the integrated PSD.
 
 The default FIR (16 taps/branch, Blackman-Harris) measures ~112 dB
 adjacent-channel rejection (vs ~64 dB for the DDC's general-purpose
@@ -141,11 +141,15 @@ class SpectrumScanner:
     def _scan(self, x, iq: bool) -> ScanResult:
         t = x.shape[-1]
         r = self.decimation
-        grain = r * (1 if self.mesh is None else self.mesh.shape["time"])
+        p = self.bank._template.p
+        ts = 1 if self.mesh is None else self.mesh.shape["time"]
+        grain = r * ts
         t_use = (t // grain) * grain
-        if t_use < r * (self.bank._template.p + 1):
-            raise ValueError(
-                f"need at least {r * (self.bank._template.p + 1)} samples; got {t}")
+        # Single device needs the FIR transient plus one output; each time
+        # shard additionally needs at least the (p-1)*r halo per slice.
+        min_t = max(r * (p + 1), ts * (p - 1) * r)
+        if t_use < min_t:
+            raise ValueError(f"need at least {min_t} samples; got {t}")
         x = x[..., :t_use]
         power = np.empty(self.n_channels)
         for lo in range(0, self.n_channels, self.k):

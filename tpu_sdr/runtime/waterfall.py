@@ -62,20 +62,25 @@ def decimate_db(
 
 def detect_bucketed(x: np.ndarray, edges: np.ndarray, detector: str = "peak"):
     """Host-side bucketed detector with UNEVEN buckets (the GUI's
-    display-crop path): x (N,), edges (points+1,) strictly increasing
-    bin boundaries -> (points,). Same detector vocabulary as
-    ``decimate_db``."""
+    display-crop path): x (N,), edges (points+1,) non-decreasing bin
+    boundaries -> (points,). Same detector vocabulary as
+    ``decimate_db``. Duplicate edges (more display points than bins —
+    e.g. a small-FFT config) follow ``np.ufunc.reduceat`` semantics:
+    an empty bucket yields its start bin's value, for every detector."""
     x = np.asarray(x)
     edges = np.asarray(edges, int)
-    if edges.ndim != 1 or edges.size < 2 or np.any(np.diff(edges) < 1):
-        raise ValueError("edges must be strictly increasing, >= 2 entries")
+    if edges.ndim != 1 or edges.size < 2 or np.any(np.diff(edges) < 0):
+        raise ValueError("edges must be non-decreasing, >= 2 entries")
+    if edges[0] < 0 or edges[-1] > x.shape[-1]:
+        raise ValueError(f"edges out of range for {x.shape[-1]} bins")
     x = x[: edges[-1]]  # reduceat's last bucket runs to the end of x
-    starts = edges[:-1]
+    starts = np.minimum(edges[:-1], max(edges[-1] - 1, 0))
     if detector == "peak":
         return np.maximum.reduceat(x, starts)
     if detector == "minpeak":
         return np.minimum.reduceat(x, starts)
-    counts = np.diff(edges)
+    # Empty buckets: reduceat returns x[start]; divide by a count of 1.
+    counts = np.maximum(np.diff(edges), 1)
     if detector == "avg":
         return np.add.reduceat(x, starts) / counts
     if detector == "rms":

@@ -24,6 +24,7 @@ import jax.numpy as jnp
 from jax.sharding import NamedSharding, PartitionSpec as P
 
 from tpu_sdr.kernels.ddc import DDCBank, DDCState, _fold_decimate
+from tpu_sdr.shard.halo import left_halo
 
 
 class ShardedDDCBank:
@@ -72,16 +73,11 @@ class ShardedDDCBank:
                 yim = -(x[None, :] * s)
             outs, new_tails = [], []
             for y, carried in ((yre, tail_re), (yim, tail_im)):
-                tail = y[..., t - hist:] if hist else carried
-                if time_shards > 1 and hist:
-                    left = jax.lax.ppermute(
-                        tail, "time",
-                        [(i, i + 1) for i in range(time_shards - 1)],
-                    )
-                    halo = jnp.where(idx == 0, carried, left)
-                    new_tail = jax.lax.all_gather(tail, "time")[-1]
+                if hist:
+                    halo, new_tail = left_halo(
+                        y[..., t - hist:], carried, time_shards)
                 else:
-                    halo, new_tail = carried, tail
+                    halo, new_tail = carried, carried
                 cat = jnp.concatenate([halo, y], axis=-1) if hist else y
                 outs.append(_fold_decimate(cat, h2, p, r))
                 new_tails.append(new_tail)

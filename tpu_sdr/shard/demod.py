@@ -27,6 +27,7 @@ import jax
 import jax.numpy as jnp
 from jax.sharding import NamedSharding, PartitionSpec as P
 
+from tpu_sdr.shard.halo import left_halo
 from tpu_sdr.kernels.ddc import _nco_cos_sin
 from tpu_sdr.kernels.demod import (
     AGC,
@@ -74,14 +75,7 @@ def _prev_sample_halo(last, carried, time_shards: int):
     sample; shard 0 splices the carried stream history. Returns
     (prev (..., 1) sharded, new_carried (..., 1) replicated = the global
     last sample)."""
-    if time_shards == 1:
-        return carried, last
-    left = jax.lax.ppermute(
-        last, "time", [(i, i + 1) for i in range(time_shards - 1)])
-    idx = jax.lax.axis_index("time")
-    prev = jnp.where(idx == 0, carried, left)
-    new_carried = jax.lax.all_gather(last, "time")[-1]
-    return prev, new_carried
+    return left_halo(last, carried, time_shards)
 
 
 class _ShardedDemodBase:
@@ -124,7 +118,6 @@ class ShardedFMDemodulator(_ShardedDemodBase):
         ts = mesh.shape["time"]
 
         def body(re, im, prev_re, prev_im, filt):
-            t = re.shape[-1]
             prev_r, new_r = _prev_sample_halo(re[..., -1:], prev_re, ts)
             prev_i, new_i = _prev_sample_halo(im[..., -1:], prev_im, ts)
             audio = _fm_disc_raw(re, im, prev_r, prev_i, fm_.fs)

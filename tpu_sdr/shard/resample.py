@@ -21,6 +21,7 @@ import jax.numpy as jnp
 from jax.sharding import NamedSharding, PartitionSpec as P
 
 from tpu_sdr.kernels.resample import Resampler, ResamplerState, _resample_forward
+from tpu_sdr.shard.halo import left_halo
 
 
 class ShardedResampler:
@@ -36,15 +37,10 @@ class ShardedResampler:
 
         def body(x, tail, h):
             t = x.shape[-1]
-            my_tail = x[..., t - hist:] if hist else tail
-            if ts > 1 and hist:
-                left = jax.lax.ppermute(
-                    my_tail, "time", [(i, i + 1) for i in range(ts - 1)])
-                idx = jax.lax.axis_index("time")
-                halo = jnp.where(idx == 0, tail, left)
-                new_tail = jax.lax.all_gather(my_tail, "time")[-1]
+            if hist:
+                halo, new_tail = left_halo(x[..., t - hist:], tail, ts)
             else:
-                halo, new_tail = tail, my_tail
+                halo, new_tail = tail, tail
             out, _ = _resample_forward.__wrapped__(
                 x, halo, h, up=rs.up, down=rs.down, p=rs.p)
             return out, new_tail
