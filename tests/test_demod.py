@@ -235,6 +235,59 @@ def test_agc_batched_state_roundtrip(rng):
     np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+# --------------------------------------------------------------- squelch
+
+
+def test_squelch_gates_open_and_close():
+    from tpu_sdr.kernels.demod import Squelch
+
+    sq = Squelch(threshold=0.01, leak=0.5)
+    t = 1024
+    strong = np.full(t, 0.5, np.float32)
+    silence = np.full(t, 1e-4, np.float32)
+    g1, st = sq.gates(strong, strong, sq.initial_state())
+    g1 = np.asarray(g1)
+    assert g1[0] == 0.0  # causal: first block gated on zero history
+    assert g1[-1] == 1.0  # opened once the EMA crossed
+    g2, _ = sq.gates(silence, silence, st)
+    assert np.asarray(g2)[-1] == 0.0  # closes again on silence
+
+
+def test_squelch_chunked_equals_oneshot(rng):
+    from tpu_sdr.kernels.demod import Squelch
+
+    sq = Squelch(threshold=0.5, leak=0.9)
+    t = 2048
+    re = rng.standard_normal(t).astype(np.float32)
+    im = rng.standard_normal(t).astype(np.float32)
+    one, _ = sq.gates(re, im, sq.initial_state())
+    st = sq.initial_state()
+    outs = []
+    for k in range(0, t, 256):
+        g, st = sq.gates(re[k : k + 256], im[k : k + 256], st)
+        outs.append(np.asarray(g))
+    np.testing.assert_array_equal(np.concatenate(outs), np.asarray(one))
+
+
+def test_receiver_squelch_mutes_noise():
+    from tpu_sdr.runtime.receiver import Receiver
+
+    fs = 1_000_000.0
+    rx = Receiver(fs=fs, center_hz=250e3, mode="wbfm", audio_rate=16e3,
+                  squelch_db=-30.0)
+    t_len = 4 * rx.chunk_granularity
+    rng = np.random.default_rng(0)
+    noise = (1e-3 * rng.standard_normal(t_len)).astype(np.float32)
+    a_noise, _ = rx.process(noise, rx.initial_state())
+    assert np.max(np.abs(np.asarray(a_noise)[256:])) == 0.0  # muted
+    n = np.arange(t_len)
+    msg = np.sin(2 * np.pi * 1000 * n / fs)
+    ph = 2 * np.pi * 250e3 * n / fs + 2 * np.pi * 75e3 / fs * np.cumsum(msg)
+    x = (0.5 * np.cos(ph)).astype(np.float32)
+    a_sig, _ = rx.process(x, rx.initial_state())
+    assert np.max(np.abs(np.asarray(a_sig))) > 0.3  # passes
+
+
 def test_validation_errors():
     agc = AGC(mu=1e-2)
     with pytest.raises(ValueError, match="not a multiple"):

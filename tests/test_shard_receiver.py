@@ -133,6 +133,27 @@ def test_sharded_receiver_bitwise(mode, mesh_shape):
         np.testing.assert_array_equal(np.asarray(a_got), np.asarray(a_ref))
 
 
+def test_sharded_receiver_with_squelch_bitwise():
+    mesh = make_sdr_mesh(channel=2, time=4)
+    fs = 1_000_000.0
+    rx = Receiver(fs=fs, center_hz=250e3, mode="am", audio_rate=16e3,
+                  squelch_db=-25.0)
+    sh = ShardedReceiver(rx, mesh)
+    t = sh.chunk_granularity
+    n = np.arange(t)
+    msg = np.sin(2 * np.pi * 600.0 * n / fs)
+    x = np.stack([
+        ((1 + 0.5 * msg) * 0.4 * np.cos(2 * np.pi * 250e3 * n / fs)),
+        1e-3 * np.random.default_rng(2).standard_normal(t),  # muted channel
+    ]).astype(np.float32)
+    s1, s2 = rx.initial_state((2,)), sh.initial_state((2,))
+    for _ in range(2):
+        a_ref, s1 = rx.process(x, s1)
+        a_got, s2 = sh.process(x, s2)
+        np.testing.assert_array_equal(np.asarray(a_got), np.asarray(a_ref))
+    assert np.max(np.abs(np.asarray(a_got)[1][256:])) == 0.0  # squelched
+
+
 def test_sharded_receiver_validation():
     mesh = make_sdr_mesh(channel=1, time=8)
     rx = Receiver(fs=1e6, center_hz=100e3, mode="wbfm", audio_rate=16e3)

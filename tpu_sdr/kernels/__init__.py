@@ -7,5 +7,7 @@ from tpu_sdr.kernels.demod import (  # noqa: F401
     AGC,
     AMDemodulator,
     FMDemodulator,
+    Squelch,
     SSBDemodulator,
 )
+from tpu_sdr.kernels.iqcorr import IQCorrector  # noqa: F401

@@ -226,6 +226,76 @@ class AGC:
         return yre, yim, AGCState(g_final, state.offset + re.shape[-1])
 
 
+# ----------------------------------------------------------------- squelch
+
+
+class SquelchState:
+    def __init__(self, power, offset: int = 0):
+        self.power = power
+        self.offset = int(offset)
+
+    def to_numpy(self) -> dict:
+        return {"power": np.asarray(self.power), "offset": np.int64(self.offset)}
+
+    @classmethod
+    def from_numpy(cls, d: dict) -> "SquelchState":
+        return cls(jnp.asarray(d["power"]), int(d["offset"]))
+
+
+@functools.partial(jax.jit, static_argnames=("lam", "thresh", "block"))
+def _squelch_forward(re, im, p0, lam: float, thresh: float, block: int):
+    """Per-block baseband power EMA -> open/closed gate. Block k is
+    gated on the EMA as of block k-1 (causal)."""
+    lead = re.shape[:-1]
+    L = block
+    G = re.shape[-1] // L
+    rb = re.reshape(*lead, G, L)
+    ib = im.reshape(*lead, G, L)
+    pw = jnp.sum(rb * rb + ib * ib, axis=-1) * jnp.float32(1.0 / L)
+    a = jnp.full(pw.shape, jnp.float32(lam))
+    p_final, p_prev = _chain_blocks(a, jnp.float32(1.0 - lam) * pw, p0,
+                                    len(lead))
+    gate = (p_prev > jnp.float32(thresh)).astype(jnp.float32)
+    return gate, p_final
+
+
+class Squelch:
+    """Carrier-power squelch: mutes audio while the baseband power EMA
+    sits below ``threshold`` (linear mean|z|^2; use
+    ``10**(dB/10)``). ``gates`` returns a per-sample 0/1 mask aligned to
+    the input; multiply it into the audio. Chunked == one-shot bitwise
+    at block granularity."""
+
+    def __init__(self, threshold: float, leak: float = 0.99,
+                 block: int = 128):
+        if threshold <= 0:
+            raise ValueError(f"threshold must be > 0; got {threshold}")
+        if not (0.0 <= leak < 1.0):
+            raise ValueError(f"leak must be in [0, 1); got {leak}")
+        self.threshold = float(threshold)
+        self.leak = float(leak)
+        self.block = int(block)
+
+    def initial_state(self, batch_shape: tuple = ()) -> SquelchState:
+        return SquelchState(jnp.zeros(batch_shape, jnp.float32), 0)
+
+    def gates(self, re, im, state: SquelchState):
+        re = jnp.asarray(re, jnp.float32)
+        im = jnp.asarray(im, jnp.float32)
+        t = re.shape[-1]
+        if t % self.block:
+            raise ValueError(
+                f"chunk length {t} not a multiple of block={self.block}")
+        if tuple(state.power.shape) != tuple(re.shape[:-1]):
+            raise ValueError(
+                f"state shape {tuple(state.power.shape)} != {tuple(re.shape[:-1])}")
+        gate, p_final = _squelch_forward(
+            re, im, state.power, lam=self.leak, thresh=self.threshold,
+            block=self.block)
+        per_sample = jnp.repeat(gate, self.block, axis=-1)
+        return per_sample, SquelchState(p_final, state.offset + t)
+
+
 # ------------------------------------------------------------ demodulators
 
 

@@ -43,6 +43,8 @@ from tpu_sdr.kernels.demod import (
     DemodState,
     FMDemodulator,
     SSBDemodulator,
+    Squelch,
+    SquelchState,
 )
 from tpu_sdr.kernels.resample import Resampler, ResamplerState
 
@@ -62,17 +64,21 @@ class ReceiverState:
     """Aggregate carried state of the receiver chain."""
 
     def __init__(self, ddc: DDCState, demod: DemodState,
-                 agc: AGCState | None, resamp: ResamplerState):
+                 agc: AGCState | None, resamp: ResamplerState,
+                 squelch: SquelchState | None = None):
         self.ddc = ddc
         self.demod = demod
         self.agc = agc
         self.resamp = resamp
+        self.squelch = squelch
 
     def to_numpy(self) -> dict:
         d = {"ddc": self.ddc.to_numpy(), "demod": self.demod.to_numpy(),
              "resamp": self.resamp.to_numpy()}
         if self.agc is not None:
             d["agc"] = self.agc.to_numpy()
+        if self.squelch is not None:
+            d["squelch"] = self.squelch.to_numpy()
         return d
 
     @classmethod
@@ -82,6 +88,7 @@ class ReceiverState:
             DemodState.from_numpy(d["demod"]),
             AGCState.from_numpy(d["agc"]) if "agc" in d else None,
             ResamplerState.from_numpy(d["resamp"]),
+            SquelchState.from_numpy(d["squelch"]) if "squelch" in d else None,
         )
 
 
@@ -96,7 +103,8 @@ class Receiver:
     def __init__(self, fs: float = 1_000_000.0, center_hz: float = 100_000.0,
                  mode: str = "wbfm", audio_rate: float = 48_000.0,
                  agc_mu: float = 2e-3, taps_per_phase: int = 12,
-                 max_resample_den: int = 512):
+                 max_resample_den: int = 512,
+                 squelch_db: float | None = None):
         if mode not in MODES:
             raise ValueError(f"mode must be one of {MODES}; got {mode!r}")
         self.fs = float(fs)
@@ -134,9 +142,15 @@ class Receiver:
                 f"audio_rate {audio_rate} not reachable from {self.baseband_rate}")
         self.resampler = Resampler(up=frac.numerator, down=frac.denominator)
         self.realized_audio_rate = self.baseband_rate * frac
+        # Carrier-power squelch on the baseband (mean|z|^2 in dB), gated
+        # AFTER the AGC so a closed gate cannot wind the gain loop up.
+        self.squelch = (None if squelch_db is None
+                        else Squelch(10.0 ** (squelch_db / 10.0)))
         block = getattr(self.demod, "block", 1)
         if self.agc is not None:
             block = math.lcm(block, self.agc.block)
+        if self.squelch is not None:
+            block = math.lcm(block, self.squelch.block)
         self.chunk_granularity = self.decimation * math.lcm(
             block, self.resampler.down)
 
@@ -155,6 +169,7 @@ class Receiver:
             self.demod.initial_state(b),
             None if self.agc is None else self.agc.initial_state(b),
             self.resampler.initial_state(b),
+            None if self.squelch is None else self.squelch.initial_state(b),
         )
 
     def _run(self, bb, state: ReceiverState, ddc_state: DDCState):
@@ -162,8 +177,13 @@ class Receiver:
         agc_state = state.agc
         if self.agc is not None:
             audio, agc_state = self.agc.process_real(audio, state.agc)
+        sq_state = state.squelch
+        if self.squelch is not None:
+            gate, sq_state = self.squelch.gates(
+                bb["re"], bb["im"], state.squelch)
+            audio = audio * gate
         audio, rs = self.resampler.process(audio, state.resamp)
-        return audio, ReceiverState(ddc_state, dm, agc_state, rs)
+        return audio, ReceiverState(ddc_state, dm, agc_state, rs, sq_state)
 
     def _check(self, t: int):
         if t % self.chunk_granularity:
@@ -244,6 +264,7 @@ class ReceiverBank:
             rx.demod.initial_state(b),
             None if rx.agc is None else rx.agc.initial_state(b),
             rx.resampler.initial_state(b),
+            None if rx.squelch is None else rx.squelch.initial_state(b),
         )
 
     def process(self, x, state: ReceiverState):

@@ -9,6 +9,7 @@ from tpu_sdr.shard.demod import (  # noqa: F401
     ShardedAGC,
     ShardedAMDemodulator,
     ShardedFMDemodulator,
+    ShardedSquelch,
     ShardedSSBDemodulator,
 )
 from tpu_sdr.shard.resample import ShardedResampler  # noqa: F401

@@ -36,6 +36,8 @@ from tpu_sdr.kernels.demod import (
     DemodState,
     FMDemodulator,
     SSBDemodulator,
+    Squelch,
+    SquelchState,
     _agc_solve,
     _chain_blocks,
     _fm_disc_raw,
@@ -287,3 +289,51 @@ class ShardedAGC(_ShardedDemodBase):
         re, im = self._place(re, im)
         yre, yim, g_final = self._jitted_planes(re, im, state.gain)
         return yre, yim, AGCState(g_final, state.offset + re.shape[-1])
+
+class ShardedSquelch(_ShardedDemodBase):
+    """``Squelch`` over the mesh: per-block power moments gathered once
+    (2 floats per 128 samples), the EMA chain replayed replicated —
+    gates bitwise == single device."""
+
+    def __init__(self, sq: Squelch, mesh: jax.sharding.Mesh):
+        super().__init__(sq, mesh)
+        sq_ = sq
+        ts = mesh.shape["time"]
+
+        def body(re, im, p0):
+            lead = re.shape[:-1]
+            L = sq_.block
+            G = re.shape[-1] // L
+            rb = re.reshape(*lead, G, L)
+            ib = im.reshape(*lead, G, L)
+            pw = jnp.sum(rb * rb + ib * ib, axis=-1) * jnp.float32(1.0 / L)
+            b = jnp.float32(1.0 - sq_.leak) * pw
+            if ts > 1:
+                b_all = jnp.moveaxis(jax.lax.all_gather(b, "time"), 0, -2)
+                b_all = b_all.reshape(*lead, -1)
+            else:
+                b_all = b
+            a_all = jnp.full(b_all.shape, jnp.float32(sq_.leak))
+            p_final, p_prev_all = _chain_blocks(a_all, b_all, p0, len(lead))
+            if ts > 1:
+                idx = jax.lax.axis_index("time")
+                p_prev = jax.lax.dynamic_slice_in_dim(
+                    p_prev_all, idx * G, G, axis=-1)
+            else:
+                p_prev = p_prev_all
+            gate = (p_prev > jnp.float32(sq_.threshold)).astype(jnp.float32)
+            return jnp.repeat(gate, L, axis=-1), p_final
+
+        self._jitted = jax.jit(jax.shard_map(
+            body, mesh=mesh,
+            in_specs=(P("channel", "time"), P("channel", "time"),
+                      P("channel")),
+            out_specs=(P("channel", "time"), P("channel")),
+            check_vma=False,
+        ))
+
+    def gates(self, re, im, state: SquelchState):
+        self._check(re, state)
+        re, im = self._place(re, im)
+        gate, p_final = self._jitted(re, im, state.power)
+        return gate, SquelchState(p_final, state.offset + re.shape[-1])

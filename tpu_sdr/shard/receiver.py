@@ -20,6 +20,7 @@ from tpu_sdr.shard.demod import (
     ShardedAGC,
     ShardedAMDemodulator,
     ShardedFMDemodulator,
+    ShardedSquelch,
     ShardedSSBDemodulator,
 )
 from tpu_sdr.shard.resample import ShardedResampler
@@ -44,6 +45,8 @@ class ShardedReceiver:
         else:  # pragma: no cover - future demod kinds
             raise TypeError(f"unsupported demod {type(rx.demod).__name__}")
         self.agc = None if rx.agc is None else ShardedAGC(rx.agc, mesh)
+        self.squelch = (None if rx.squelch is None
+                        else ShardedSquelch(rx.squelch, mesh))
         self.resampler = ShardedResampler(rx.resampler, mesh)
         self.chunk_granularity = mesh.shape["time"] * rx.chunk_granularity
 
@@ -62,8 +65,13 @@ class ShardedReceiver:
         agc_state = state.agc
         if self.agc is not None:
             audio, agc_state = self.agc.process_real(audio, state.agc)
+        sq_state = state.squelch
+        if self.squelch is not None:
+            gate, sq_state = self.squelch.gates(
+                bb["re"], bb["im"], state.squelch)
+            audio = audio * gate
         audio, rs = self.resampler.process(audio, state.resamp)
-        return audio, ReceiverState(ddc_state, dm, agc_state, rs)
+        return audio, ReceiverState(ddc_state, dm, agc_state, rs, sq_state)
 
     def _check(self, t: int):
         if t % self.chunk_granularity:
