@@ -289,6 +289,52 @@ class TestCli:
         assert main(["selftest"]) == 0
         assert "selftest: PASS" in capsys.readouterr().out
 
+    def test_scan_demo_finds_emitters(self, capsys):
+        from tpu_sdr.__main__ import main
+
+        assert main(["scan", "--seconds", "0.13"]) == 0
+        out = capsys.readouterr().out
+        assert "87.5 kHz" in out and "212.5 kHz" in out
+
+    def test_rx_demo_writes_wav(self, tmp_path, capsys):
+        import wave
+
+        from tpu_sdr.__main__ import main
+
+        out = str(tmp_path / "a.wav")
+        assert main(["rx", "--center", "150e3", "--seconds", "0.3",
+                     "--audio-rate", "16e3", "--output", out]) == 0
+        with wave.open(out) as w:
+            assert w.getframerate() == 16000
+            assert w.getnframes() > 1000
+
+    def test_rx_from_capture_roundtrip(self, tmp_path, capsys):
+        """SampleRecorder capture -> `tpu-sdr rx --input` -> WAV."""
+        import wave
+
+        from tpu_sdr.__main__ import main
+        from tpu_sdr.runtime.recorder import SampleRecorder
+
+        fs = 1_000_000.0
+        n = np.arange(96_000)
+        msg = np.sin(2 * np.pi * 700.0 * n / fs)
+        ph = 2 * np.pi * 150e3 * n / fs + 2 * np.pi * 75e3 / fs * np.cumsum(msg)
+        x = (0.5 * np.cos(ph)).astype(np.float32)
+        cap = str(tmp_path / "cap.npy")
+        rec = SampleRecorder(cap, fs=fs)
+        rec.append(x[None, :])
+        rec.close()
+        out = str(tmp_path / "b.wav")
+        assert main(["rx", "--input", cap, "--center", "150e3",
+                     "--audio-rate", "16e3", "--output", out]) == 0
+        with wave.open(out) as w:
+            rate = w.getframerate()
+            pcm = np.frombuffer(w.readframes(w.getnframes()), "<i2")
+        a = pcm.astype(np.float64)[rate // 100:]
+        spec = np.abs(np.fft.rfft(a * np.hanning(a.size)))
+        f_peak = np.argmax(spec) * rate / a.size
+        assert f_peak == pytest.approx(700.0, abs=3 * rate / a.size)
+
     def test_bench_small(self, capsys):
         import json as _json
 

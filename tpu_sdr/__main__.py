@@ -9,6 +9,8 @@ host-side chores (design a filter, sanity-check the link,
     tpu-sdr design butterworth lowpass 12 --cutoff 300e3
     tpu-sdr selftest                               end-to-end health check
     tpu-sdr bench [--frames 64] [--reps 3]         quick throughput probe
+    tpu-sdr scan [--input cap.npy] [--bw 25e3]     band-occupancy sweep
+    tpu-sdr rx --center 150e3 --mode wbfm          demodulate to WAV
 
 JAX (and therefore any device claim) is imported lazily inside each
 command, so ``--help`` and ``design`` never touch an accelerator.
@@ -222,6 +224,94 @@ def _cmd_bench(args) -> int:
     return 0
 
 
+def _load_or_synth(args, fs: float, kind: str):
+    """CLI input: a capture (.npy, FileSource semantics incl. sidecar fs)
+    or a synthetic demo signal matched to the command."""
+    import numpy as np
+
+    if args.input:
+        from tpu_sdr.runtime.source import FileSource
+
+        src = FileSource(args.input, fs=fs)
+        data = src.data[0]  # channel 0
+        return np.asarray(data), src.fs
+    rng = np.random.default_rng(0)
+    n = np.arange(int(args.seconds * fs))
+    x = 2e-4 * rng.standard_normal(n.size)
+    if kind == "scan":
+        # Narrowband emitters of very different strengths on the 25 kHz
+        # grid — a scanner's natural prey.
+        for fc, a in ((87.5e3, 0.5), (212.5e3, 0.1), (337.5e3, 0.02)):
+            x = x + a * np.cos(2 * np.pi * fc * n / fs)
+        msg = np.sin(2 * np.pi * 300.0 * n / fs)
+        x = x + 0.05 * np.cos(
+            2 * np.pi * 437.5e3 * n / fs + 2 * np.pi * 2.5e3 / fs * np.cumsum(msg))
+    else:  # rx: two WBFM stations + one AM carrier
+        for fc, fa in ((150e3, 440.0), (380e3, 880.0)):
+            msg = np.sin(2 * np.pi * fa * n / fs)
+            x = x + 0.4 * np.cos(
+                2 * np.pi * fc * n / fs
+                + 2 * np.pi * 75e3 / fs * np.cumsum(msg))
+        am = 1.0 + 0.5 * np.sin(2 * np.pi * 600.0 * n / fs)
+        x = x + 0.2 * am * np.cos(2 * np.pi * 260e3 * n / fs)
+    return x.astype(np.float32), fs
+
+
+def _cmd_scan(args) -> int:
+    from tpu_sdr.runtime.scanner import SpectrumScanner
+
+    x, fs = _load_or_synth(args, args.fs, "scan")
+    sc = SpectrumScanner(
+        fs, args.start, args.stop, channel_bw=args.bw,
+        threshold_db=args.threshold)
+    import numpy as np
+
+    res = (sc.scan_planes(np.stack([x.real, x.imag]).astype(np.float32))
+           if np.iscomplexobj(x) else sc.scan(x.astype(np.float32)))
+    print(f"{sc.n_channels} channels of {sc.channel_bw/1e3:g} kHz, "
+          f"noise floor {res.noise_floor_db:.1f} dB")
+    for h in res.hits:
+        print(f"  {h['center_hz']/1e3:9.1f} kHz  {h['power_db']:7.1f} dB  "
+              f"snr {h['snr_db']:5.1f} dB")
+    if not res.hits:
+        print("  (no channels above threshold)")
+    return 0
+
+
+def _cmd_rx(args) -> int:
+    import numpy as np
+
+    from tpu_sdr.runtime.receiver import Receiver, write_wav
+
+    x, fs = _load_or_synth(args, args.fs, "rx")
+    rx = Receiver(fs=fs, center_hz=args.center, mode=args.mode,
+                  audio_rate=args.audio_rate, squelch_db=args.squelch_db)
+    g = rx.chunk_granularity
+    t = (x.shape[-1] // g) * g
+    if not t:
+        print(f"need at least {g} samples; got {x.shape[-1]}",
+              file=sys.stderr)
+        return 1
+    st = rx.initial_state()
+    audio = []
+    iq = np.iscomplexobj(x)
+    for i in range(0, t, g):
+        seg = x[i : i + g]
+        if iq:
+            planes = np.stack([seg.real, seg.imag]).astype(np.float32)
+            a, st = rx.process_planes(planes, st)
+        else:
+            a, st = rx.process(seg.astype(np.float32), st)
+        audio.append(np.asarray(a))
+    audio = np.concatenate(audio)
+    rate = float(rx.realized_audio_rate)
+    path = write_wav(args.output, audio, rate)
+    print(f"{args.mode} at {args.center/1e3:g} kHz -> {path} "
+          f"({audio.size} samples @ {rate:.0f} Hz, "
+          f"{audio.size / rate:.2f} s)")
+    return 0
+
+
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(
         prog="tpu-sdr", description="TPU-native real-time FFT spectrum analyzer"
@@ -255,6 +345,32 @@ def build_parser() -> argparse.ArgumentParser:
 
     s = sub.add_parser("selftest", help="end-to-end health check")
     s.set_defaults(fn=_cmd_selftest)
+
+    sc = sub.add_parser("scan", help="band-occupancy scan (DDC bank sweep)")
+    sc.add_argument("--input", help=".npy capture (real or IQ); default: demo signal")
+    sc.add_argument("--fs", type=float, default=1e6)
+    sc.add_argument("--seconds", type=float, default=0.25,
+                    help="demo-signal length when no --input")
+    sc.add_argument("--start", type=float, default=0.0)
+    sc.add_argument("--stop", type=float, default=500e3)
+    sc.add_argument("--bw", type=float, default=25e3, help="channel bandwidth Hz")
+    sc.add_argument("--threshold", type=float, default=10.0,
+                    help="dB over the median noise floor")
+    sc.set_defaults(fn=_cmd_scan)
+
+    r = sub.add_parser("rx", help="demodulate a station to a WAV file")
+    r.add_argument("--input", help=".npy capture (real or IQ); default: demo signal")
+    r.add_argument("--fs", type=float, default=1e6)
+    r.add_argument("--seconds", type=float, default=1.0,
+                   help="demo-signal length when no --input")
+    r.add_argument("--center", type=float, default=150e3, help="carrier Hz")
+    r.add_argument("--mode", default="wbfm",
+                   choices=["wbfm", "nbfm", "am", "usb", "lsb"])
+    r.add_argument("--audio-rate", type=float, default=48e3)
+    r.add_argument("--squelch-db", type=float, default=None,
+                   help="carrier-power squelch threshold (dB, mean|z|^2)")
+    r.add_argument("--output", default="rx_audio.wav")
+    r.set_defaults(fn=_cmd_rx)
 
     b = sub.add_parser("bench", help="quick throughput probe (slope-timed)")
     b.add_argument("--channels", type=int, default=8)
