@@ -135,3 +135,55 @@ def test_realized_center_alias():
     assert DDC(fs=fs, center_hz=700e3, decimation=4).realized_center_hz == (
         pytest.approx(-300e3, abs=fs / 2**33)
     )
+
+
+class TestFrequencyOffset:
+    def test_exact_for_noiseless_tone(self):
+        from tpu_sdr.runtime.measure import frequency_offset
+
+        fs = 50_000.0
+        n = np.arange(4096)
+        for f in (1234.5, -777.25, 0.0):
+            z = np.exp(2j * np.pi * f * n / fs)
+            got = frequency_offset(z.real, z.imag, fs)
+            assert got == pytest.approx(f, abs=1e-6)
+
+    def test_unbiased_in_noise(self, rng):
+        from tpu_sdr.runtime.measure import frequency_offset
+
+        fs = 50_000.0
+        n = np.arange(65536)
+        z = np.exp(2j * np.pi * 2000.0 * n / fs) + 0.1 * (
+            rng.standard_normal(n.size) + 1j * rng.standard_normal(n.size)
+        )
+        got = frequency_offset(z.real, z.imag, fs)
+        assert got == pytest.approx(2000.0, abs=2.0)
+
+    def test_afc_closes_the_loop(self):
+        """DDC mistuned by 300 Hz; the estimator recovers the error and a
+        retune lands the carrier at DC."""
+        from tpu_sdr.kernels.ddc import DDC
+        from tpu_sdr.runtime.measure import frequency_offset
+
+        fs = 1_000_000.0
+        truth = 123_300.0
+        n = np.arange(262144)
+        x = np.cos(2 * np.pi * truth * n / fs).astype(np.float32)
+        ddc = DDC(fs=fs, center_hz=123_000.0, decimation=16)
+        bb, _ = ddc.process(x, ddc.initial_state())
+        err = frequency_offset(
+            np.asarray(bb["re"])[200:], np.asarray(bb["im"])[200:],
+            ddc.output_rate)
+        assert err == pytest.approx(300.0, abs=1.0)
+        ddc.retune(ddc.center_hz + err)
+        bb2, _ = ddc.process(x, ddc.initial_state())
+        resid = frequency_offset(
+            np.asarray(bb2["re"])[200:], np.asarray(bb2["im"])[200:],
+            ddc.output_rate)
+        assert abs(resid) < 1.0
+
+    def test_validation(self):
+        from tpu_sdr.runtime.measure import frequency_offset
+
+        with pytest.raises(ValueError, match="2 samples"):
+            frequency_offset(np.zeros(1), np.zeros(1), 1e3)

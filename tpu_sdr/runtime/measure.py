@@ -144,3 +144,20 @@ def peak_search(
         if len(out) == k:
             break
     return out
+
+
+def frequency_offset(re, im, fs: float) -> float:
+    """Carrier-frequency offset of a complex baseband (..., T) -> Hz.
+
+    The single-lag (Kay / Luise-Reggiannini L=1) phase-increment
+    estimator: fhat = fs/(2*pi) * angle(sum_n z[n]*conj(z[n-1])) —
+    exact for a noiseless tone, unbiased for tones in AWGN, range
+    +/- fs/2. Feed it a DDC/Receiver baseband and ``retune(center +
+    fhat)`` closes the AFC loop. Host-side NumPy (a measurement, not a
+    hot kernel), averaged over any leading batch dims.
+    """
+    z = np.asarray(re, np.float64) + 1j * np.asarray(im, np.float64)
+    if z.shape[-1] < 2:
+        raise ValueError("need at least 2 samples")
+    acc = np.sum(z[..., 1:] * np.conj(z[..., :-1]))
+    return float(np.angle(acc) * fs / (2.0 * np.pi))
