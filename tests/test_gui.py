@@ -315,6 +315,23 @@ def test_audio_demod_endpoints(server, tmp_path, monkeypatch):
         _post(srv, "start_receiver")
 
 
+def test_scan_endpoint(server):
+    """POST /api/scan sweeps the raw-sample ring and reports occupancy
+    (the demo source's tones land in their channels)."""
+    srv, backend = server
+    deadline = time.time() + 10
+    while backend._scan_ring.size < 100_000 and time.time() < deadline:
+        time.sleep(0.2)  # the acquisition loop fills the ring
+    assert backend._scan_ring.size >= 100_000
+    r = _post(srv, "scan", {"start_khz": 0, "stop_khz": 500, "bw_khz": 25})
+    assert r["ok"] and r["n_channels"] == 20
+    hits_khz = [h["center_khz"] for h in r["hits"]]
+    # the GUI fixture's synthetic source carries a 100 kHz tone (channel
+    # edge: it may land in either adjacent channel)
+    assert any(abs(c - 100.0) <= 13 for c in hits_khz), hits_khz
+    assert len(r["power_db"]) == 20
+
+
 def test_trace_overlays(server):
     """Peak-hold / average detector traces ride frame_data when enabled."""
     srv, backend = server

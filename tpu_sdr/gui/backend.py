@@ -95,6 +95,10 @@ class GuiBackend:
             "max_seconds": 30.0,
         }
         self._audio_rt = None
+        # Raw-sample ring for on-demand band scans (POST /api/scan): the
+        # acquisition loop keeps the last ~0.5 s of channel-0 samples.
+        self._scan_ring = np.zeros(0, np.float32)
+        self._scan_ring_len = 0  # set from cfg on first append
         # Zoom mode: PFB-channelize the raw stream and run a small spectrum
         # pipeline on ONE subchannel (the zoom-FFT workflow, demo_zoom.py).
         # m/taps/fft_size are fixed per session; channel is live-switchable.
@@ -227,6 +231,14 @@ class GuiBackend:
                         f"zoom disabled after error: {type(e).__name__}: {e}",
                         ok=False,
                     )
+            # scan ring: keep the newest ~0.5 s of raw channel-0 samples
+            xr = x[0] if getattr(x, "ndim", 1) > 1 else x
+            if self._scan_ring.dtype != xr.dtype:
+                self._scan_ring = np.zeros(0, xr.dtype)  # real<->IQ flip
+            if not self._scan_ring_len:
+                self._scan_ring_len = int(0.5 * self.sa.cfg.sample_rate)
+            self._scan_ring = np.concatenate(
+                [self._scan_ring, np.asarray(xr)])[-self._scan_ring_len:]
             # audio demod taps every raw chunk too (carried receiver state)
             if self.audio_cfg["enabled"]:
                 try:
@@ -591,6 +603,51 @@ class GuiBackend:
                 "peak_mag": float(view[peak]),
             },
         )
+
+    # ---------------- on-demand band scan ---------------------------------
+
+    def scan_band(self, cfg: dict) -> dict:
+        """Run a SpectrumScanner sweep over the raw-sample ring:
+        {'start_khz', 'stop_khz', 'bw_khz', 'threshold_db'}. Returns the
+        hits (strongest first) + the full per-channel table."""
+        from tpu_sdr.runtime.scanner import SpectrumScanner
+
+        ring = self._scan_ring  # snapshot: the acquisition thread swaps it
+        fs = self.sa.cfg.sample_rate
+        if ring.size < int(0.05 * fs):
+            raise ValueError(
+                "scan ring has too few samples; start the receiver and retry")
+        iq = bool(np.iscomplexobj(ring))
+        lo = float(cfg.get("start_khz", -fs / 2e3 if iq else 0.0)) * 1e3
+        hi = float(cfg.get("stop_khz", fs / 2e3 if iq else fs / 2e3)) * 1e3
+        bw = float(cfg.get("bw_khz", 25.0)) * 1e3
+        thr = float(cfg.get("threshold_db", 10.0))
+        sc = SpectrumScanner(fs, lo, hi, channel_bw=bw, threshold_db=thr)
+        if iq:
+            planes = np.stack([ring.real, ring.imag]).astype(np.float32)
+            res = sc.scan_planes(planes)
+        else:
+            res = sc.scan(ring.astype(np.float32))
+        self.status(
+            f"scan: {len(res.hits)} of {sc.n_channels} channels occupied "
+            f"(floor {res.noise_floor_db:.1f} dB)")
+        return {
+            "ok": True,
+            "n_channels": sc.n_channels,
+            "channel_bw_khz": bw / 1e3,
+            "noise_floor_db": round(res.noise_floor_db, 1),
+            "centers_khz": np.round(res.centers_hz / 1e3, 1).tolist(),
+            "power_db": np.round(res.power_db, 1).tolist(),
+            "occupied": res.occupied.tolist(),
+            "hits": [
+                {
+                    "center_khz": round(h["center_hz"] / 1e3, 1),
+                    "power_db": round(h["power_db"], 1),
+                    "snr_db": round(h["snr_db"], 1),
+                }
+                for h in res.hits
+            ],
+        }
 
     # ---------------- live audio demod (the 'listen' feature) -------------
 
