@@ -315,6 +315,32 @@ def test_audio_demod_endpoints(server, tmp_path, monkeypatch):
         _post(srv, "start_receiver")
 
 
+def test_iq_correction_path():
+    """update_config {'iq_correction': true} runs the blind corrector
+    over complex chunks in the acquisition path (carried state)."""
+    from tpu_sdr.kernels.iqcorr import apply_imbalance
+
+    b = GuiBackend(source=None)
+    b.update_config({"iq_correction": True})
+    assert b.iq_correction and b.get_state()["iq_correction"]
+    fs = 1e6
+    n = np.arange(65536)
+    z = np.exp(2j * np.pi * 150e3 * n / fs)
+    zi = apply_imbalance(z, gain_db=1.0, phase_deg=5.0).astype(np.complex64)
+
+    def image_db(w):
+        m = w.size
+        spec = np.abs(np.fft.fft(w * np.hanning(m))) ** 2
+        k = int(round(150e3 / fs * m))
+        return 10 * np.log10(spec[m - k] / spec[k])
+
+    w1 = b._iq_correct(zi)  # converging
+    w2 = b._iq_correct(zi)  # converged
+    assert image_db(np.asarray(w2, np.complex128)) < image_db(zi) - 20
+    b.update_config({"iq_correction": False})
+    assert b._iqcorr_rt is None
+
+
 def test_scan_endpoint(server):
     """POST /api/scan sweeps the raw-sample ring and reports occupancy
     (the demo source's tones land in their channels)."""

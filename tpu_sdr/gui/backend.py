@@ -99,6 +99,10 @@ class GuiBackend:
         # acquisition loop keeps the last ~0.5 s of channel-0 samples.
         self._scan_ring = np.zeros(0, np.float32)
         self._scan_ring_len = 0  # set from cfg on first append
+        # Blind IQ imbalance correction on complex sources
+        # (update_config {"iq_correction": true}); no-op for real input.
+        self.iq_correction = False
+        self._iqcorr_rt = None  # (IQCorrector, state)
         # Zoom mode: PFB-channelize the raw stream and run a small spectrum
         # pipeline on ONE subchannel (the zoom-FFT workflow, demo_zoom.py).
         # m/taps/fft_size are fixed per session; channel is live-switchable.
@@ -183,6 +187,15 @@ class GuiBackend:
         while not self._stop.is_set():
             x = self.source.read(chunk, pace=self.pace)
             self._iq = bool(np.iscomplexobj(x))
+            if self.iq_correction and self._iq:
+                try:
+                    x = self._iq_correct(x)
+                except Exception as e:  # never kill acquisition
+                    self.iq_correction = False
+                    self._iqcorr_rt = None
+                    self.status(
+                        f"iq correction disabled after error: "
+                        f"{type(e).__name__}: {e}", ok=False)
             rec = self._recorder  # snapshot: HTTP thread swaps it
             if rec is not None:
                 try:
@@ -604,6 +617,31 @@ class GuiBackend:
             },
         )
 
+    def _iq_correct(self, x: np.ndarray) -> np.ndarray:
+        """Run the blind image-rejection corrector over a complex chunk
+        (carried state; lazily built for the chunk's batch shape)."""
+        from tpu_sdr.kernels.iqcorr import IQCorrector
+
+        xn = np.asarray(x)
+        batch = xn.shape[:-1]
+        if self._iqcorr_rt is None or (
+            tuple(np.shape(self._iqcorr_rt[1].power)) != batch
+        ):
+            corr = IQCorrector()
+            self._iqcorr_rt = (corr, corr.initial_state(batch))
+        corr, st = self._iqcorr_rt
+        t = xn.shape[-1] - xn.shape[-1] % corr.block
+        if not t:
+            return x
+        wre, wim, st = corr.process(
+            xn.real[..., :t].astype(np.float32),
+            xn.imag[..., :t].astype(np.float32), st)
+        self._iqcorr_rt = (corr, st)
+        out = np.asarray(wre) + 1j * np.asarray(wim)
+        if t < xn.shape[-1]:  # pass the sub-block tail through uncorrected
+            out = np.concatenate([out, xn[..., t:]], axis=-1)
+        return out.astype(np.complex64)
+
     # ---------------- on-demand band scan ---------------------------------
 
     def scan_band(self, cfg: dict) -> dict:
@@ -975,6 +1013,7 @@ class GuiBackend:
             "traces_enabled",
             "trace_alpha",
             "detector",
+            "iq_correction",
         }
         unknown = sorted(set(cfg) - known)
         # Parse everything BEFORE mutating anything: a malformed field must
@@ -1004,10 +1043,14 @@ class GuiBackend:
                 raise ValueError(
                     f"detector must be one of {DETECTORS}; got {det!r}")
             updates["detector"] = det
+        if "iq_correction" in cfg:
+            updates["iq_correction"] = bool(cfg["iq_correction"])
         for k, v in updates.items():
             setattr(self, k, v)
         if updates.get("traces_enabled") is False:
             self._trace_sig = self._trace_peak = self._trace_avg = None
+        if updates.get("iq_correction") is False:
+            self._iqcorr_rt = None  # re-converge fresh on re-enable
         if unknown:
             self.status(f"ignored unknown config fields: {unknown}", ok=False)
         else:
@@ -1037,6 +1080,7 @@ class GuiBackend:
             "filter_config": self.filter_config,
             "display_mode": self.display_mode,
             "detector": self.detector,
+            "iq_correction": self.iq_correction,
             "zoom": dict(self.zoom_cfg),
             "trigger": {**self.trigger_cfg, "armed": self._trigger_armed},
             "recording": (

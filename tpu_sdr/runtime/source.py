@@ -125,14 +125,17 @@ class FileSource:
 
 
 class CallbackSource:
-    """Wrap any ``f(n_samples) -> (channels, n) float32`` callable."""
+    """Wrap any ``f(n_samples) -> (channels, n)`` callable — real
+    (float32) or complex/IQ (complex64) output, like the other sources."""
 
     def __init__(self, fn: Callable[[int], np.ndarray], fs: float = 1_000_000.0):
         self.fn = fn
         self.fs = fs
 
     def read(self, n_samples: int, pace: bool = False) -> np.ndarray:
-        out = np.asarray(self.fn(n_samples), np.float32)
+        raw = np.asarray(self.fn(n_samples))
+        out = np.asarray(
+            raw, np.complex64 if np.iscomplexobj(raw) else np.float32)
         if pace:
             time.sleep(n_samples / self.fs)
         return out
