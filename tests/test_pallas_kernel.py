@@ -62,3 +62,56 @@ def test_high3_precision_close_to_highest(setup):
     assert rel < 1e-4, f"high3 drifted from exact f32: {rel}"
     snr = 10 * np.log10((hi**2).sum() / ((hi - h3) ** 2).sum())
     assert snr > 90.0, f"high3 SNR too low: {snr:.1f} dB"
+
+
+class TestFMDemodPallas:
+    """Fused FM demod kernel (kernels/pallas/affine_scan.py), interpret
+    mode. Interpret routes through XLA, whose cross-shape constant folds
+    shift results ~1 ULP — so parity here is tolerance-based; exact
+    bitwise behavior is checked compiled-on-chip in test_tpu_compiled."""
+
+    def _data(self, c=4, tiles=2, seed=0):
+        rng = np.random.default_rng(seed)
+        t = tiles * 64 * 128
+        re = jnp.asarray(rng.standard_normal((c, t)), jnp.float32)
+        im = jnp.asarray(rng.standard_normal((c, t)), jnp.float32)
+        pr = jnp.zeros((c, 1), jnp.float32)
+        y0 = jnp.zeros((c,), jnp.float32)
+        return re, im, pr, y0
+
+    @pytest.mark.parametrize("pole", [None, 0.9997])
+    def test_matches_xla_forward(self, pole):
+        from tpu_sdr.kernels.demod import _fm_forward
+        from tpu_sdr.kernels.pallas.affine_scan import fm_demod_pallas
+
+        re, im, pr, y0 = self._data()
+        kw = dict(fs=2e5, dev=75e3, pole=pole)
+        a_ref, _, _, f_ref = _fm_forward(re, im, pr, pr, y0, block=128, **kw)
+        a_pal, _, _, f_pal = fm_demod_pallas(
+            re, im, pr, pr, y0, interpret=True, **kw)
+        np.testing.assert_allclose(
+            np.asarray(a_pal), np.asarray(a_ref), atol=1e-6)
+        np.testing.assert_allclose(
+            np.asarray(f_pal), np.asarray(f_ref), atol=1e-6)
+
+    def test_carried_state_chunking(self):
+        from tpu_sdr.kernels.pallas.affine_scan import fm_demod_pallas
+
+        re, im, pr, y0 = self._data(tiles=4)
+        kw = dict(fs=2e5, dev=75e3, pole=0.9997, interpret=True)
+        full, *_ = fm_demod_pallas(re, im, pr, pr, y0, **kw)
+        h = re.shape[-1] // 2
+        a1, r1, i1, f1 = fm_demod_pallas(re[:, :h], im[:, :h], pr, pr, y0, **kw)
+        a2, *_ = fm_demod_pallas(re[:, h:], im[:, h:], r1, i1, f1, **kw)
+        got = np.concatenate([np.asarray(a1), np.asarray(a2)], axis=1)
+        # same per-chunk shapes -> identical graphs -> bitwise; vs the
+        # one-shot graph only tolerance holds under interpret (XLA folds)
+        np.testing.assert_allclose(got, np.asarray(full), atol=1e-6)
+
+    def test_validation(self):
+        from tpu_sdr.kernels.pallas.affine_scan import fm_demod_pallas
+
+        re, im, pr, y0 = self._data(c=2, tiles=1)
+        with pytest.raises(ValueError, match="tile width"):
+            fm_demod_pallas(re[:, :100], im[:, :100], pr, pr, y0,
+                            fs=2e5, dev=75e3, pole=None, interpret=True)
