@@ -120,3 +120,43 @@ def test_design_fir_dc_gain():
     h = design_resample_fir(3, 2)
     assert h.sum() == pytest.approx(3.0)  # gain L preserves amplitude
     assert design_resample_fir(1, 1).tolist() == [1.0]
+
+
+def test_property_sweep_random_designs(rng):
+    """Random (L, M, taps, window, chunking) vs the upfirdn f64 oracle —
+    the same sweep discipline as the PFB/DDC property tests."""
+    windows = ["hamming", "hann", ("kaiser", 6.0), "blackman"]
+    for trial in range(10):
+        up = int(rng.choice([1, 2, 3, 4, 5, 7, 8]))
+        down = int(rng.choice([1, 2, 3, 4, 5, 6, 7]))
+        if up == down:
+            down = down + 1
+        tpp = int(rng.choice([4, 6, 8, 12]))
+        win = windows[int(rng.integers(len(windows)))]
+        rs = Resampler(up=up, down=down, taps_per_phase=tpp, window=win)
+        t = int(rng.integers(20, 60)) * rs.down
+        x = rng.standard_normal(t).astype(np.float32)
+        out, _ = rs.process(x, rs.initial_state())
+        ref = _golden(rs.fir, x, rs.up, rs.down, out.shape[-1])
+        np.testing.assert_allclose(
+            np.asarray(out, np.float64), ref, atol=3e-5,
+            err_msg=f"trial {trial}: L={rs.up} M={rs.down} tpp={tpp} {win}")
+        # random chunking (multiples of M) stays bitwise
+        n_chunks = int(rng.choice([2, 4]))
+        step = t // n_chunks
+        step -= step % rs.down
+        if step:
+            st = rs.initial_state()
+            outs = []
+            pos = 0
+            while pos < t:
+                take = min(step, t - pos)
+                take -= take % rs.down
+                if not take:
+                    break
+                o, st = rs.process(x[pos : pos + take], st)
+                outs.append(np.asarray(o))
+                pos += take
+            got = np.concatenate(outs)
+            np.testing.assert_array_equal(
+                got, np.asarray(out)[: got.shape[-1]])
