@@ -1,0 +1,649 @@
+"""Digital burst modem: PSK/QAM/FSK with feedforward synchronization.
+
+Capability extension — the reference is a pure spectrum display (its only
+output is |FFT| magnitudes, `scripts/fft_analyzer_gui.py:250-260`); it
+never recovers symbols or bits. This module completes the receive chain
+for digital signals: root-raised-cosine matched filtering, symbol timing
+recovery, carrier frequency/phase recovery, frame synchronization, and
+hard-decision demapping, plus the matching modulators for loopback tests
+and signal generation.
+
+TPU-first design — every synchronizer is FEEDFORWARD (blockwise
+estimates over the whole burst), never a per-sample feedback loop:
+
+- **Matched filter**: one `lax.conv_general_dilated` over the burst
+  (re/im planes — complex dtypes never reach the device).
+- **Symbol timing**: the Oerder & Meyr square-timing estimator — the
+  spectral line of |y|^2 at the symbol rate, computed exactly as one
+  (G, sps) reshape-sum and a 2-vector dot (no per-sample control flow).
+- **Symbol sampling**: cubic Lagrange interpolation at the recovered
+  fractional delay; the four interpolation taps are STATIC stride-sps
+  slices of one dynamically-positioned buffer (`dynamic_slice` start,
+  static sizes) — no gathers.
+- **Carrier frequency** (PSK): M-th-power single-lag estimator at symbol
+  rate (the AFC measure applied to s^M), removed with a float phase ramp
+  (bursts are short; the streaming uint32-NCO exactness contract does
+  not apply to one-shot burst processing).
+- **Frame sync / carrier phase**: preamble cross-correlation in the
+  symbol domain (complex correlation via the same conv primitive); the
+  correlation peak gives the symbol-frame start, its argument the
+  carrier phase for coherent demapping. Differential (D*PSK) operation
+  needs no absolute phase at all and is the default for PSK.
+- **FSK**: quadrature discriminator (`kernels/demod._fm_disc_raw`) →
+  per-symbol boxcar → integer timing offset by an sps-way vectorized
+  metric search → Gray demap of the nearest tone.
+
+Burst semantics: `demodulate` processes one complete captured burst
+(leading batch axes supported); it is a one-shot estimator, not a
+chunk-streaming op — stream framing belongs to the capture layer
+(`runtime/recorder.py` / band-power trigger).
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from tpu_sdr.kernels.demod import _fm_disc_raw
+
+
+# ------------------------------------------------------------ pulse shaping
+
+
+def rrc_taps(sps: int, span: int = 8, beta: float = 0.35) -> np.ndarray:
+    """Root-raised-cosine filter: ``span`` symbols long (odd length
+    span*sps+1), rolloff ``beta`` in (0, 1]. Unit energy (sum h^2 = 1),
+    so TX shaping followed by the RX matched filter has unit gain at the
+    ISI-free symbol instants. float64."""
+    if sps < 2:
+        raise ValueError(f"sps must be >= 2; got {sps}")
+    if not (0.0 < beta <= 1.0):
+        raise ValueError(f"beta must be in (0, 1]; got {beta}")
+    n = span * sps
+    t = (np.arange(n + 1) - n / 2) / sps  # symbol units
+    h = np.empty(t.shape, np.float64)
+    for i, ti in enumerate(t):
+        if abs(ti) < 1e-12:
+            h[i] = 1.0 - beta + 4.0 * beta / np.pi
+        elif abs(abs(4.0 * beta * ti) - 1.0) < 1e-9:
+            h[i] = (beta / np.sqrt(2.0)) * (
+                (1.0 + 2.0 / np.pi) * np.sin(np.pi / (4.0 * beta))
+                + (1.0 - 2.0 / np.pi) * np.cos(np.pi / (4.0 * beta))
+            )
+        else:
+            h[i] = (
+                np.sin(np.pi * ti * (1.0 - beta))
+                + 4.0 * beta * ti * np.cos(np.pi * ti * (1.0 + beta))
+            ) / (np.pi * ti * (1.0 - (4.0 * beta * ti) ** 2))
+    return h / np.sqrt(np.sum(h * h))
+
+
+# ------------------------------------------------------------ constellations
+
+
+def _gray_axis(bits2: np.ndarray) -> np.ndarray:
+    """2-bit Gray code -> amplitude level in {-3, -1, +1, +3}."""
+    lut = {(0, 0): -3.0, (0, 1): -1.0, (1, 1): 1.0, (1, 0): 3.0}
+    return np.array([lut[tuple(b)] for b in bits2])
+
+
+def _build_constellation(scheme: str):
+    """Returns (points complex128 (M,), bits uint8 (M, bps)) with Gray
+    labeling and unit average energy."""
+    if scheme == "bpsk":
+        bits = np.array([[0], [1]], np.uint8)
+        pts = np.array([1.0, -1.0], np.complex128)
+    elif scheme == "qpsk":
+        bits = np.array([[0, 0], [0, 1], [1, 1], [1, 0]], np.uint8)
+        ang = np.pi / 4 + np.pi / 2 * np.arange(4)  # Gray around the circle
+        pts = np.exp(1j * ang)
+    elif scheme == "qam16":
+        bits = np.array(
+            [[b3, b2, b1, b0] for b3 in (0, 1) for b2 in (0, 1)
+             for b1 in (0, 1) for b0 in (0, 1)], np.uint8)
+        i_lv = _gray_axis(bits[:, :2])
+        q_lv = _gray_axis(bits[:, 2:])
+        pts = (i_lv + 1j * q_lv) / np.sqrt(10.0)
+    else:
+        raise ValueError(f"unknown scheme {scheme!r}")
+    return pts, bits
+
+
+# ------------------------------------------------------------ bit utilities
+
+
+def bits_to_indices(bits: np.ndarray, bps: int) -> np.ndarray:
+    bits = np.asarray(bits, np.uint8).reshape(-1, bps)
+    return bits.dot(1 << np.arange(bps - 1, -1, -1)).astype(np.int64)
+
+
+def bit_error_rate(tx_bits, rx_bits) -> float:
+    a = np.asarray(tx_bits, np.uint8).reshape(-1)
+    b = np.asarray(rx_bits, np.uint8).reshape(-1)
+    if a.shape != b.shape:
+        raise ValueError(f"bit lengths differ: {a.shape} vs {b.shape}")
+    return float(np.mean(a != b)) if a.size else 0.0
+
+
+# ----------------------------------------------------------- device helpers
+
+
+def _flat_conv(re, im, h, pad_lo: int, pad_hi: int):
+    """Complex 'same-ish' convolution of (..., T) planes with a REAL
+    kernel h (L,): returns planes of length T + pad_lo + pad_hi - L + 1.
+    One grouped conv over both planes and all leading dims."""
+    lead = re.shape[:-1]
+    t = re.shape[-1]
+    x = jnp.stack([re, im], axis=0).reshape(2 * int(np.prod(lead, initial=1)),
+                                            1, t)
+    k = h[None, None, ::-1]  # conv as correlation with reversed taps
+    y = jax.lax.conv_general_dilated(
+        x, k, window_strides=(1,), padding=[(pad_lo, pad_hi)])
+    yl = y.shape[-1]
+    y = y.reshape(2, *lead, yl)
+    return y[0], y[1]
+
+
+def _complex_corr(re, im, p_re, p_im):
+    """Sliding complex correlation of r (..., K) against a P-symbol
+    pattern p: c[d] = sum_k r[d+k] * conj(p[k]), valid lags only
+    (..., K-P+1). Four real correlations through one conv call."""
+    lead = re.shape[:-1]
+    k_len = re.shape[-1]
+    b = int(np.prod(lead, initial=1))
+    x = jnp.stack([re, im], axis=0).reshape(2 * b, 1, k_len)
+    # lax conv computes correlation natively (no kernel flip)
+    kern = jnp.stack([p_re, p_im], axis=0)[:, None, :]  # (2,1,P)
+    y = jax.lax.conv_general_dilated(
+        x, kern, window_strides=(1,), padding=[(0, 0)])
+    # y[i, j]: plane i of r correlated with plane j of p
+    y = y.reshape(2, *lead, 2, y.shape[-1])
+    rr, ri = y[0, ..., 0, :], y[0, ..., 1, :]
+    ir, ii = y[1, ..., 0, :], y[1, ..., 1, :]
+    return rr + ii, ir - ri  # Re{r p*}, Im{r p*}
+
+
+def _demap(s_re, s_im, pt_re, pt_im):
+    """Nearest-constellation-point indices (hard decision)."""
+    d_re = s_re[..., None] - pt_re
+    d_im = s_im[..., None] - pt_im
+    return jnp.argmin(d_re * d_re + d_im * d_im, axis=-1).astype(jnp.int32)
+
+
+def _cpow(re, im, m: int):
+    """(re + j im)^m by repeated complex multiply (m in {1, 2, 4})."""
+    pr, pi = re, im
+    for _ in range(m - 1):
+        pr, pi = pr * re - pi * im, pr * im + pi * re
+    return pr, pi
+
+
+# --------------------------------------------------------------- PSK modem
+
+
+class BurstModem:
+    """Linear-modulation burst modem (BPSK / QPSK / 16-QAM).
+
+    TX frame: ``preamble`` symbols (known, drawn from the constellation
+    by Gray-mapping a fixed PN bit pattern) followed by the payload
+    symbols; for ``differential=True`` (PSK only) the payload is
+    phase-differentially encoded with the last preamble symbol as the
+    reference, so demodulation needs no absolute carrier phase. RRC
+    pulse shaping at ``sps`` samples/symbol.
+
+    RX (`demodulate`): matched filter -> O&M timing -> cubic resample ->
+    (PSK) M-th-power frequency correction -> preamble correlation (frame
+    start + carrier phase) -> coherent or differential demap -> bits.
+
+    Capture window contract: the burst must start within
+    ``max_lag_syms`` symbols of the capture start, and the capture must
+    extend at least ``span`` symbols past the burst end (filter tails).
+    """
+
+    def __init__(self, scheme: str = "qpsk", sps: int = 8, beta: float = 0.35,
+                 span: int = 8, preamble_len: int = 32,
+                 differential: bool | None = None, max_lag_syms: int = 16,
+                 seed: int = 0x5D12):
+        self.scheme = str(scheme)
+        self.points, self.bit_lut = _build_constellation(self.scheme)
+        self.m_points = len(self.points)
+        self.bps = int(math.log2(self.m_points))
+        # bit-pattern (binary value) -> point index (labels are Gray-coded,
+        # so label order != point order in general)
+        label_val = self.bit_lut.dot(1 << np.arange(self.bps - 1, -1, -1))
+        self._bits_to_point = np.empty(self.m_points, np.int64)
+        self._bits_to_point[label_val] = np.arange(self.m_points)
+        self.sps = int(sps)
+        self.beta = float(beta)
+        self.span = int(span)
+        self.h = rrc_taps(self.sps, self.span, self.beta)
+        if differential is None:
+            differential = self.scheme in ("bpsk", "qpsk")
+        if differential and self.scheme == "qam16":
+            raise ValueError("differential encoding needs a PSK scheme")
+        self.differential = bool(differential)
+        self.max_lag_syms = int(max_lag_syms)
+        # M-th power order for coarse frequency recovery. 16-QAM skips the
+        # coarse stage (4th-power self-noise measured ~1e-2 cyc/sym on a
+        # clean burst) and relies on the preamble-split + decision-directed
+        # fine stages; its CFO tolerance is therefore ~0.1/preamble_len
+        # cycles/symbol (the correlation-smear limit).
+        self.m_power = {"bpsk": 2, "qpsk": 4, "qam16": 0}[self.scheme]
+        rng = np.random.default_rng(seed)
+        pre_idx = rng.integers(self.m_points, size=int(preamble_len))
+        self.preamble_syms = self.points[pre_idx]
+        self._dev_points = (
+            jnp.asarray(self.points.real, jnp.float32),
+            jnp.asarray(self.points.imag, jnp.float32))
+        self._dev_pre = (
+            jnp.asarray(self.preamble_syms.real, jnp.float32),
+            jnp.asarray(self.preamble_syms.imag, jnp.float32))
+        self._dev_h = jnp.asarray(self.h, jnp.float32)
+
+    # ------------------------------------------------------------- TX side
+
+    def map_symbols(self, bits: np.ndarray) -> np.ndarray:
+        """Payload bits -> complex symbols (Gray map; differential
+        encoding applied when configured). Host-side float64.
+
+        Differential encoding uses phase INCREMENTS relative to
+        constellation point 0 (d[k] = d[k-1] * s[k] * conj(c0)), so the
+        transmitted constellation grid is preserved (plain D*PSK, not
+        pi/4-shifted) and the M-th-power frequency estimator stays
+        unbiased."""
+        idx = self._bits_to_point[bits_to_indices(bits, self.bps)]
+        syms = self.points[idx]
+        if self.differential:
+            out = np.empty_like(syms)
+            ref = self.preamble_syms[-1]
+            c0c = np.conj(self.points[0])
+            for i, s in enumerate(syms):
+                ref = ref * s * c0c
+                out[i] = ref
+            syms = out
+        return syms
+
+    def frame_symbols(self, bits: np.ndarray) -> np.ndarray:
+        return np.concatenate([self.preamble_syms, self.map_symbols(bits)])
+
+    def modulate(self, bits: np.ndarray, pad_syms: int = 0):
+        """Bits -> baseband (re, im) float32 planes at sps samples/symbol
+        (RRC-shaped, 'full' convolution so the burst includes both filter
+        tails). ``pad_syms`` appends trailing zero symbols of capture."""
+        syms = self.frame_symbols(bits)
+        up = np.zeros(((len(syms) + int(pad_syms)) * self.sps,), np.complex128)
+        up[: len(syms) * self.sps : self.sps] = syms
+        tx = np.convolve(up, self.h)
+        return tx.real.astype(np.float32), tx.imag.astype(np.float32)
+
+    # ------------------------------------------------------------- RX side
+
+    def demodulate(self, re, im, n_bits: int):
+        """Demodulate one burst: planes (..., T) -> dict with
+        ``bits`` (..., n_bits) uint8, ``symbols`` (re, im) payload
+        symbol planes, ``timing`` fractional-delay estimate (samples),
+        ``cfo`` carrier offset estimate (cycles/symbol), ``frame_lag``
+        preamble lag (symbols), ``phase`` carrier phase (rad)."""
+        if n_bits % self.bps:
+            raise ValueError(f"n_bits {n_bits} not a multiple of bps={self.bps}")
+        n_payload = n_bits // self.bps
+        re = jnp.asarray(re, jnp.float32)
+        im = jnp.asarray(im, jnp.float32)
+        t = re.shape[-1]
+        need = (len(self.preamble_syms) + n_payload + self.max_lag_syms
+                + self.span) * self.sps
+        if t < need:
+            raise ValueError(
+                f"burst of {t} samples too short: need >= {need} for "
+                f"{n_payload} payload symbols (+preamble/lag/filter tails)")
+        out = _burst_demod(
+            re, im, self._dev_h, self._dev_pre[0], self._dev_pre[1],
+            self._dev_points[0], self._dev_points[1],
+            sps=self.sps, n_payload=n_payload,
+            n_pre=len(self.preamble_syms), max_lag=self.max_lag_syms,
+            m_power=self.m_power, differential=self.differential)
+        idx = np.asarray(out["indices"])
+        bits = self.bit_lut[idx.reshape(-1)].reshape(*idx.shape, self.bps)
+        bits = bits.reshape(*idx.shape[:-1], n_bits)
+        return {
+            "bits": bits,
+            "symbols": (out["sym_re"], out["sym_im"]),
+            "timing": out["timing"],
+            "cfo": out["cfo"],
+            "frame_lag": out["frame_lag"],
+            "phase": out["phase"],
+        }
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("sps", "n_payload", "n_pre", "max_lag", "m_power",
+                     "differential"))
+def _burst_demod(re, im, h, pre_re, pre_im, pt_re, pt_im, *, sps: int,
+                 n_payload: int, n_pre: int, max_lag: int, m_power: int,
+                 differential: bool):
+    lead = re.shape[:-1]
+    span_l = h.shape[0]  # span*sps + 1
+
+    # 1. matched filter ('full': output length T + L - 1)
+    yre, yim = _flat_conv(re, im, h, span_l - 1, span_l - 1)
+
+    # 2. Oerder & Meyr square timing: the |y|^2 line at 1/sps. The
+    #    exponential is sps-periodic, so fold to per-phase sums first.
+    w = yre * yre + yim * yim
+    tm = (w.shape[-1] // sps) * sps
+    wf = w[..., :tm].reshape(*lead, tm // sps, sps).sum(axis=-2)
+    ang = -2.0 * np.pi / sps * np.arange(sps)
+    e_re = jnp.einsum("...s,s->...", wf, jnp.asarray(np.cos(ang), jnp.float32))
+    e_im = jnp.einsum("...s,s->...", wf, jnp.asarray(np.sin(ang), jnp.float32))
+    tau = jnp.arctan2(e_im, e_re) * jnp.float32(-sps / (2.0 * np.pi))
+    # residual vs the known nominal filter delay, principal in +/- sps/2
+    nominal = span_l - 1  # TX rrc full + RX rrc full
+    delta = jnp.mod(tau - jnp.float32(nominal % sps) + sps / 2.0, 1.0 * sps) \
+        - jnp.float32(sps / 2.0)
+
+    # 3. cubic Lagrange resample at symbol instants k*sps + nominal + delta
+    n_syms = n_pre + n_payload + max_lag + 1
+    start_f = jnp.float32(nominal) + delta  # first symbol instant
+    i0 = jnp.floor(start_f).astype(jnp.int32)
+    mu = start_f - i0.astype(jnp.float32)
+    pad = sps  # guard so i0 - 1 + pad >= 0 and the slice stays in range
+    yre_p = jnp.pad(yre, [(0, 0)] * len(lead) + [(pad, pad + 4 * sps)])
+    yim_p = jnp.pad(yim, [(0, 0)] * len(lead) + [(pad, pad + 4 * sps)])
+    seg_len = (n_syms - 1) * sps + 4
+
+    def _take(y_p, i0_s):
+        starts = (0,) * len(lead) + (i0_s - 1 + pad,)
+        z = jax.lax.dynamic_slice(
+            y_p, [jnp.asarray(s, jnp.int32) for s in starts],
+            lead + (seg_len,))
+        cols = [z[..., o : o + (n_syms - 1) * sps + 1 : sps] for o in range(4)]
+        return cols  # each (..., n_syms) at tap offsets -1, 0, +1, +2
+
+    if lead:
+        # per-batch-element dynamic starts: vmap the slice over flattened lead
+        b = int(np.prod(lead))
+        yre_f = yre_p.reshape(b, yre_p.shape[-1])
+        yim_f = yim_p.reshape(b, yim_p.shape[-1])
+        i0_f = jnp.broadcast_to(i0, lead).reshape(b)
+
+        def one(yr, yi, i0_s):
+            st = i0_s - 1 + pad
+            zr = jax.lax.dynamic_slice(yr, (st,), (seg_len,))
+            zi = jax.lax.dynamic_slice(yi, (st,), (seg_len,))
+            return zr, zi
+
+        zr, zi = jax.vmap(one)(yre_f, yim_f, i0_f)
+        zr = zr.reshape(*lead, seg_len)
+        zi = zi.reshape(*lead, seg_len)
+        cols_r = [zr[..., o : o + (n_syms - 1) * sps + 1 : sps] for o in range(4)]
+        cols_i = [zi[..., o : o + (n_syms - 1) * sps + 1 : sps] for o in range(4)]
+    else:
+        cols_r = _take(yre_p, i0)
+        cols_i = _take(yim_p, i0)
+    mu_b = mu[..., None] if lead else mu
+    w_m1 = -mu_b * (mu_b - 1.0) * (mu_b - 2.0) * jnp.float32(1.0 / 6.0)
+    w_0 = (mu_b * mu_b - 1.0) * (mu_b - 2.0) * jnp.float32(0.5)
+    w_p1 = -mu_b * (mu_b + 1.0) * (mu_b - 2.0) * jnp.float32(0.5)
+    w_p2 = mu_b * (mu_b * mu_b - 1.0) * jnp.float32(1.0 / 6.0)
+    s_re = (w_m1 * cols_r[0] + w_0 * cols_r[1] + w_p1 * cols_r[2]
+            + w_p2 * cols_r[3])
+    s_im = (w_m1 * cols_i[0] + w_0 * cols_i[1] + w_p1 * cols_i[2]
+            + w_p2 * cols_i[3])
+
+    # 4. M-th-power single-lag carrier frequency estimate (cycles/symbol).
+    # For 16-QAM the 4th-power self-noise swamps the line (measured
+    # ~1e-2 cyc/sym error on a clean burst), so QAM skips the coarse
+    # stage and relies on the preamble-split + decision-directed fine
+    # stages below (qam tolerates only small CFO as documented).
+    if m_power:
+        vr, vi = _cpow(s_re, s_im, m_power)
+        dr = vr[..., 1:] * vr[..., :-1] + vi[..., 1:] * vi[..., :-1]
+        di = vi[..., 1:] * vr[..., :-1] - vr[..., 1:] * vi[..., :-1]
+        cfo = jnp.arctan2(di.sum(axis=-1), dr.sum(axis=-1)) * jnp.float32(
+            1.0 / (2.0 * np.pi * m_power))
+    else:
+        cfo = jnp.zeros(lead, jnp.float32)
+    k = jnp.arange(n_syms, dtype=jnp.float32)
+    ph = (-2.0 * np.pi) * cfo[..., None] * k if lead else (-2.0 * np.pi) * cfo * k
+    c, s = jnp.cos(ph), jnp.sin(ph)
+    r_re = s_re * c - s_im * s
+    r_im = s_re * s + s_im * c
+
+    # 5. preamble correlation: frame start (lag) + carrier phase
+    c_re, c_im = _complex_corr(r_re, r_im, pre_re, pre_im)
+    c_re = c_re[..., : max_lag + 1]
+    c_im = c_im[..., : max_lag + 1]
+    mag2 = c_re * c_re + c_im * c_im
+    lag = jnp.argmax(mag2, axis=-1).astype(jnp.int32)
+    pk_re = jnp.take_along_axis(c_re, lag[..., None], axis=-1)[..., 0] \
+        if lead else c_re[lag]
+    pk_im = jnp.take_along_axis(c_im, lag[..., None], axis=-1)[..., 0] \
+        if lead else c_im[lag]
+    phase = jnp.arctan2(pk_im, pk_re)
+    # r = A e^{j phase} p  =>  |corr| = A * sum|p_k|^2
+    pre_energy = jnp.sum(pre_re * pre_re + pre_im * pre_im)
+    scale = pre_energy / jnp.sqrt(jnp.maximum(
+        pk_re * pk_re + pk_im * pk_im, 1e-30))
+
+    # frame slice: preamble + payload symbols starting at the lag (the
+    # last preamble symbol doubles as the differential reference)
+    take = n_pre + n_payload
+
+    def _slice_frame(rr, ri, lg):
+        zr = jax.lax.dynamic_slice(rr, (lg,), (take,))
+        zi = jax.lax.dynamic_slice(ri, (lg,), (take,))
+        return zr, zi
+
+    if lead:
+        b = int(np.prod(lead))
+        fr, fi = jax.vmap(_slice_frame)(
+            r_re.reshape(b, -1), r_im.reshape(b, -1), lag.reshape(b))
+        fr = fr.reshape(*lead, take)
+        fi = fi.reshape(*lead, take)
+    else:
+        fr, fi = _slice_frame(r_re, r_im, lag)
+
+    if differential:
+        # s_hat[k] = r[k] * conj(r[k-1]) * c0 (undo the increment-vs-c0
+        # encoding), normalized to the unit ring
+        pr, pi_ = fr[..., n_pre - 1 :], fi[..., n_pre - 1 :]
+        ar, ai = pr[..., 1:], pi_[..., 1:]
+        br, bi = pr[..., :-1], pi_[..., :-1]
+        d_re_ = ar * br + ai * bi
+        d_im_ = ai * br - ar * bi
+        c0r, c0i = pt_re[0], pt_im[0]
+        sym_re = d_re_ * c0r - d_im_ * c0i
+        sym_im = d_re_ * c0i + d_im_ * c0r
+        nrm = jnp.sqrt(jnp.maximum(sym_re * sym_re + sym_im * sym_im, 1e-30))
+        sym_re = sym_re / nrm
+        sym_im = sym_im / nrm
+        idx = _demap(sym_re, sym_im, pt_re, pt_im)
+        cfo_total = cfo
+    else:
+        # coherent: fine CFO from the phase drift between the two
+        # preamble halves, then phase/amplitude from the half
+        # correlations, then one decision-directed refinement pass
+        half = n_pre // 2
+        p1r = jnp.sum(fr[..., :half] * pre_re[:half]
+                      + fi[..., :half] * pre_im[:half], axis=-1)
+        p1i = jnp.sum(fi[..., :half] * pre_re[:half]
+                      - fr[..., :half] * pre_im[:half], axis=-1)
+        sl2 = slice(n_pre - half, n_pre)
+        p2r = jnp.sum(fr[..., sl2] * pre_re[sl2.start :]
+                      + fi[..., sl2] * pre_im[sl2.start :], axis=-1)
+        p2i = jnp.sum(fi[..., sl2] * pre_re[sl2.start :]
+                      - fr[..., sl2] * pre_im[sl2.start :], axis=-1)
+        spacing = jnp.float32(n_pre - half)
+        dphi = jnp.arctan2(p2i * p1r - p2r * p1i, p2r * p1r + p2i * p1i)
+        cfo_fine = dphi / (2.0 * np.pi * spacing)
+        phi1 = jnp.arctan2(p1i, p1r)  # phase at the half-1 center
+        e1 = jnp.sum(pre_re[:half] ** 2 + pre_im[:half] ** 2)
+        e2 = jnp.sum(pre_re[sl2.start :] ** 2 + pre_im[sl2.start :] ** 2)
+        amp = (jnp.sqrt(p1r * p1r + p1i * p1i)
+               + jnp.sqrt(p2r * p2r + p2i * p2i)) / (e1 + e2)
+        sc = 1.0 / jnp.maximum(amp, 1e-30)
+        # derotate payload symbols k = n_pre..take-1 around the half-1
+        # center (h-1)/2
+        j = jnp.arange(n_payload, dtype=jnp.float32) + jnp.float32(
+            n_pre - (half - 1) / 2.0)
+        if lead:
+            phs = phi1[..., None] + (2.0 * np.pi) * cfo_fine[..., None] * j
+            sc_b = sc[..., None]
+        else:
+            phs = phi1 + (2.0 * np.pi) * cfo_fine * j
+            sc_b = sc
+        cph, sph = jnp.cos(phs), jnp.sin(phs)
+        pr, pi_ = fr[..., n_pre:], fi[..., n_pre:]
+        s0r = (pr * cph + pi_ * sph) * sc_b
+        s0i = (pi_ * cph - pr * sph) * sc_b
+        # Forward blockwise decision-directed phase tracker. A single
+        # global slope fit is too fragile for dense QAM: fine-CFO
+        # estimation error (~1e-4 cyc/sym from a 32-symbol preamble)
+        # accumulates to >0.3 rad over a 512-symbol payload, decisions
+        # at the burst tail go wrong, and any one-shot slope re-estimate
+        # from those decisions is biased (measured 3x overshoot). The
+        # tracker instead scans symbol blocks left to right carrying the
+        # accumulated phase: each block is first derotated by the phase
+        # carried from its predecessors, so its decisions are made with
+        # only one block's worth of drift (~0.02 rad), then contributes
+        # its own error-vector correction. Still feedforward per block;
+        # the scan is over n_payload/32 steps, not per sample. Padded
+        # tail symbols contribute exact zeros to the block sums.
+        blk = 32
+        nb = -(-n_payload // blk)
+        padn = nb * blk - n_payload
+        pad_cfg = [(0, 0)] * len(lead) + [(0, padn)]
+        xr = jnp.moveaxis(jnp.pad(s0r, pad_cfg).reshape(*lead, nb, blk), -2, 0)
+        xi = jnp.moveaxis(jnp.pad(s0i, pad_cfg).reshape(*lead, nb, blk), -2, 0)
+
+        def _track(phi, x):
+            br, bi = x
+            cp, sp = jnp.cos(phi)[..., None], jnp.sin(phi)[..., None]
+            rr = br * cp + bi * sp
+            ri = bi * cp - br * sp
+            ii = _demap(rr, ri, pt_re, pt_im)
+            dcr, dci = pt_re[ii], pt_im[ii]
+            dphi = jnp.arctan2((ri * dcr - rr * dci).sum(-1),
+                               (rr * dcr + ri * dci).sum(-1))
+            tot = (phi + dphi)[..., None]
+            c2, s2 = jnp.cos(tot), jnp.sin(tot)
+            return phi + dphi, (br * c2 + bi * s2, bi * c2 - br * s2)
+
+        phi_end, (yr, yi) = jax.lax.scan(
+            _track, jnp.zeros(lead, jnp.float32), (xr, xi))
+        sym_re = jnp.moveaxis(yr, 0, -2).reshape(*lead, nb * blk)[..., :n_payload]
+        sym_im = jnp.moveaxis(yi, 0, -2).reshape(*lead, nb * blk)[..., :n_payload]
+        idx = _demap(sym_re, sym_im, pt_re, pt_im)
+        # total tracked rotation across the payload, for reporting
+        cfo_dd = phi_end * jnp.float32(1.0 / (2.0 * np.pi * max(n_payload, 1)))
+        cfo_total = cfo + cfo_fine + cfo_dd
+
+    return {
+        "indices": idx,
+        "sym_re": sym_re,
+        "sym_im": sym_im,
+        "timing": delta,
+        "cfo": cfo_total,
+        "frame_lag": lag,
+        "phase": phase,
+    }
+
+
+# ---------------------------------------------------------------- FSK modem
+
+
+class FSKModem:
+    """Continuous-phase 2/4-FSK burst modem.
+
+    TX: Gray-mapped tone per symbol (levels +/-1 [2FSK] or
+    +/-1, +/-3 scaled by 1/3 [4FSK], times ``deviation_hz``),
+    phase-continuous. RX: quadrature discriminator -> per-symbol boxcar
+    -> integer timing offset by vectorized metric search -> nearest-tone
+    Gray demap. All feedforward."""
+
+    def __init__(self, fs: float, symbol_rate: float, deviation_hz: float,
+                 levels: int = 2):
+        if levels not in (2, 4):
+            raise ValueError(f"levels must be 2 or 4; got {levels}")
+        self.fs = float(fs)
+        self.symbol_rate = float(symbol_rate)
+        self.deviation_hz = float(deviation_hz)
+        self.levels = int(levels)
+        sps = self.fs / self.symbol_rate
+        if abs(sps - round(sps)) > 1e-9 or round(sps) < 2:
+            raise ValueError(
+                f"fs/symbol_rate must be an integer >= 2; got {sps}")
+        self.sps = int(round(sps))
+        self.bps = 1 if levels == 2 else 2
+        if levels == 2:
+            self.tone_levels = np.array([1.0, -1.0])  # bit 0 -> +dev
+            self.bit_lut = np.array([[0], [1]], np.uint8)
+        else:
+            # Gray: 00 -> +1/3, 01 -> +1, 11 -> -1, 10 -> -1/3
+            self.tone_levels = np.array([1.0 / 3.0, 1.0, -1.0, -1.0 / 3.0])
+            self.bit_lut = np.array([[0, 0], [0, 1], [1, 1], [1, 0]], np.uint8)
+        label_val = self.bit_lut.dot(1 << np.arange(self.bps - 1, -1, -1))
+        self._bits_to_tone = np.empty(len(self.tone_levels), np.int64)
+        self._bits_to_tone[label_val] = np.arange(len(self.tone_levels))
+
+    def modulate(self, bits: np.ndarray, pad_syms: int = 1):
+        """Bits -> (re, im) float32 planes. Phase-continuous CPFSK."""
+        idx = self._bits_to_tone[bits_to_indices(bits, self.bps)]
+        f = self.tone_levels[idx] * self.deviation_hz  # Hz per symbol
+        inst = np.repeat(f, self.sps)
+        if pad_syms:
+            inst = np.concatenate([inst, np.zeros(pad_syms * self.sps)])
+        phase = 2.0 * np.pi * np.cumsum(inst) / self.fs
+        z = np.exp(1j * phase)
+        return z.real.astype(np.float32), z.imag.astype(np.float32)
+
+    def demodulate(self, re, im, n_bits: int):
+        """One burst (..., T) -> dict with ``bits``, ``freqs`` (Hz per
+        symbol), ``offset`` (recovered integer timing, samples)."""
+        if n_bits % self.bps:
+            raise ValueError(f"n_bits {n_bits} not a multiple of bps={self.bps}")
+        n_syms = n_bits // self.bps
+        re = jnp.asarray(re, jnp.float32)
+        im = jnp.asarray(im, jnp.float32)
+        if re.shape[-1] < (n_syms + 1) * self.sps:
+            raise ValueError(
+                f"burst of {re.shape[-1]} samples too short for {n_syms} "
+                f"symbols at sps={self.sps} (+1 guard symbol)")
+        out = _fsk_demod(re, im, jnp.asarray(self.tone_levels * self.deviation_hz,
+                                             jnp.float32),
+                         fs=self.fs, sps=self.sps, n_syms=n_syms)
+        idx = np.asarray(out["indices"])
+        bits = self.bit_lut[idx.reshape(-1)].reshape(*idx.shape, self.bps)
+        return {
+            "bits": bits.reshape(*idx.shape[:-1], n_bits),
+            "freqs": out["freqs"],
+            "offset": out["offset"],
+        }
+
+
+@functools.partial(jax.jit, static_argnames=("fs", "sps", "n_syms"))
+def _fsk_demod(re, im, tones, *, fs: float, sps: int, n_syms: int):
+    lead = re.shape[:-1]
+    zero = jnp.zeros(lead + (1,), jnp.float32)
+    inst = _fm_disc_raw(re, im, zero, zero, fs)  # (..., T) Hz
+    # all sps integer offsets at once: (..., sps, n_syms) symbol means
+    base = inst[..., : (n_syms + 1) * sps]
+    stk = jnp.stack(
+        [base[..., o : o + n_syms * sps].reshape(*lead, n_syms, sps).mean(-1)
+         for o in range(sps)], axis=-2)  # (..., sps, n_syms)
+    # discard the first symbol from the metric (discriminator start-up)
+    metric = jnp.abs(stk[..., 1:]).sum(axis=-1)  # (..., sps)
+    off = jnp.argmax(metric, axis=-1).astype(jnp.int32)
+    if lead:
+        favg = jnp.take_along_axis(stk, off[..., None, None], axis=-2)[..., 0, :]
+    else:
+        favg = stk[off]
+    d = favg[..., None] - tones
+    idx = jnp.argmin(d * d, axis=-1).astype(jnp.int32)
+    return {"indices": idx, "freqs": favg, "offset": off}
