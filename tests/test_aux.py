@@ -335,6 +335,50 @@ class TestCli:
         f_peak = np.argmax(spec) * rate / a.size
         assert f_peak == pytest.approx(700.0, abs=3 * rate / a.size)
 
+    def test_burst_demo_loopback(self, capsys):
+        from tpu_sdr.__main__ import main
+
+        assert main(["burst", "--scheme", "qpsk", "--bits", "256"]) == 0
+        out = capsys.readouterr().out
+        assert "loopback BER: 0.00e+00" in out
+        assert "frame lag 3 syms" in out
+        assert "bits (256):" in out
+
+    def test_burst_fsk_demo(self, capsys):
+        from tpu_sdr.__main__ import main
+
+        assert main(["burst", "--scheme", "4fsk", "--bits", "128",
+                     "--snr", "30"]) == 0
+        out = capsys.readouterr().out
+        assert "loopback BER: 0.00e+00" in out
+        assert "timing offset 11 samples" in out  # onset + sub-symbol
+
+    def test_burst_from_capture(self, tmp_path, capsys):
+        """BurstModem TX -> SampleRecorder IQ capture -> `tpu-sdr burst
+        --input` with a carrier mix-down recovers the exact bits."""
+        from tpu_sdr.__main__ import main
+        from tpu_sdr.kernels.digital import BurstModem
+        from tpu_sdr.runtime.recorder import SampleRecorder
+
+        rng = np.random.default_rng(3)
+        mod = BurstModem("qam16", sps=8)
+        bits = rng.integers(2, size=512).astype(np.uint8)
+        re, im = mod.modulate(bits, pad_syms=mod.max_lag_syms + mod.span)
+        fs = 1e6
+        z = (re + 1j * im) * np.exp(
+            2j * np.pi * 200e3 / fs * np.arange(re.size))
+        cap = str(tmp_path / "burst.npy")
+        rec = SampleRecorder(cap, fs=fs)
+        rec.append(z.astype(np.complex64)[None, :])
+        rec.close()
+        assert main(["burst", "--input", cap, "--scheme", "qam16",
+                     "--bits", "512", "--center", "200e3"]) == 0
+        out = capsys.readouterr().out
+        pad = (-512) % 8
+        want = np.packbits(
+            np.concatenate([bits, np.zeros(pad, np.uint8)])).tobytes().hex()
+        assert want in out
+
     def test_bench_small(self, capsys):
         import json as _json
 

@@ -209,7 +209,7 @@ def test_fsk_loopback(levels, rng):
     out = fsk.demodulate(z.real.astype(np.float32),
                          z.imag.astype(np.float32), n_bits)
     assert bit_error_rate(bits, out["bits"]) == 0.0
-    assert int(out["offset"]) == 17 % fsk.sps
+    assert int(out["offset"]) == 17  # full onset + sub-symbol delay
     # recovered tone frequencies near the design deviations
     freqs = np.asarray(out["freqs"])[1:]  # skip startup symbol
     tones = fsk.tone_levels * fsk.deviation_hz

@@ -312,6 +312,70 @@ def _cmd_rx(args) -> int:
     return 0
 
 
+def _cmd_burst(args) -> int:
+    import numpy as np
+
+    from tpu_sdr.kernels.digital import BurstModem, FSKModem, bit_error_rate
+
+    fsk = args.scheme in ("2fsk", "4fsk")
+    if fsk:
+        modem = FSKModem(fs=args.fs, symbol_rate=args.symbol_rate,
+                         deviation_hz=args.deviation,
+                         levels=2 if args.scheme == "2fsk" else 4)
+    else:
+        modem = BurstModem(args.scheme, sps=args.sps)
+    n_bits = args.bits or 512 * modem.bps
+
+    if args.input:
+        from tpu_sdr.runtime.source import FileSource
+
+        src = FileSource(args.input, fs=args.fs)
+        x = np.asarray(src.data[0])
+        if not np.iscomplexobj(x):
+            x = x.astype(np.complex128)
+        if args.center:
+            x = x * np.exp(-2j * np.pi * args.center / src.fs
+                           * np.arange(x.size))
+        out = modem.demodulate(x.real.astype(np.float32),
+                               x.imag.astype(np.float32), n_bits)
+        bits = np.asarray(out["bits"]).reshape(-1)
+    else:
+        # loopback demo: modulate random bits, impair, demodulate
+        rng = np.random.default_rng(1)
+        bits_tx = rng.integers(2, size=n_bits).astype(np.uint8)
+        if fsk:
+            re, im = modem.modulate(bits_tx, pad_syms=2)
+            z = np.concatenate(
+                [np.zeros(11), re.astype(np.float64) + 1j * im])
+        else:
+            re, im = modem.modulate(
+                bits_tx, pad_syms=modem.max_lag_syms + modem.span)
+            z = re.astype(np.float64) + 1j * im
+            z = np.concatenate([np.zeros(3 * modem.sps), z])
+            z *= np.exp(2j * np.pi * (1e-4 / modem.sps) * np.arange(z.size)
+                        + 0.8j)
+        n0 = 10.0 ** (-args.snr / 10.0)
+        z = z + np.sqrt(n0 / 2.0) * (rng.standard_normal(z.size)
+                                     + 1j * rng.standard_normal(z.size))
+        out = modem.demodulate(z.real.astype(np.float32),
+                               z.imag.astype(np.float32), n_bits)
+        bits = np.asarray(out["bits"]).reshape(-1)
+        print(f"loopback BER: {bit_error_rate(bits_tx, bits):.2e} "
+              f"({n_bits} bits @ {args.snr:g} dB SNR)")
+
+    if fsk:
+        print(f"{args.scheme}: timing offset {int(out['offset'])} samples")
+    else:
+        print(f"{args.scheme}: frame lag {int(out['frame_lag'])} syms, "
+              f"timing {float(out['timing']):+.3f} samples, "
+              f"cfo {float(out['cfo']):+.2e} cyc/sym, "
+              f"phase {float(out['phase']):+.3f} rad")
+    pad = (-len(bits)) % 8
+    payload = np.packbits(np.concatenate([bits, np.zeros(pad, np.uint8)]))
+    print(f"bits ({len(bits)}): {payload.tobytes().hex()}")
+    return 0
+
+
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(
         prog="tpu-sdr", description="TPU-native real-time FFT spectrum analyzer"
@@ -371,6 +435,27 @@ def build_parser() -> argparse.ArgumentParser:
                    help="carrier-power squelch threshold (dB, mean|z|^2)")
     r.add_argument("--output", default="rx_audio.wav")
     r.set_defaults(fn=_cmd_rx)
+
+    bu = sub.add_parser(
+        "burst", help="digital burst demodulation (PSK/QAM/FSK)")
+    bu.add_argument("--input",
+                    help=".npy baseband capture; default: loopback demo")
+    bu.add_argument("--scheme", default="qpsk",
+                    choices=["bpsk", "qpsk", "qam16", "2fsk", "4fsk"])
+    bu.add_argument("--fs", type=float, default=1e6)
+    bu.add_argument("--sps", type=int, default=8,
+                    help="samples/symbol (linear schemes)")
+    bu.add_argument("--bits", type=int, default=0,
+                    help="payload bits to recover (default 512 symbols)")
+    bu.add_argument("--center", type=float, default=0.0,
+                    help="mix the capture down from this carrier (Hz)")
+    bu.add_argument("--symbol-rate", type=float, default=125e3,
+                    help="FSK symbol rate (Hz)")
+    bu.add_argument("--deviation", type=float, default=250e3,
+                    help="FSK deviation (Hz)")
+    bu.add_argument("--snr", type=float, default=25.0,
+                    help="demo-loopback SNR (dB)")
+    bu.set_defaults(fn=_cmd_burst)
 
     b = sub.add_parser("bench", help="quick throughput probe (slope-timed)")
     b.add_argument("--channels", type=int, default=8)

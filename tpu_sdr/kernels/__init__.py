@@ -11,3 +11,5 @@ from tpu_sdr.kernels.demod import (  # noqa: F401
     SSBDemodulator,
 )
 from tpu_sdr.kernels.iqcorr import IQCorrector  # noqa: F401
+from tpu_sdr.kernels import digital  # noqa: F401
+from tpu_sdr.kernels.digital import BurstModem, FSKModem  # noqa: F401

@@ -29,9 +29,11 @@ estimates over the whole burst), never a per-sample feedback loop:
   correlation peak gives the symbol-frame start, its argument the
   carrier phase for coherent demapping. Differential (D*PSK) operation
   needs no absolute phase at all and is the default for PSK.
-- **FSK**: quadrature discriminator (`kernels/demod._fm_disc_raw`) →
-  per-symbol boxcar → integer timing offset by an sps-way vectorized
-  metric search → Gray demap of the nearest tone.
+- **FSK**: burst-onset detection (smoothed-power edge, `argmax` of a
+  boolean crossing — no data-dependent Python flow) → quadrature
+  discriminator (`kernels/demod._fm_disc_raw`) → per-symbol boxcar →
+  sub-symbol timing by an sps-way vectorized metric search → Gray
+  demap of the nearest tone.
 
 Burst semantics: `demodulate` processes one complete captured burst
 (leading batch axes supported); it is a one-shot estimator, not a
@@ -563,9 +565,11 @@ class FSKModem:
 
     TX: Gray-mapped tone per symbol (levels +/-1 [2FSK] or
     +/-1, +/-3 scaled by 1/3 [4FSK], times ``deviation_hz``),
-    phase-continuous. RX: quadrature discriminator -> per-symbol boxcar
-    -> integer timing offset by vectorized metric search -> nearest-tone
-    Gray demap. All feedforward."""
+    phase-continuous. RX: power-edge burst onset -> quadrature
+    discriminator -> per-symbol boxcar -> sub-symbol timing by
+    vectorized metric search -> nearest-tone Gray demap. All
+    feedforward; ``offset`` reports the total recovered delay
+    (onset + sub-symbol) in samples."""
 
     def __init__(self, fs: float, symbol_rate: float, deviation_hz: float,
                  levels: int = 2):
@@ -630,8 +634,38 @@ class FSKModem:
 @functools.partial(jax.jit, static_argnames=("fs", "sps", "n_syms"))
 def _fsk_demod(re, im, tones, *, fs: float, sps: int, n_syms: int):
     lead = re.shape[:-1]
+    t = re.shape[-1]
+    b = int(np.prod(lead, initial=1))
+    # Burst onset: the sub-symbol metric search below only resolves
+    # timing modulo sps, so locate the burst's leading power edge first
+    # (CPFSK is constant-modulus; leading silence is near zero). The
+    # left-aligned boxcar makes the crossing estimate land BEFORE the
+    # true edge (within 3/8 sps of it), leaving a sub-symbol remainder
+    # for the metric search.
+    k = max(sps // 2, 1)
+    pw = re * re + im * im
+    ps = jax.lax.conv_general_dilated(
+        pw.reshape(b, 1, t), jnp.ones((1, 1, k), jnp.float32),
+        window_strides=(1,), padding=[(0, k - 1)]).reshape(*lead, t)
+    thr = 0.25 * jnp.max(ps, axis=-1, keepdims=True)
+    onset = jnp.argmax(ps > thr, axis=-1).astype(jnp.int32)
+    need = (n_syms + 1) * sps
+    re_p = jnp.pad(re, [(0, 0)] * len(lead) + [(0, need)])
+    im_p = jnp.pad(im, [(0, 0)] * len(lead) + [(0, need)])
+    if lead:
+        def _cut(r_, i_, o_):
+            return (jax.lax.dynamic_slice(r_, (o_,), (need,)),
+                    jax.lax.dynamic_slice(i_, (o_,), (need,)))
+
+        re_c, im_c = jax.vmap(_cut)(re_p.reshape(b, -1), im_p.reshape(b, -1),
+                                    onset.reshape(b))
+        re_c = re_c.reshape(*lead, need)
+        im_c = im_c.reshape(*lead, need)
+    else:
+        re_c = jax.lax.dynamic_slice(re_p, (onset,), (need,))
+        im_c = jax.lax.dynamic_slice(im_p, (onset,), (need,))
     zero = jnp.zeros(lead + (1,), jnp.float32)
-    inst = _fm_disc_raw(re, im, zero, zero, fs)  # (..., T) Hz
+    inst = _fm_disc_raw(re_c, im_c, zero, zero, fs)  # (..., need) Hz
     # all sps integer offsets at once: (..., sps, n_syms) symbol means
     base = inst[..., : (n_syms + 1) * sps]
     stk = jnp.stack(
@@ -646,4 +680,4 @@ def _fsk_demod(re, im, tones, *, fs: float, sps: int, n_syms: int):
         favg = stk[off]
     d = favg[..., None] - tones
     idx = jnp.argmin(d * d, axis=-1).astype(jnp.int32)
-    return {"indices": idx, "freqs": favg, "offset": off}
+    return {"indices": idx, "freqs": favg, "offset": onset + off}
