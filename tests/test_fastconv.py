@@ -198,6 +198,87 @@ def test_validation_errors(rng):
                          f.initial_state(iq=True))
 
 
+# ----------------------------------------------------------------- sharded
+
+
+@pytest.mark.parametrize("mesh_shape", [(1, 2), (2, 1), (2, 4), (1, 8)])
+def test_sharded_equals_single_bitwise(rng, mesh_shape):
+    import jax
+
+    from tpu_sdr.shard import ShardedFastFIR, make_sdr_mesh
+
+    c_ax, t_ax = mesh_shape
+    if c_ax * t_ax > len(jax.devices()):
+        pytest.skip("not enough devices")
+    h = sps.firwin(129, 0.3)
+    f = FastFIR(h, nfft=1024, block=512)  # history 512 = per-shard min
+    mesh = make_sdr_mesh(channel=c_ax, time=t_ax)
+    sh = ShardedFastFIR(f, mesh)
+    C = 2 * c_ax
+    x = rng.standard_normal((C, t_ax * 2 * 512)).astype(np.float32)
+    single, st1 = f.process(x, f.initial_state((C,)))
+    shard, st2 = sh.process(x, sh.initial_state((C,)))
+    np.testing.assert_array_equal(np.asarray(shard), np.asarray(single))
+    np.testing.assert_array_equal(np.asarray(st1.tail), np.asarray(st2.tail))
+
+
+def test_sharded_iq_complex_taps_bitwise(rng):
+    import jax
+
+    from tpu_sdr.shard import ShardedFastFIR, make_sdr_mesh
+
+    if len(jax.devices()) < 8:
+        pytest.skip("not enough devices")
+    h = sps.firwin(201, 0.2) * np.exp(2j * np.pi * 0.15 * np.arange(201))
+    f = FastFIR(h, nfft=2048, block=1024)
+    mesh = make_sdr_mesh(channel=2, time=4)
+    sh = ShardedFastFIR(f, mesh)
+    planes = rng.standard_normal((2, 2, 4 * 1024)).astype(np.float32)
+    single, st1 = f.process_planes(planes, f.initial_state((2,)))
+    shard, st2 = sh.process_planes(planes, sh.initial_state((2,)))
+    np.testing.assert_array_equal(np.asarray(shard), np.asarray(single))
+    np.testing.assert_array_equal(np.asarray(st1.tail), np.asarray(st2.tail))
+
+
+def test_sharded_streaming_chunks_bitwise(rng):
+    import jax
+
+    from tpu_sdr.shard import ShardedFastFIR, make_sdr_mesh
+
+    if len(jax.devices()) < 8:
+        pytest.skip("not enough devices")
+    h = sps.firwin(129, 0.4)
+    f = FastFIR(h, nfft=1024, block=512)
+    mesh = make_sdr_mesh(channel=1, time=8)
+    sh = ShardedFastFIR(f, mesh)
+    x = rng.standard_normal((2, 2 * sh.chunk_granularity)).astype(np.float32)
+    one, _ = f.process(x, f.initial_state((2,)))
+    st = sh.initial_state((2,))
+    parts = []
+    for i in range(2):
+        o, st = sh.process(
+            x[..., i * sh.chunk_granularity : (i + 1) * sh.chunk_granularity],
+            st)
+        parts.append(np.asarray(o))
+    np.testing.assert_array_equal(np.concatenate(parts, -1), np.asarray(one))
+
+
+def test_sharded_validation(rng):
+    import jax
+
+    from tpu_sdr.shard import ShardedFastFIR, make_sdr_mesh
+
+    if len(jax.devices()) < 4:
+        pytest.skip("not enough devices")
+    f = FastFIR(sps.firwin(129, 0.3), nfft=1024, block=512)
+    sh = ShardedFastFIR(f, make_sdr_mesh(channel=1, time=4))
+    with pytest.raises(ValueError, match="divide over"):
+        sh.process(np.zeros((2, 514), np.float32), sh.initial_state((2,)))
+    with pytest.raises(ValueError, match="not a multiple"):
+        sh.process(np.zeros((2, 4 * 256), np.float32),
+                   sh.initial_state((2,)))
+
+
 def test_custom_block_rounds_granularity(rng):
     h = sps.firwin(129, 0.3)
     f = FastFIR(h, nfft=1024, block=768)  # round number, extra overlap

@@ -13,4 +13,5 @@ from tpu_sdr.shard.demod import (  # noqa: F401
     ShardedSSBDemodulator,
 )
 from tpu_sdr.shard.resample import ShardedResampler  # noqa: F401
+from tpu_sdr.shard.fastconv import ShardedFastFIR  # noqa: F401
 from tpu_sdr.shard.receiver import ShardedReceiver  # noqa: F401
