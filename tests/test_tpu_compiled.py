@@ -267,3 +267,48 @@ def test_compiled_fm_pallas_kernel(setup):
     c2, *_ = fm_demod_pallas(re[:, h:], im[:, h:], r2, i2, f2, **kw)
     got = np.concatenate([np.asarray(c1), np.asarray(c2)], axis=1)
     assert np.abs(got - np.asarray(a_pal)).max() < 1e-6
+
+
+def test_compiled_fastfir_vs_lfilter(setup):
+    """The overlap-save FastFIR compiled on the chip vs the scipy
+    lfilter float64 oracle, plus compiled chunked-vs-oneshot bitwise
+    invariance (locks the frame gather + DFT multiply ordering)."""
+    import scipy.signal as sps
+
+    from tpu_sdr.kernels.fastconv import FastFIR
+
+    h = sps.firwin(257, 0.23)
+    f = FastFIR(h, nfft=1024, block=512)
+    rng = np.random.default_rng(12)
+    x = rng.standard_normal((2, 4 * 512)).astype(np.float32)
+    one, _ = f.process(x, f.initial_state((2,)))
+    got = np.asarray(one, np.float64)
+    ref = sps.lfilter(h, 1.0, x.astype(np.float64))
+    scale = np.abs(ref).max()
+    assert np.abs(got - ref).max() / scale < 5e-6
+    st = f.initial_state((2,))
+    parts = []
+    for i in range(4):
+        o, st = f.process(x[..., i * 512 : (i + 1) * 512], st)
+        parts.append(np.asarray(o))
+    np.testing.assert_array_equal(np.concatenate(parts, -1), np.asarray(one))
+
+
+def test_compiled_burst_modem_loopback(setup):
+    """QPSK burst demod compiled on the chip: impaired loopback must
+    recover the exact bits (locks conv/timing/scan-tracker numerics)."""
+    from tpu_sdr.kernels.digital import BurstModem, bit_error_rate
+
+    rng = np.random.default_rng(13)
+    mod = BurstModem("qpsk", sps=8)
+    bits = rng.integers(2, size=512).astype(np.uint8)
+    re, im = mod.modulate(bits, pad_syms=mod.max_lag_syms + mod.span)
+    z = (re + 1j * im) * np.exp(
+        2j * np.pi * 2e-5 * np.arange(re.size) + 0.9j)
+    z = np.concatenate([np.zeros(19), z])
+    z += 0.01 * (rng.standard_normal(z.size)
+                 + 1j * rng.standard_normal(z.size))
+    out = mod.demodulate(z.real.astype(np.float32),
+                         z.imag.astype(np.float32), 512)
+    assert bit_error_rate(bits, out["bits"]) == 0.0
+    assert int(out["frame_lag"]) == 2
