@@ -358,6 +358,59 @@ def test_scan_endpoint(server):
     assert len(r["power_db"]) == 20
 
 
+def test_demod_burst_endpoint(server):
+    """POST /api/demod_burst recovers the exact bits of a QPSK burst
+    planted in the raw-sample ring (carrier mix-down included)."""
+    srv, backend = server
+    from tpu_sdr.kernels.digital import BurstModem
+
+    backend.stop_receiver()  # the live loop must not overwrite the ring
+    try:
+        rng = np.random.default_rng(0xB0B)
+        mod = BurstModem("qpsk", sps=8)
+        bits = rng.integers(2, size=512).astype(np.uint8)
+        re, im = mod.modulate(bits, pad_syms=mod.max_lag_syms + mod.span)
+        fs = backend.sa.cfg.sample_rate
+        fc = 150e3
+        z = (re + 1j * im) * np.exp(
+            2j * np.pi * fc / fs * np.arange(re.size) + 0.4j)
+        backend._scan_ring = np.concatenate(
+            [np.zeros(40), z]).astype(np.complex64)
+        r = _post(srv, "demod_burst",
+                  {"scheme": "qpsk", "bits": 512, "center_khz": fc / 1e3})
+        assert r["ok"] and r["n_bits"] == 512
+        padn = (-512) % 8
+        want = np.packbits(
+            np.concatenate([bits, np.zeros(padn, np.uint8)])).tobytes().hex()
+        assert r["bits_hex"] == want
+        assert r["frame_lag_syms"] == 5
+        pts = r["constellation"]
+        assert len(pts["re"]) == len(pts["im"]) >= 256
+        # unit-ring QPSK points after sync
+        rad = np.hypot(np.asarray(pts["re"]), np.asarray(pts["im"]))
+        assert np.all(np.abs(rad - 1.0) < 0.2)
+    finally:
+        backend.start_receiver()  # module-scoped fixture: restore the loop
+
+
+def test_demod_burst_validation(server):
+    srv, backend = server
+    import urllib.error
+
+    backend.stop_receiver()  # keep the planted empty ring empty
+    try:
+        backend._scan_ring = np.zeros(0, np.float32)
+        for body in ({"scheme": "qpsk"},              # missing bits
+                     {"scheme": "qpsk", "bits": 64}):  # empty ring
+            try:
+                _post(srv, "demod_burst", body)
+                assert False, "expected HTTP 400"
+            except urllib.error.HTTPError as e:
+                assert e.code == 400
+    finally:
+        backend.start_receiver()
+
+
 def test_trace_overlays(server):
     """Peak-hold / average detector traces ride frame_data when enabled."""
     srv, backend = server

@@ -687,6 +687,72 @@ class GuiBackend:
             ],
         }
 
+    def demod_burst(self, cfg: dict) -> dict:
+        """Demodulate a digital burst from the live raw-sample ring or a
+        ``.npy`` capture: {'scheme' (bpsk|qpsk|qam16|2fsk|4fsk), 'bits',
+        'sps', 'center_khz', 'path', 'max_lag_syms', 'symbol_rate_khz',
+        'deviation_khz'}. Returns the recovered payload bits as hex, the
+        sync estimates, and (linear schemes) decimated payload
+        constellation points for plotting."""
+        from tpu_sdr.kernels.digital import BurstModem, FSKModem
+
+        scheme = str(cfg.get("scheme", "qpsk"))
+        n_bits = int(cfg.get("bits", 0))
+        if n_bits < 1:
+            raise ValueError("bits must be a positive payload bit count")
+        fs = self.sa.cfg.sample_rate
+        path = cfg.get("path")
+        if path:
+            from tpu_sdr.runtime.source import FileSource
+
+            src = FileSource(str(path), fs=fs)
+            x = np.asarray(src.data[0])
+            fs = src.fs
+        else:
+            x = self._scan_ring  # snapshot: acquisition thread swaps it
+            if x.size < 1024:
+                raise ValueError(
+                    "raw-sample ring has too few samples; start the "
+                    "receiver and retry (or pass a capture 'path')")
+        z = x if np.iscomplexobj(x) else x.astype(np.complex128)
+        center = float(cfg.get("center_khz", 0.0)) * 1e3
+        if center:
+            z = z * np.exp(-2j * np.pi * center / fs * np.arange(z.size))
+        re = z.real.astype(np.float32)
+        im = z.imag.astype(np.float32)
+        extra: dict = {}
+        if scheme in ("2fsk", "4fsk"):
+            modem = FSKModem(
+                fs=fs,
+                symbol_rate=float(cfg.get("symbol_rate_khz", 125.0)) * 1e3,
+                deviation_hz=float(cfg.get("deviation_khz", 250.0)) * 1e3,
+                levels=2 if scheme == "2fsk" else 4)
+            out = modem.demodulate(re, im, n_bits)
+            extra["offset_samples"] = int(out["offset"])
+        else:
+            modem = BurstModem(
+                scheme, sps=int(cfg.get("sps", 8)),
+                max_lag_syms=int(cfg.get("max_lag_syms", 16)))
+            out = modem.demodulate(re, im, n_bits)
+            extra.update(
+                frame_lag_syms=int(out["frame_lag"]),
+                timing_samples=round(float(out["timing"]), 3),
+                cfo_cyc_per_sym=float(out["cfo"]),
+                phase_rad=round(float(out["phase"]), 3))
+            sr = np.asarray(out["symbols"][0]).reshape(-1)
+            si = np.asarray(out["symbols"][1]).reshape(-1)
+            k = max(1, sr.size // 512)
+            extra["constellation"] = {
+                "re": np.round(sr[::k], 4).tolist(),
+                "im": np.round(si[::k], 4).tolist()}
+        bits = np.asarray(out["bits"]).reshape(-1)
+        padn = (-bits.size) % 8
+        hexstr = np.packbits(
+            np.concatenate([bits, np.zeros(padn, np.uint8)])).tobytes().hex()
+        self.status(f"burst: {scheme} {n_bits} bits demodulated")
+        return {"ok": True, "scheme": scheme, "n_bits": n_bits,
+                "bits_hex": hexstr, **extra}
+
     # ---------------- live audio demod (the 'listen' feature) -------------
 
     def _audio_step(self, x):
