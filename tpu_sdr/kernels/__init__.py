@@ -14,3 +14,5 @@ from tpu_sdr.kernels.iqcorr import IQCorrector  # noqa: F401
 from tpu_sdr.kernels import digital  # noqa: F401
 from tpu_sdr.kernels.fastconv import FastFIR  # noqa: F401
 from tpu_sdr.kernels.digital import BurstModem, FSKModem  # noqa: F401
+from tpu_sdr.kernels import fec  # noqa: F401
+from tpu_sdr.kernels.fec import ConvCode  # noqa: F401
