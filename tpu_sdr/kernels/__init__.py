@@ -11,6 +11,7 @@ from tpu_sdr.kernels.demod import (  # noqa: F401
     SSBDemodulator,
 )
 from tpu_sdr.kernels.iqcorr import IQCorrector  # noqa: F401
+from tpu_sdr.kernels.stereo import StereoDecoder  # noqa: F401
 from tpu_sdr.kernels import digital  # noqa: F401
 from tpu_sdr.kernels.fastconv import FastFIR  # noqa: F401
 from tpu_sdr.kernels.digital import BurstModem, FSKModem  # noqa: F401

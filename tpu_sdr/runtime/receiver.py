@@ -47,6 +47,7 @@ from tpu_sdr.kernels.demod import (
     SquelchState,
 )
 from tpu_sdr.kernels.resample import Resampler, ResamplerState
+from tpu_sdr.kernels.stereo import StereoDecoder, StereoDecoderState
 
 MODES = ("wbfm", "nbfm", "am", "usb", "lsb")
 
@@ -65,12 +66,14 @@ class ReceiverState:
 
     def __init__(self, ddc: DDCState, demod: DemodState,
                  agc: AGCState | None, resamp: ResamplerState,
-                 squelch: SquelchState | None = None):
+                 squelch: SquelchState | None = None,
+                 stereo: StereoDecoderState | None = None):
         self.ddc = ddc
         self.demod = demod
         self.agc = agc
         self.resamp = resamp
         self.squelch = squelch
+        self.stereo = stereo
 
     def to_numpy(self) -> dict:
         d = {"ddc": self.ddc.to_numpy(), "demod": self.demod.to_numpy(),
@@ -79,6 +82,8 @@ class ReceiverState:
             d["agc"] = self.agc.to_numpy()
         if self.squelch is not None:
             d["squelch"] = self.squelch.to_numpy()
+        if self.stereo is not None:
+            d["stereo"] = self.stereo.to_numpy()
         return d
 
     @classmethod
@@ -89,6 +94,8 @@ class ReceiverState:
             AGCState.from_numpy(d["agc"]) if "agc" in d else None,
             ResamplerState.from_numpy(d["resamp"]),
             SquelchState.from_numpy(d["squelch"]) if "squelch" in d else None,
+            StereoDecoderState.from_numpy(d["stereo"]) if "stereo" in d
+            else None,
         )
 
 
@@ -104,9 +111,12 @@ class Receiver:
                  mode: str = "wbfm", audio_rate: float = 48_000.0,
                  agc_mu: float = 2e-3, taps_per_phase: int = 12,
                  max_resample_den: int = 512,
-                 squelch_db: float | None = None):
+                 squelch_db: float | None = None,
+                 stereo: bool = False):
         if mode not in MODES:
             raise ValueError(f"mode must be one of {MODES}; got {mode!r}")
+        if stereo and mode != "wbfm":
+            raise ValueError(f"stereo decoding is a wbfm feature; got {mode!r}")
         self.fs = float(fs)
         self.mode = mode
         bw, dev, tau = _PRESETS[mode]
@@ -125,10 +135,23 @@ class Receiver:
             self._sideband_shift = 0.0
         self.ddc = DDC(fs=self.fs, center_hz=center_hz + self._sideband_shift,
                        decimation=r, taps_per_phase=taps_per_phase)
+        self.stereo_enabled = bool(stereo)
+        self.stereo_dec = None
         if mode in ("wbfm", "nbfm"):
-            self.demod = FMDemodulator(self.baseband_rate, deviation_hz=dev,
-                                       deemphasis_tau=tau)
+            # Stereo: the demodulator emits the RAW multiplex (de-emphasis
+            # would crush the 23-53 kHz DSB subband); the decoder applies
+            # per-channel de-emphasis after the L/R matrix instead, and
+            # compensates the one-lag discriminator's sinc droop at the
+            # 38 kHz subcarrier.
+            self.demod = FMDemodulator(
+                self.baseband_rate, deviation_hz=dev,
+                deemphasis_tau=None if self.stereo_enabled else tau)
             self.agc = None
+            if self.stereo_enabled:
+                xsub = np.pi * 2.0 * 19_000.0 / self.baseband_rate
+                self.stereo_dec = StereoDecoder(
+                    self.baseband_rate, deemphasis_tau=tau,
+                    subcarrier_gain=float(xsub / np.sin(xsub)))
         elif mode == "am":
             self.demod = AMDemodulator(self.baseband_rate)
             self.agc = AGC(mu=agc_mu, ref=0.5)
@@ -151,6 +174,8 @@ class Receiver:
             block = math.lcm(block, self.agc.block)
         if self.squelch is not None:
             block = math.lcm(block, self.squelch.block)
+        if self.stereo_dec is not None:
+            block = math.lcm(block, self.stereo_dec.block)
         self.chunk_granularity = self.decimation * math.lcm(
             block, self.resampler.down)
 
@@ -168,12 +193,18 @@ class Receiver:
             self.ddc.initial_state(b),
             self.demod.initial_state(b),
             None if self.agc is None else self.agc.initial_state(b),
-            self.resampler.initial_state(b),
+            self.resampler.initial_state(
+                b + (2,) if self.stereo_dec is not None else b),
             None if self.squelch is None else self.squelch.initial_state(b),
+            None if self.stereo_dec is None
+            else self.stereo_dec.initial_state(b),
         )
 
     def _run(self, bb, state: ReceiverState, ddc_state: DDCState):
         audio, dm = self.demod.process(bb["re"], bb["im"], state.demod)
+        st_state = state.stereo
+        if self.stereo_dec is not None:
+            audio, st_state = self.stereo_dec.process(audio, state.stereo)
         agc_state = state.agc
         if self.agc is not None:
             audio, agc_state = self.agc.process_real(audio, state.agc)
@@ -181,9 +212,12 @@ class Receiver:
         if self.squelch is not None:
             gate, sq_state = self.squelch.gates(
                 bb["re"], bb["im"], state.squelch)
+            if self.stereo_dec is not None:
+                gate = gate[..., None, :]  # broadcast over the (L, R) axis
             audio = audio * gate
         audio, rs = self.resampler.process(audio, state.resamp)
-        return audio, ReceiverState(ddc_state, dm, agc_state, rs, sq_state)
+        return audio, ReceiverState(ddc_state, dm, agc_state, rs, sq_state,
+                                    st_state)
 
     def _check(self, t: int):
         if t % self.chunk_granularity:
@@ -217,14 +251,15 @@ class ReceiverBank:
     def __init__(self, fs: float = 1_000_000.0,
                  centers_hz=(100_000.0,), mode: str = "wbfm",
                  audio_rate: float = 48_000.0, agc_mu: float = 2e-3,
-                 taps_per_phase: int = 12, max_resample_den: int = 512):
+                 taps_per_phase: int = 12, max_resample_den: int = 512,
+                 stereo: bool = False):
         if len(centers_hz) < 1:
             raise ValueError("need at least one station")
         # A template Receiver supplies every preset + the shared stages.
         self._rx = Receiver(fs=fs, center_hz=float(centers_hz[0]), mode=mode,
                             audio_rate=audio_rate, agc_mu=agc_mu,
                             taps_per_phase=taps_per_phase,
-                            max_resample_den=max_resample_den)
+                            max_resample_den=max_resample_den, stereo=stereo)
         shift = self._rx._sideband_shift
         self.bank = DDCBank(
             fs=fs, centers_hz=[float(c) + shift for c in centers_hz],
@@ -263,8 +298,11 @@ class ReceiverBank:
             self.bank.initial_state(tuple(batch_shape)),
             rx.demod.initial_state(b),
             None if rx.agc is None else rx.agc.initial_state(b),
-            rx.resampler.initial_state(b),
+            rx.resampler.initial_state(
+                b + (2,) if rx.stereo_dec is not None else b),
             None if rx.squelch is None else rx.squelch.initial_state(b),
+            None if rx.stereo_dec is None
+            else rx.stereo_dec.initial_state(b),
         )
 
     def process(self, x, state: ReceiverState):
@@ -282,14 +320,20 @@ class ReceiverBank:
 
 
 def write_wav(path, audio, rate: float, peak: float = 0.9):
-    """Write mono/int16 WAV (stdlib ``wave``; no external deps). Audio is
-    normalized so its max |sample| maps to ``peak`` full scale."""
-    a = np.asarray(audio, np.float64).reshape(-1)
+    """Write int16 WAV (stdlib ``wave``; no external deps). Audio is
+    normalized so its max |sample| maps to ``peak`` full scale. Shape
+    (T,) writes mono; (C, T) with C in {1, 2} writes C channels
+    (a stereo ``Receiver``'s (2, T') output interleaves as L/R)."""
+    a = np.asarray(audio, np.float64)
+    if a.ndim == 1:
+        a = a[None, :]
+    if a.ndim != 2 or a.shape[0] not in (1, 2):
+        raise ValueError(f"audio must be (T,) or (C<=2, T); got {a.shape}")
     scale = peak / max(np.max(np.abs(a)), 1e-12)
     pcm = np.clip(a * scale * 32767.0, -32768, 32767).astype("<i2")
     with wave.open(str(path), "wb") as w:
-        w.setnchannels(1)
+        w.setnchannels(a.shape[0])
         w.setsampwidth(2)
         w.setframerate(int(round(rate)))
-        w.writeframes(pcm.tobytes())
+        w.writeframes(pcm.T.reshape(-1).tobytes())
     return path
