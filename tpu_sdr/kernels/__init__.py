@@ -17,3 +17,5 @@ from tpu_sdr.kernels.fastconv import FastFIR  # noqa: F401
 from tpu_sdr.kernels.digital import BurstModem, FSKModem  # noqa: F401
 from tpu_sdr.kernels import fec  # noqa: F401
 from tpu_sdr.kernels.fec import ConvCode  # noqa: F401
+from tpu_sdr.kernels import rds  # noqa: F401
+from tpu_sdr.kernels.rds import RDSDecoder, RDSEncoder  # noqa: F401
