@@ -760,3 +760,82 @@ def test_zoom_validation_and_state():
     assert st["zoom"]["enabled"] and st["zoom"]["m"] == 128
     backend.set_zoom({"enabled": False})
     assert not backend.zoom_cfg["enabled"]
+
+
+def test_audio_stereo_endpoint(server, tmp_path, monkeypatch):
+    """set_audio {'stereo': True} decodes the pilot multiplex: the saved
+    WAV is 2-channel with the L tone in channel 0 and the R tone in 1."""
+    import wave
+
+    from tpu_sdr.kernels.stereo import make_mpx
+
+    srv, backend = server
+    _post(srv, "stop_receiver")
+    monkeypatch.chdir(tmp_path)
+    try:
+        r = _post(srv, "set_audio", {"enabled": True, "center_khz": 250.0,
+                                     "mode": "wbfm", "stereo": True})
+        assert r["ok"] and backend.audio_cfg["stereo"]
+        fs = backend.sa.cfg.sample_rate
+        g = backend._audio_rt["rx"].chunk_granularity
+        n = np.arange(16 * g)
+        t = n / fs
+        mpx = make_mpx(0.6 * np.sin(2 * np.pi * 800 * t),
+                       0.6 * np.sin(2 * np.pi * 2000 * t), fs)
+        ph = 2 * np.pi * np.cumsum(250e3 + 75e3 * mpx) / fs
+        x = (0.5 * np.cos(ph)).astype(np.float32)
+        for i in range(0, x.size, 4 * g):
+            backend._audio_step(x[i: i + 4 * g])
+        out = _post(srv, "save_audio")
+        assert out["ok"]
+        with wave.open(out["path"], "rb") as w:
+            assert w.getnchannels() == 2
+            rate = w.getframerate()
+            pcm = np.frombuffer(w.readframes(w.getnframes()), "<i2")
+        a = pcm.astype(np.float64).reshape(-1, 2).T
+        a = a[:, a.shape[1] // 2:]  # post pilot lock
+        win = np.hanning(a.shape[1])
+
+        def tone(ch, f):
+            k = int(round(f * a.shape[1] / rate))
+            spec = np.abs(np.fft.rfft(a[ch] * win)) ** 2
+            return spec[k - 2: k + 3].max()
+
+        assert 10 * np.log10(tone(0, 800) / tone(0, 2000)) > 15
+        assert 10 * np.log10(tone(1, 2000) / tone(1, 800)) > 15
+        # stereo demands wbfm
+        import urllib.error
+
+        with pytest.raises(urllib.error.HTTPError):
+            _post(srv, "set_audio", {"mode": "am", "stereo": True})
+    finally:
+        _post(srv, "set_audio", {"enabled": False, "stereo": False,
+                                 "mode": "wbfm"})
+        _post(srv, "start_receiver")
+
+
+def test_rds_endpoint(server):
+    """POST /api/rds decodes PI/PS from an FM+RDS signal planted in the
+    raw-sample ring."""
+    from tpu_sdr.kernels.rds import RDSEncoder, make_mpx_rds
+
+    srv, backend = server
+    backend.stop_receiver()
+    try:
+        fs = backend.sa.cfg.sample_rate
+        n = int(2.0 * fs)
+        t = np.arange(n) / fs
+        enc = RDSEncoder(pi=0xF00D, pty=7, ps="GUI TEST")
+        mpx = make_mpx_rds(0.4 * np.sin(2 * np.pi * 900 * t),
+                           0.4 * np.sin(2 * np.pi * 1700 * t), fs, enc,
+                           n_groups=32)
+        ph = 2 * np.pi * np.cumsum(200e3 + 75e3 * mpx) / fs
+        backend._scan_ring = (0.5 * np.cos(ph)).astype(np.float32)
+        r = _post(srv, "rds", {"center_khz": 200.0})
+        assert r["ok"]
+        assert r["pi"] == "F00D"
+        assert r["pty"] == 7
+        assert r["ps"] == "GUI TEST"
+        assert r["block_error_rate"] < 0.3
+    finally:
+        backend.start_receiver()

@@ -93,10 +93,12 @@ class GuiBackend:
             "center_khz": 100.0,
             "mode": "wbfm",
             "max_seconds": 30.0,
+            "stereo": False,
         }
         self._audio_rt = None
-        # Raw-sample ring for on-demand band scans (POST /api/scan): the
-        # acquisition loop keeps the last ~0.5 s of channel-0 samples.
+        # Raw-sample ring for on-demand band scans (POST /api/scan), burst
+        # demodulation, and RDS decode: the acquisition loop keeps the last
+        # ~2 s of channel-0 samples (RDS needs ~1 s per PS name cycle).
         self._scan_ring = np.zeros(0, np.float32)
         self._scan_ring_len = 0  # set from cfg on first append
         # Blind IQ imbalance correction on complex sources
@@ -249,7 +251,7 @@ class GuiBackend:
             if self._scan_ring.dtype != xr.dtype:
                 self._scan_ring = np.zeros(0, xr.dtype)  # real<->IQ flip
             if not self._scan_ring_len:
-                self._scan_ring_len = int(0.5 * self.sa.cfg.sample_rate)
+                self._scan_ring_len = int(2.0 * self.sa.cfg.sample_rate)
             self._scan_ring = np.concatenate(
                 [self._scan_ring, np.asarray(xr)])[-self._scan_ring_len:]
             # audio demod taps every raw chunk too (carried receiver state)
@@ -650,8 +652,11 @@ class GuiBackend:
         hits (strongest first) + the full per-channel table."""
         from tpu_sdr.runtime.scanner import SpectrumScanner
 
-        ring = self._scan_ring  # snapshot: the acquisition thread swaps it
         fs = self.sa.cfg.sample_rate
+        # snapshot (the acquisition thread swaps the ring); the newest
+        # 0.5 s is plenty for occupancy and bounds the sweep's cost now
+        # that the ring holds ~2 s for RDS
+        ring = self._scan_ring[-int(0.5 * fs):]
         if ring.size < int(0.05 * fs):
             raise ValueError(
                 "scan ring has too few samples; start the receiver and retry")
@@ -709,7 +714,9 @@ class GuiBackend:
             x = np.asarray(src.data[0])
             fs = src.fs
         else:
-            x = self._scan_ring  # snapshot: acquisition thread swaps it
+            # snapshot the newest second (bounds the demod's cost now
+            # that the ring holds ~2 s for RDS)
+            x = self._scan_ring[-int(fs):]
             if x.size < 1024:
                 raise ValueError(
                     "raw-sample ring has too few samples; start the "
@@ -753,6 +760,77 @@ class GuiBackend:
         return {"ok": True, "scheme": scheme, "n_bits": n_bits,
                 "bits_hex": hexstr, **extra}
 
+    def rds_decode(self, cfg: dict) -> dict:
+        """Decode RDS from the live raw-sample ring or a ``.npy``
+        capture: {'center_khz' (FM carrier), 'path', 'deviation_khz'}.
+        Chain: DDC to the carrier -> quadrature discriminator (raw MPX)
+        -> `kernels.rds.RDSDecoder`. Returns PI/PS/RadioText and block
+        statistics; partial fields show as '_' until enough groups
+        arrive (the ring holds ~2 s)."""
+        from tpu_sdr.kernels.ddc import DDC
+        from tpu_sdr.kernels.demod import FMDemodulator
+        from tpu_sdr.kernels.rds import RDSDecoder
+
+        fs = self.sa.cfg.sample_rate
+        path = cfg.get("path")
+        if path:
+            from tpu_sdr.runtime.source import FileSource
+
+            src = FileSource(str(path), fs=fs)
+            x = np.asarray(src.data[0])
+            fs = src.fs
+        else:
+            x = self._scan_ring  # snapshot: acquisition thread swaps it
+            if x.size < int(0.2 * fs):
+                raise ValueError(
+                    "raw-sample ring has too few samples; start the "
+                    "receiver and retry (or pass a capture 'path')")
+        # pick an MPX rate that reaches the 19 kHz bit grid (>= 114 kHz
+        # so the 57 kHz subcarrier survives) with the CHEAPEST rational
+        # resample — phase count drives the resampler's trace size
+        dec = None
+        for r in range(int(fs // 114_000), 0, -1):
+            try:
+                cand = RDSDecoder(fs / r)
+            except ValueError:
+                continue
+            up = 1 if cand.resamp is None else cand.resamp.up
+            if dec is None or up < best_up:
+                dec, best_up = cand, up
+        if dec is None:
+            raise ValueError(f"no RDS-capable decimation from fs={fs}")
+        center = float(cfg.get("center_khz", 100.0)) * 1e3
+        ddc = DDC(fs, center_hz=center, decimation=int(round(fs / dec.fs)),
+                  taps_per_phase=12)
+        iq = bool(np.iscomplexobj(x))
+        t = (x.shape[-1] // (ddc.r * 128)) * (ddc.r * 128)
+        if iq:
+            planes = np.stack([x.real, x.imag])[:, :t].astype(np.float32)
+            bb, _ = ddc.process_planes(planes, ddc.initial_state())
+        else:
+            bb, _ = ddc.process(x[:t].astype(np.float32),
+                                ddc.initial_state())
+        fm = FMDemodulator(
+            dec.fs, deviation_hz=float(cfg.get("deviation_khz", 75.0)) * 1e3,
+            deemphasis_tau=None)
+        mpx, _ = fm.process(bb["re"], bb["im"], fm.initial_state())
+        res = dec.decode(np.asarray(mpx))
+        if res.pi is None:
+            self.status("rds: no groups decoded", ok=False)
+        else:
+            self.status(f"rds: PI={res.pi:04X} PS={res.ps_name!r}")
+        return {
+            "ok": True,
+            "pi": None if res.pi is None else f"{res.pi:04X}",
+            "pty": res.pty,
+            "tp": res.tp,
+            "ps": res.ps_name,
+            "radiotext": res.radiotext,
+            "groups": res.groups,
+            "n_blocks": res.n_blocks,
+            "block_error_rate": round(res.block_error_rate, 4),
+        }
+
     # ---------------- live audio demod (the 'listen' feature) -------------
 
     def _audio_step(self, x):
@@ -780,8 +858,9 @@ class GuiBackend:
         else:
             audio, rt["state"] = rt["rx"].process(
                 seg.astype(np.float32), rt["state"])
-        ring = np.concatenate([rt["audio"], np.asarray(audio, np.float32)])
-        rt["audio"] = ring[-rt["max_samples"]:]
+        ring = np.concatenate(
+            [rt["audio"], np.asarray(audio, np.float32)], axis=-1)
+        rt["audio"] = ring[..., -rt["max_samples"]:]
 
     def set_audio(self, cfg: dict) -> dict:
         """Enable/disable the live receiver: {'enabled', 'center_khz',
@@ -789,7 +868,7 @@ class GuiBackend:
         the receiver and clears the audio ring."""
         from tpu_sdr.runtime.receiver import MODES, Receiver
 
-        known = {"enabled", "center_khz", "mode", "max_seconds"}
+        known = {"enabled", "center_khz", "mode", "max_seconds", "stereo"}
         unknown = sorted(set(cfg) - known)
         ac = dict(self.audio_cfg)
         if "center_khz" in cfg:
@@ -801,14 +880,19 @@ class GuiBackend:
             ac["mode"] = mode
         if "max_seconds" in cfg:
             ac["max_seconds"] = float(np.clip(float(cfg["max_seconds"]), 1, 600))
+        if "stereo" in cfg:
+            ac["stereo"] = bool(cfg["stereo"])
         if "enabled" in cfg:
             ac["enabled"] = bool(cfg["enabled"])
+        if ac["stereo"] and ac["mode"] != "wbfm":
+            raise ValueError("stereo decoding is a wbfm feature")
         self.audio_cfg = ac
         if ac["enabled"]:
             rx = Receiver(
                 fs=self.sa.cfg.sample_rate,
                 center_hz=ac["center_khz"] * 1e3,
                 mode=ac["mode"],
+                stereo=ac["stereo"],
             )
             rate = float(rx.realized_audio_rate)
             self._audio_rt = {
@@ -819,13 +903,13 @@ class GuiBackend:
                     0,
                     np.complex64 if getattr(self, "_iq", False) else np.float32,
                 ),
-                "audio": np.zeros(0, np.float32),
+                "audio": np.zeros((2, 0) if ac["stereo"] else 0, np.float32),
                 "rate": rate,
                 "max_samples": int(ac["max_seconds"] * rate),
             }
             self.status(
-                f"audio on: {ac['mode']} at {ac['center_khz']:g} kHz "
-                f"-> {rate:.0f} Hz audio")
+                f"audio on: {ac['mode']}{' stereo' if ac['stereo'] else ''} "
+                f"at {ac['center_khz']:g} kHz -> {rate:.0f} Hz audio")
         else:
             self._audio_rt = None
             self.status("audio off")
@@ -847,7 +931,7 @@ class GuiBackend:
         path = os.path.join(
             "captures", _t.strftime("audio_%Y%m%d_%H%M%S.wav"))
         write_wav(path, rt["audio"], rt["rate"])
-        seconds = rt["audio"].size / rt["rate"]
+        seconds = rt["audio"].shape[-1] / rt["rate"]
         self.status(f"audio saved: {path} ({seconds:.1f} s)")
         return {"ok": True, "path": path, "seconds": round(seconds, 2),
                 "rate": rt["rate"]}
@@ -1156,7 +1240,7 @@ class GuiBackend:
                 **self.audio_cfg,
                 "buffered_seconds": (
                     0.0 if art is None
-                    else round(art["audio"].size / art["rate"], 2)
+                    else round(art["audio"].shape[-1] / art["rate"], 2)
                 ),
             },
             "stats": self.sa.stats.as_dict(),

@@ -21,6 +21,7 @@ POST endpoints mirroring the reference's SocketIO event set
   POST /api/stop_record         finalize; returns capture metadata
   POST /api/set_audio           {"enabled", "center_khz", "mode", "max_seconds"}
   POST /api/save_audio          write buffered audio -> captures/audio_<ts>.wav
+  POST /api/rds                 {"center_khz", "path"?, "deviation_khz"?}
   POST /api/demod_burst         {"scheme", "bits", "sps", "center_khz",
                                  "path"|live-ring} -> bits hex + sync
                                  estimates + constellation points
@@ -169,6 +170,8 @@ def _make_handler(backend: GuiBackend):
                     self._json(backend.scan_band(dict(args)))
                 elif route == "/api/demod_burst":
                     self._json(backend.demod_burst(dict(args)))
+                elif route == "/api/rds":
+                    self._json(backend.rds_decode(dict(args)))
                 elif route == "/api/generate_filter_preview":
                     self._json(backend.generate_filter_preview())
                 elif route == "/api/apply_filter_to_fpga":
