@@ -46,18 +46,89 @@ def test_filter_stage_bit_exact(setup):
     assert np.array_equal(dev, ref)
 
 
-def test_q15_magnitude_within_snr_of_float(setup):
-    """The integer path tracks the float pipeline within the quantization
-    SNR — the contract the fast path is held to, seen from the other side."""
+def test_q15_wire_ints_bit_exact_vs_oracle(setup):
+    """The pipeline's spectrum ints equal the NumPy xfft-schedule oracle over
+    the same filtered integers — the device integer FFT is bit-faithful."""
+    from tpu_sdr.kernels import fft_q15 as fq
+
     pipe, sos_q, x = setup
     out, _ = pipe.process(x)
-    mag_q = np.asarray(out["magnitude"])[0, 0]
-    # float reference with the same dequantized coefficients
-    sos_f = qf.dequantize_coeff_x64(sos_q)
-    res = golden.golden_pipeline(x.astype(np.float64) / 32768.0, sos=sos_f)
-    mag_f = res["magnitude"][0] * 32768.0  # rescale to q15 domain
-    snr = qf.q15_snr_db(mag_f, mag_q)
-    assert snr > 35.0, f"integer pipeline SNR {snr:.1f} dB"
+    filt = np.asarray(out["filtered_q15"])
+    ref_re, ref_im = fq.fft_q15_np(filt)
+    assert np.array_equal(np.asarray(out["spectrum_re_q15"]), ref_re)
+    assert np.array_equal(np.asarray(out["spectrum_im_q15"]), ref_im)
+
+
+def test_q15_float_path_within_measured_bound_of_integer_fft(setup):
+    """Float FFT x (1/N) stays within a few wire LSBs of the integer model —
+    the measured bound that justifies the fast float path + XFFT_WIRE_SCALE
+    default (VERDICT r1 item 1). Measured worst case on broadband Q15 noise
+    is ~5.6 LSB (rms ~1.1); we pin 8."""
+    pipe, sos_q, x = setup
+    out, _ = pipe.process(x)
+    filt = np.asarray(out["filtered_q15"]).astype(np.float64)
+    ref = np.fft.fft(filt, axis=-1) / filt.shape[-1]
+    err_re = np.asarray(out["spectrum_re_q15"]) - ref.real
+    err_im = np.asarray(out["spectrum_im_q15"]) - ref.imag
+    assert np.abs(err_re).max() <= 8.0, np.abs(err_re).max()
+    assert np.abs(err_im).max() <= 8.0, np.abs(err_im).max()
+    # magnitude is the GUI decode math over those ints
+    mag = np.asarray(out["magnitude"])
+    re_q = np.asarray(out["spectrum_re_q15"]).astype(np.float32)
+    im_q = np.asarray(out["spectrum_im_q15"]).astype(np.float32)
+    assert np.array_equal(mag, np.sqrt(re_q * re_q + im_q * im_q))
+
+
+def test_fft_q15_jax_matches_numpy_oracle():
+    from tpu_sdr.kernels import fft_q15 as fq
+
+    rng = np.random.default_rng(3)
+    x = (rng.standard_normal((2, 3, 1024)) * 9000).astype(np.int16)
+    jre, jim = fq.fft_q15(x)
+    nre, nim = fq.fft_q15_np(x)
+    assert np.array_equal(np.asarray(jre), nre)
+    assert np.array_equal(np.asarray(jim), nim)
+
+
+def test_fft_q15_full_scale_tone_level():
+    """Schedule-predicted wire level: |X[k0]| = A/2 under the 1/N default."""
+    from tpu_sdr.kernels import fft_q15 as fq
+
+    n, k0 = 16384, 300
+    x = np.rint(32767 * np.cos(2 * np.pi * k0 * np.arange(n) / n)).astype(np.int16)
+    re, im = fq.fft_q15_np(x)
+    assert abs(int(re[k0]) - 16383) <= 4
+    assert abs(int(im[k0])) <= 4
+    assert fq.xfft_wire_scale(n) == 2.0
+
+
+def test_rtl_misaligned_window_hand_vector():
+    """The RTL's 1-sample coefficient lag (hann8192.vhd:36-43), checked
+    against a hand-computed 8-sample vector: constant input x=16384 (Q15
+    0.5), ROM(8) = [-32768,-20431,7292,29523,29523,7292,-20431,-32768];
+    y[k] = (x*ROM[k-1] >> 15) + round bit, ROM[-1] wrapping to ROM[7]."""
+    x = np.full(8, 16384, dtype=np.int16)
+    aligned = golden.rtl_window_q15(x, n=8)
+    mis = golden.rtl_window_q15(x, n=8, misaligned=True)
+    assert aligned.tolist() == [-16384, -10215, 3646, 14762, 14762, 3646, -10215, -16384]
+    assert mis.tolist() == [-16384, -16384, -10215, 3646, 14762, 14762, 3646, -10215]
+    # the lag is exactly a 1-slot rotation of the coefficient stream
+    assert mis.tolist() == [aligned.tolist()[-1]] + aligned.tolist()[:-1]
+
+
+def test_q15_pipeline_misaligned_window_option(setup):
+    pipe, sos_q, x = setup
+    mis = Q15Pipeline(PipelineConfig(channels=1), rtl_misaligned_window=True)
+    mis.upload_sos_q(sos_q)
+    out, _ = mis.process(x)
+    dev = np.asarray(out["windowed_q15"]).reshape(-1)
+    ref = np.concatenate(
+        [
+            golden.rtl_window_q15(x[:16384], misaligned=True),
+            golden.rtl_window_q15(x[16384:], misaligned=True),
+        ]
+    )
+    assert np.array_equal(dev, ref)
 
 
 def test_q15_state_carry_bit_exact(setup):

@@ -1,0 +1,120 @@
+"""Serial edge adapter: pty loopback of the reference UART host path.
+
+The reference drives real hardware over a COM port
+(``fft_analyzer_gui.py:464-553``); here the same framing flows through an
+actual ``/dev/pts`` device pair — one side plays the FPGA (0xA5-triggered
+frame drain, ``sequ2.vhd`` U_IDLE2->U_READ), the other the GUI host.
+"""
+
+import os
+import threading
+import time
+
+import numpy as np
+import pytest
+
+from tpu_sdr.transport.framing import (
+    FRAME_SIZE_BYTES,
+    decode_frame,
+    spectrum_to_frame_bytes,
+)
+from tpu_sdr.transport.serial_port import FdSerial, SerialTransport, make_raw_pty
+
+
+def _frame(seed=0):
+    rng = np.random.default_rng(seed)
+    re = (rng.standard_normal(16384) * 800).astype(np.float32)
+    im = (rng.standard_normal(16384) * 800).astype(np.float32)
+    return spectrum_to_frame_bytes(re, im, scale=1.0)
+
+
+@pytest.fixture()
+def pty_pair():
+    m, s = make_raw_pty()
+    fpga = SerialTransport(FdSerial(m, timeout=0.05))
+    host = SerialTransport(FdSerial(s, timeout=0.05))
+    yield fpga, host
+    fpga.close()
+    host.close()
+
+
+def test_pty_full_frame_end_to_end(pty_pair):
+    """One 65,536-byte frame streams through a real pty device pair."""
+    fpga, host = pty_pair
+    frame = _frame(1)
+    tx = threading.Thread(target=fpga.send_frame_bytes, args=(frame,))
+    tx.start()
+    got = host.read_frames(1, timeout=10.0)
+    tx.join()
+    assert got == [frame]
+    re, im, mag = decode_frame(got[0])
+    assert np.isfinite(mag).all()
+
+
+def test_pty_request_frame_transaction(pty_pair):
+    """The reference's 0xA5 transaction: command out, one frame back."""
+    fpga, host = pty_pair
+    frame = _frame(2)
+    stop = threading.Event()
+    sim = threading.Thread(
+        target=fpga.serve_frames, args=(lambda: frame, stop), daemon=True
+    )
+    sim.start()
+    try:
+        got = host.request_frame(timeout=10.0)
+        assert got == frame
+        got2 = host.request_frame(timeout=10.0)
+        assert got2 == frame
+        assert host.deframer.frames_received == 2
+    finally:
+        stop.set()
+        sim.join(timeout=5.0)
+
+
+def test_pty_baud_pacing_230400_equivalent(pty_pair):
+    """Baud pacing throttles the byte stream: at 230,400-equivalent x100
+    (22.9 kB per 0.01 s-equivalent), a 64 KiB frame takes >= 80% of the
+    nominal 10*bytes/baud wire time. (The real 230,400 rate => 2.84 s/frame,
+    too slow for a unit test; the pacing code path is rate-independent.)"""
+    fpga, host = pty_pair
+    baud = 230_400 * 100
+    fpga.framer.baud = baud
+    frame = _frame(3)
+    t0 = time.monotonic()
+    tx = threading.Thread(target=fpga.send_frame_bytes, args=(frame,))
+    tx.start()
+    got = host.read_frames(1, timeout=10.0)
+    tx.join()
+    elapsed = time.monotonic() - t0
+    assert got == [frame]
+    nominal = FRAME_SIZE_BYTES * 10.0 / baud  # 8N1: 10 wire bits per byte
+    assert elapsed >= 0.8 * nominal, (elapsed, nominal)
+
+
+def test_open_serial_falls_back_to_fd(tmp_path):
+    """open_serial works without pyserial on any rw device-ish path (here a
+    pty slave by name, the literal /dev/pts mapping)."""
+    import tty
+
+    m, s = os.openpty()
+    for fd in (m, s):
+        tty.setraw(fd)
+    name = os.ttyname(s)
+    from tpu_sdr.transport.serial_port import open_serial
+
+    port = open_serial(name, timeout=0.05)
+    try:
+        os.write(m, b"\x55\xa5")
+        time.sleep(0.05)
+        assert port.read(2) == b"\x55\xa5"
+        port.write(b"\xff")
+        os.set_blocking(m, False)
+        time.sleep(0.05)
+        assert os.read(m, 1) == b"\xff"
+    finally:
+        port.close()
+        for fd in (m, s):
+            try:
+                os.close(fd)
+            except OSError:
+                pass

@@ -26,11 +26,23 @@ def _spectrum(seed=0):
 
 def test_frame_roundtrip():
     re, im = _spectrum()
-    frame = spectrum_to_frame_bytes(re, im)
+    frame = spectrum_to_frame_bytes(re, im, scale=1.0)
     assert len(frame) == FRAME_SIZE_BYTES
     re2, im2, mag = decode_frame(frame)
     assert np.max(np.abs(re2 - np.rint(re))) <= 0
     assert np.allclose(mag, np.sqrt(re2**2 + im2**2))
+
+
+def test_default_scale_is_hardware_faithful():
+    """Default quantization models the xfft 1/N schedule: wire LSBs are
+    2^15/N per unit float amplitude (framing.XFFT_WIRE_SCALE)."""
+    from tpu_sdr.transport.framing import XFFT_WIRE_SCALE, N_BINS
+
+    assert XFFT_WIRE_SCALE == 32768.0 / N_BINS == 2.0
+    re, im = _spectrum()
+    r_def, _, _ = decode_frame(spectrum_to_frame_bytes(re, im))
+    r_exp, _, _ = decode_frame(spectrum_to_frame_bytes(re, im, XFFT_WIRE_SCALE))
+    assert np.array_equal(r_def, r_exp)
 
 
 def test_frame_saturation():
@@ -138,7 +150,7 @@ def test_udp_loopback_end_to_end():
     tx = UdpSpectrumSender("127.0.0.1", rx.port)
     re, im = _spectrum(6)
     for _ in range(3):
-        tx.send_spectrum(re, im)
+        tx.send_spectrum(re, im, scale=1.0)
     deadline = time.time() + 5.0
     while len(got) < 3 and time.time() < deadline:
         time.sleep(0.02)
@@ -238,7 +250,7 @@ class TestNativeUdp:
         assert (tx._native is not None) == ntx
         re, im = _spectrum(8)
         for _ in range(3):
-            tx.send_spectrum(re, im)
+            tx.send_spectrum(re, im, scale=1.0)
         deadline = time.time() + 5.0
         while len(got) < 3 and time.time() < deadline:
             time.sleep(0.02)

@@ -61,16 +61,35 @@ def hann_q16_rom(n: int = N_DEFAULT) -> np.ndarray:
     return np.clip(q, qf.INT16_MIN, qf.INT16_MAX).astype(np.int16)
 
 
-def rtl_window_q15(x_q15: np.ndarray, phase: int = 0, n: int = N_DEFAULT) -> np.ndarray:
+def rtl_window_q15(
+    x_q15: np.ndarray,
+    phase: int = 0,
+    n: int = N_DEFAULT,
+    misaligned: bool = False,
+) -> np.ndarray:
     """Bit-exact RTL window path: ROM lookup + (x*w)>>15 half-LSB rounding.
 
     ``phase`` is the window address counter value at the first sample
-    (``src/hann8192.vhd:41-44`` wraps it mod 16384). The RTL's extra
-    2-sample coefficient/sample misalignment (SURVEY.md §2.1) is NOT
-    reproduced — intended semantics align coefficient k with sample k.
+    (``src/hann8192.vhd:41-44`` wraps it mod 16384).
+
+    ``misaligned=True`` additionally reproduces the RTL's
+    coefficient/sample misalignment (SURVEY.md §2.1, quirks register item
+    (b)): in ``src/hann8192.vhd:36-43`` all three pipeline registers update
+    in one clocked process, so ``product <= sample_in * coef_s`` uses the
+    coefficient latched on the PREVIOUS cycle — sample k is multiplied by
+    ROM[k-1]. In steady streaming the address counter wraps mod N, so
+    sample 0 of a frame meets ROM[N-1] carried over from the previous frame
+    (the very first frame after reset sees an undefined ``coef_s``; we model
+    the steady state). The further one-cycle output-register delay is pure
+    latency: the downstream frame sequencer counts ``valid`` pulses, so it
+    does not shift frame contents.
+
+    Default (``misaligned=False``) is the intended alignment: coefficient k
+    with sample k.
     """
     rom = hann_q16_rom(n)
-    idx = (phase + np.arange(len(x_q15))) % n
+    lag = 1 if misaligned else 0
+    idx = (phase + np.arange(len(x_q15)) - lag) % n
     return qf.window_multiply_q15(np.asarray(x_q15, np.int16), rom[idx])
 
 

@@ -15,8 +15,10 @@ Contract (with reference citations):
   (``scripts/fft_analyzer_gui.py:159-179``); the *intended* engine scale is
   /64 (designer preview semantics), while the RTL truncates products >> 7
   (= /128, ``imp/filter_iir.vhd:83-87``) — a documented divergence;
-- FFT: scaled fixed-point with truncation in the reference IP; our int path
-  uses round-half-away shifts per stage instead and documents the difference.
+- FFT: scaled fixed-point with truncation in the reference IP (default 1/N
+  schedule — the RTL never writes the config channel); the integer path
+  models it per-stage in ``tpu_sdr/kernels/fft_q15.py`` (schedule-faithful
+  truncating shifts, Q15 twiddles), yielding the int16 wire words.
 """
 
 from __future__ import annotations

@@ -46,6 +46,16 @@ class GuiBackend:
         # display_mode: 'magnitude' | 'real' | 'imag' | 'power' — the
         # reference GUI's plot toggles (index.html:304-306)
         self.display_mode = "magnitude"
+        # Display calibration: the FPGA GUI plots magnitudes of the int16
+        # wire words, which carry the xfft default 1/N scaling
+        # (ip/xfft_0/xfft_0.xci; the RTL never writes s_axis_config,
+        # dsp_system_top.vhd:534-536). Our pipeline plots float spectra, so
+        # we apply XFFT_WIRE_SCALE (= 2^15/N = 2.0) to display in the same
+        # wire-LSB units a GUI calibrated against the FPGA would read.
+        # Set to 1.0 for raw float units.
+        from tpu_sdr.transport.framing import XFFT_WIRE_SCALE
+
+        self.wire_calibration = float(XFFT_WIRE_SCALE)
         self.filter_config = {
             "kind": "butterworth",
             "btype": "lowpass",
@@ -232,6 +242,11 @@ class GuiBackend:
                 im = np.asarray(out["im"])[0, -1]
                 disp = re if mode == "real" else im
                 wf_mag = np.hypot(re, im)
+            # hardware wire-LSB calibration (see __init__.wire_calibration)
+            cal = self.wire_calibration
+            if cal != 1.0:
+                disp = disp * (cal * cal if mode == "power" else cal)
+                wf_mag = wf_mag * cal
             now = time.monotonic()
             self._fps_window = [t for t in self._fps_window + [now] if now - t < 1.0]
             # zoom taps EVERY raw chunk (it accumulates subchannel samples

@@ -5,7 +5,9 @@ reproduces the reference's integer arithmetic exactly where it is defined
 (SURVEY.md §2.6 contract):
 
 - window: int16 ROM (= clip(round((hann-0.5)*2^16))) with the RTL's
-  (x*w)>>15 + half-LSB rounding — bit-exact vs ``golden.rtl_window_q15``.
+  (x*w)>>15 + half-LSB rounding — bit-exact vs ``golden.rtl_window_q15``;
+  ``rtl_misaligned_window=True`` additionally reproduces the RTL's 1-sample
+  coefficient lag (ROM[k-1] applied to sample k, quirks register item (b)).
   NOTE: this deliberately includes the RTL's offset-window quirk (the ROM
   encodes hann-0.5, so the effective window is -cos): pure tones appear
   split into the two ADJACENT bins with the center suppressed, exactly as
@@ -15,12 +17,19 @@ reproduces the reference's integer arithmetic exactly where it is defined
   (the *intended* /64 scale; the RTL's /128 quirk is modeled separately in
   ``golden.rtl_biquad12_quirky``) — bit-exact vs
   ``golden.sosfilt_q15_intended``;
-- FFT/magnitude: float over the integer samples (the reference IP's exact
-  per-stage truncation schedule is proprietary; our accuracy tests bound the
-  difference within the Q15 quantization SNR instead).
+- FFT: the scaled 16-bit fixed-point model of the xfft core's default
+  configuration — 1/N scaling schedule, truncation rounding, Q15 phase
+  factors (``kernels/fft_q15.py``; the RTL never writes the config channel,
+  ``dsp_system_top.vhd:534-536``). Output ``spectrum_re_q15/_im_q15`` are
+  the int16 words the FPGA drains onto the wire (``sequ2.vhd:153``); the
+  model is schedule-faithful (gate-level rounding points are proprietary)
+  and the float path is bound against it within a few wire LSBs
+  (``tests/test_q15.py``);
+- magnitude: the GUI decode math over those wire ints
+  (``fft_analyzer_gui.py:256-260``).
 
-Inherently sequential (saturation is nonlinear) — this is a correctness
-oracle and A/B tool, not a throughput path.
+The filter is inherently sequential (saturation is nonlinear) — this is a
+correctness oracle and A/B tool, not a throughput path.
 """
 
 from __future__ import annotations
@@ -31,17 +40,26 @@ import numpy as np
 
 from tpu_sdr.core.config import PipelineConfig
 from tpu_sdr.core import qformat as qf
-from tpu_sdr.kernels import biquad, fft, magnitude, window
+from tpu_sdr.kernels import biquad, fft_q15, window
 
 
 class Q15Pipeline:
     """Bit-faithful integer chain: q15 samples -> q15 filtered -> spectra."""
 
-    def __init__(self, cfg: PipelineConfig | None = None):
+    def __init__(
+        self,
+        cfg: PipelineConfig | None = None,
+        rtl_misaligned_window: bool = False,
+    ):
         self.cfg = cfg or PipelineConfig()
         n = self.cfg.fft_size
-        self.rom = window.hann_q16_rom(n)
-        self.plan = fft.plan_constants(self.cfg.fft_n1, self.cfg.fft_n2)
+        rom = np.asarray(window.hann_q16_rom(n))
+        if rtl_misaligned_window:
+            # The RTL applies ROM[k-1] to sample k (one-process pipeline lag,
+            # src/hann8192.vhd:36-43; steady-state counter wrap gives sample 0
+            # ROM[N-1]) — see golden.rtl_window_q15(misaligned=True).
+            rom = np.roll(rom, 1)
+        self.rom = jnp.asarray(rom)
         self.sos_q: np.ndarray | None = None
         self._jit = jax.jit(self._process)
 
@@ -61,12 +79,18 @@ class Q15Pipeline:
         y, zf = biquad.sosfilt_q15_scan(
             sos_q, xw.reshape(*lead, -1), zi
         )  # bit-exact intended integer filter
-        yf = y.reshape(*lead, -1, n).astype(jnp.float32)
-        fr, fi = fft.fft_4step(yf, None, self.plan, precision="highest")
+        yq = y.reshape(*lead, -1, n)
+        # scaled fixed-point FFT: the int16 wire words (sequ2.vhd:153)
+        fr_q, fi_q = fft_q15.fft_q15(yq)
+        fr = fr_q.astype(jnp.float32)
+        fi = fi_q.astype(jnp.float32)
         return {
             "windowed_q15": xw,
-            "filtered_q15": y.reshape(*lead, -1, n),
-            "magnitude": magnitude.magnitude(fr, fi),
+            "filtered_q15": yq,
+            "spectrum_re_q15": fr_q,
+            "spectrum_im_q15": fi_q,
+            # GUI decode math over the wire ints (fft_analyzer_gui.py:256-260)
+            "magnitude": jnp.sqrt(fr * fr + fi * fi),
         }, zf
 
     def process(self, x_q15, zi=None):

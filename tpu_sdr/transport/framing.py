@@ -28,22 +28,51 @@ PACKET_DATA_SIZE = 1024
 ETHERNET_PAYLOAD_SIZE = 1025
 N_BINS = 16384
 
+# Hardware-faithful float->wire scale. The reference FFT core runs the xfft
+# default scaling schedule (the RTL never writes s_axis_config,
+# ``imports/new/dsp_system_top.vhd:534-536``; ``ip/xfft_0/xfft_0.xci``
+# scaling_options=scaled, rounding_modes=truncation), an overall 1/N shift —
+# so the int16 words on the wire are (1/N)*FFT(x_int16) = (2^15/N)*FFT(x_float)
+# for Q15-normalized float samples. 2.0 at N = 16384. Derivation and the
+# per-stage integer model: ``tpu_sdr/kernels/fft_q15.py``.
+XFFT_WIRE_SCALE = 32768.0 / N_BINS
 
-def quantize_spectrum_q15(re: np.ndarray, im: np.ndarray, scale: float = 1.0):
+
+def quantize_spectrum_q15(
+    re: np.ndarray, im: np.ndarray, scale: float | None = None
+):
     """Float spectra -> int16 re/im with saturation.
 
     The reference FFT IP emits scaled 16-bit fixed point directly; our engine
     computes float32, so the wire layer applies an explicit scale then
     saturates — keeping the GUI contract (int16 LE) while the in-framework
-    consumer can always ask for float.
+    consumer can always ask for float. The default scale is
+    ``XFFT_WIRE_SCALE``, the level implied by the reference core's scaling
+    schedule, so wire amplitudes match a GUI calibrated against the FPGA;
+    pass ``scale=1.0`` for raw pass-through quantization.
     """
+    if scale is None:
+        scale = XFFT_WIRE_SCALE
     r = np.clip(np.rint(np.asarray(re) * scale), -32768, 32767).astype("<i2")
     i = np.clip(np.rint(np.asarray(im) * scale), -32768, 32767).astype("<i2")
     return r, i
 
 
+def frame_bytes_from_q15(re_q: np.ndarray, im_q: np.ndarray) -> bytes:
+    """Already-quantized int16 spectra (e.g. the Q15 pipeline's wire ints,
+    ``runtime/q15.py``) -> the 65,536-byte wire frame, no rescaling."""
+    re_q = np.asarray(re_q).astype("<i2")
+    im_q = np.asarray(im_q).astype("<i2")
+    if re_q.shape[-1] != N_BINS:
+        raise ValueError(f"expected {N_BINS} bins, got {re_q.shape[-1]}")
+    inter = np.empty(2 * N_BINS, dtype="<i2")
+    inter[0::2] = re_q
+    inter[1::2] = im_q
+    return inter.tobytes()
+
+
 def spectrum_to_frame_bytes(
-    re: np.ndarray, im: np.ndarray, scale: float = 1.0
+    re: np.ndarray, im: np.ndarray, scale: float | None = None
 ) -> bytes:
     """One complex spectrum (N bins) -> the 65,536-byte wire frame."""
     re_q, im_q = quantize_spectrum_q15(re, im, scale)
@@ -101,14 +130,33 @@ class MultiPacketAssembler:
 
     Mirrors the GUI's ``MultiPacketAssembler`` (``fft_analyzer_gui.py:308-352``):
     packets keyed by count byte; when all 64 slots fill, a frame is emitted;
-    slots older than ``stale_after`` seconds are evicted (loss recovery —
-    there is no retransmit in this protocol).
+    stale slots are evicted (loss recovery — there is no retransmit in this
+    protocol).
+
+    Two eviction policies (host-layer quirks register, PARITY.md):
+
+    - default (``per_slot_eviction=False``): when the OLDEST buffered packet
+      exceeds ``stale_after``, the whole partial frame is dropped — every
+      emitted frame is then guaranteed single-generation (all 64 packets
+      within one ``stale_after`` window);
+    - reference-faithful (``per_slot_eviction=True``): each slot is evicted
+      independently ``stale_after`` after ITS arrival, checked after every
+      add (``fft_analyzer_gui.py:341-347``) — under sustained loss the
+      reference can complete a frame from packets of different generations
+      (mixed-generation frame), which this mode reproduces.
     """
 
-    def __init__(self, stale_after: float = 3.5, clock=time.monotonic):
+    def __init__(
+        self,
+        stale_after: float = 3.5,
+        clock=time.monotonic,
+        per_slot_eviction: bool = False,
+    ):
         self.stale_after = stale_after
         self.clock = clock
+        self.per_slot_eviction = per_slot_eviction
         self._slots: dict[int, bytes] = {}
+        self._stamps: dict[int, float] = {}
         self._first_at: float | None = None
         self.frames_assembled = 0
         self.packets_dropped = 0
@@ -119,6 +167,8 @@ class MultiPacketAssembler:
             self.packets_dropped += 1
             return None
         now = self.clock()
+        if self.per_slot_eviction:
+            return self._add_per_slot(payload, now)
         if self._first_at is not None and now - self._first_at > self.stale_after:
             self.packets_dropped += len(self._slots)
             self._slots.clear()
@@ -133,4 +183,25 @@ class MultiPacketAssembler:
             self._first_at = None
             self.frames_assembled += 1
             return frame
+        return None
+
+    def _add_per_slot(self, payload: bytes, now: float) -> bytes | None:
+        """Reference eviction order (``fft_analyzer_gui.py:320-352``): store,
+        check completion, THEN evict per-slot — so the completing packet is
+        never evicted, and old slots may ride into the emitted frame."""
+        idx = payload[0]
+        if idx >= PACKETS_PER_FRAME:  # reference drops invalid indices
+            self.packets_dropped += 1
+            return None
+        self._slots[idx] = payload[1:]
+        self._stamps[idx] = now
+        if len(self._slots) == PACKETS_PER_FRAME:
+            frame = b"".join(self._slots[k] for k in range(PACKETS_PER_FRAME))
+            self._slots.clear()
+            self._stamps.clear()
+            self.frames_assembled += 1
+            return frame
+        for k in [k for k, t in self._stamps.items() if now - t > self.stale_after]:
+            del self._slots[k], self._stamps[k]
+            self.packets_dropped += 1
         return None

@@ -133,7 +133,11 @@ def crc32_raw(data: bytes, crc: int = 0xFFFFFFFF) -> int:
     return lib.crc32_raw(data, len(data), crc)
 
 
-def spectrum_to_frame_bytes(re, im, scale: float = 1.0) -> bytes:
+def spectrum_to_frame_bytes(re, im, scale: float | None = None) -> bytes:
+    if scale is None:
+        from tpu_sdr.transport.framing import XFFT_WIRE_SCALE
+
+        scale = XFFT_WIRE_SCALE
     lib = _load()
     if lib is None:
         from tpu_sdr.transport.framing import spectrum_to_frame_bytes as py

@@ -41,7 +41,7 @@ class UartFramer:
         self.chunk = chunk
         self.frames_sent = 0
 
-    def send_spectrum(self, re, im, scale: float = 1.0):
+    def send_spectrum(self, re, im, scale: float | None = None):
         self.send_frame_bytes(native.spectrum_to_frame_bytes(re, im, scale))
 
     def send_frame_bytes(self, frame: bytes):

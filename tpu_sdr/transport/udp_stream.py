@@ -51,7 +51,7 @@ class UdpSpectrumSender:
             self.sock.setsockopt(socket.SOL_SOCKET, socket.SO_BROADCAST, 1)
         self.frames_sent = 0
 
-    def send_spectrum(self, re, im, scale: float = 1.0):
+    def send_spectrum(self, re, im, scale: float | None = None):
         frame = native.spectrum_to_frame_bytes(re, im, scale)
         self.send_frame_bytes(frame)
 
