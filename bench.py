@@ -14,10 +14,16 @@ Methodology notes (this container's axon TPU tunnel):
 - host<->device sync round trips cost ~35 ms each, so naive per-dispatch
   timing measures the tunnel, not the chip. We time K=2 vs K=102 chained
   dispatches and take the slope — constant sync/launch overhead cancels;
-- every dispatch's input is derived from the PREVIOUS dispatch's output
-  (x <- x + f(out)), so the chain is structurally unique and serialized:
-  the relay's memoization of identical dispatches cannot replay it
-  (CLAUDE.md measurement discipline);
+- dispatch uniqueness: the carried StreamState (sos_state) is the previous
+  dispatch's real output and evolves every step, so the relay's
+  memoization of identical dispatches cannot replay the chain (CLAUDE.md
+  measurement discipline). This is VERIFIED before timing
+  (``assert_chain_unique``): if a refactor ever stops the state evolving,
+  the bench fails loudly instead of silently timing cache replays.
+  Folding the output into x (or into the state) OUTSIDE the jitted step
+  was measured at +3.3 ms/dispatch regardless of fold size — any host-side
+  jnp op between process calls costs a relay round trip — so the guard is
+  an assertion, not an extra dispatch (interleaved A/B/C, 2026-08-20);
 - optional tiers run only while the time budget (BENCH_BUDGET_S, default
   520 s) allows: the headline f32 number is never sacrificed to breadth.
 """
@@ -69,19 +75,26 @@ def measure_tier(dtype: str, C: int, F: int, reps: int = 7, k_long: int = 102):
 
     log(f"bench[{dtype} C={C} F={F}]: compiling...")
     t0 = time.time()
-    out, _ = pipe.process(x0, state0, FilterMode.CUSTOM)
+    out, st1 = pipe.process(x0, state0, FilterMode.CUSTOM)
     float(out["magnitude"].ravel()[0])
     log(f"bench[{dtype}]: compile+first call {time.time() - t0:.1f}s")
 
+    # Structural uniqueness guard: the carried state must evolve step to
+    # step (it is the previous dispatch's real output), else every chained
+    # dispatch would be identical and the relay would replay its cache.
+    _, st2 = pipe.process(x0, st1, FilterMode.CUSTOM)
+    s1, s2 = np.asarray(st1.sos_state), np.asarray(st2.sos_state)
+    assert not np.array_equal(s1, s2), (
+        "carried sos_state is not evolving across dispatches; the slope "
+        "chain would time relay cache replays — fix the pipeline/state "
+        "threading before trusting any number from this bench"
+    )
+
     def run_k(k: int) -> float:
-        st, x = state0, x0
+        st = state0
         t0 = time.perf_counter()
         for _ in range(k):
-            out, st = pipe.process(x, st, FilterMode.CUSTOM)
-            # fold the output back into the next input: structural dispatch
-            # uniqueness — the relay cannot memoize any step of the chain,
-            # and the chain serializes on device.
-            x = x + out["magnitude"][:, -1, 0:1] * 1e-12
+            out, st = pipe.process(x0, st, FilterMode.CUSTOM)
         float(out["magnitude"].ravel()[0])  # one sync at the end
         return time.perf_counter() - t0
 

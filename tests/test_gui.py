@@ -97,6 +97,24 @@ def test_designer_preview_and_apply(server):
     assert mags[0] > -6 and mags[-1] < -40
 
 
+def test_designer_preview_png(server):
+    """Rendered base64-PNG preview — the reference's
+    generate_filter_response_plot contract (fft_analyzer_gui.py:190-230)."""
+    pytest.importorskip("matplotlib")
+    srv, _ = server
+    _post(srv, "update_filter_config", {"kind": "butterworth", "order": 4,
+                                        "cutoff_hz": 100000.0})
+    p = _post(srv, "generate_filter_preview_png")
+    assert p["ok"]
+    prefix = "data:image/png;base64,"
+    assert p["image"].startswith(prefix)
+    import base64
+
+    raw = base64.b64decode(p["image"][len(prefix):])
+    assert raw[:8] == b"\x89PNG\r\n\x1a\n"  # PNG magic
+    assert len(raw) > 5000  # an actual rendered plot, not a stub
+
+
 def test_designer_invalid_cutoff_clean_error(server):
     srv, _ = server
     _post(srv, "update_filter_config", {"cutoff_hz": 900000.0, "kind": "butterworth", "order": 4})

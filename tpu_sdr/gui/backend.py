@@ -421,6 +421,53 @@ class GuiBackend(CaptureMixin, DisplayMixin, ZoomMixin, AudioScanMixin):
         self.emit("filter_preview", preview)
         return preview
 
+    def generate_filter_preview_png(self) -> dict:
+        """Rendered preview as a base64 PNG data URL — the reference's
+        ``generate_filter_response_plot`` contract
+        (``fft_analyzer_gui.py:190-230``): magnitude (dB) + phase (deg)
+        stacked subplots over 0..fs/2, returned as
+        ``data:image/png;base64,...``. Optional path (needs matplotlib,
+        Agg backend); the array preview above is the primary, client-
+        rendered path."""
+        try:
+            import matplotlib
+
+            matplotlib.use("Agg")
+            import matplotlib.pyplot as plt
+        except ImportError:
+            return {"ok": False, "error": "matplotlib not installed"}
+        try:
+            d = self._design()
+        except ValueError as e:
+            self.status(f"design error: {e}", ok=False)
+            return {"ok": False, "error": str(e)}
+        import base64
+        from io import BytesIO
+
+        import scipy.signal as sps
+
+        fs_khz = self.sa.cfg.sample_rate / 1e3
+        w, h = sps.sosfreqz(d.sos, worN=2048, fs=fs_khz)
+        fig, (ax_mag, ax_ph) = plt.subplots(2, 1, figsize=(10, 8))
+        try:
+            ax_mag.plot(w, 20 * np.log10(np.maximum(np.abs(h), 1e-10)))
+            ax_mag.set_title("Filter Frequency Response")
+            ax_mag.set_ylabel("Magnitude (dB)")
+            ax_mag.grid(True, alpha=0.3)
+            ax_mag.set_xlim(0, fs_khz / 2)
+            ax_ph.plot(w, np.angle(h, deg=True))
+            ax_ph.set_xlabel("Frequency (kHz)")
+            ax_ph.set_ylabel("Phase (degrees)")
+            ax_ph.grid(True, alpha=0.3)
+            ax_ph.set_xlim(0, fs_khz / 2)
+            fig.tight_layout()
+            buf = BytesIO()
+            fig.savefig(buf, format="png", dpi=100)
+        finally:
+            plt.close(fig)
+        url = "data:image/png;base64," + base64.b64encode(buf.getvalue()).decode()
+        return {"ok": True, "image": url}
+
     def apply_filter(self) -> dict:
         try:
             d = self._design()

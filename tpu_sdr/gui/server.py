@@ -174,6 +174,8 @@ def _make_handler(backend: GuiBackend):
                     self._json(backend.rds_decode(dict(args)))
                 elif route == "/api/generate_filter_preview":
                     self._json(backend.generate_filter_preview())
+                elif route == "/api/generate_filter_preview_png":
+                    self._json(backend.generate_filter_preview_png())
                 elif route == "/api/apply_filter_to_fpga":
                     self._json(backend.apply_filter())
                 else:
