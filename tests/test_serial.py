@@ -118,3 +118,21 @@ def test_open_serial_falls_back_to_fd(tmp_path):
                 os.close(fd)
             except OSError:
                 pass
+
+
+def test_peer_close_fails_fast_not_busy_spin():
+    """A closed pty peer must end read_frames immediately (EOF detection),
+    not busy-spin at 100% CPU until the timeout deadline."""
+    m, s = make_raw_pty()
+    host = SerialTransport(FdSerial(s, timeout=0.05))
+    try:
+        os.write(m, b"\xa5" * 4)  # some junk, then hangup
+        os.close(m)
+        t0 = time.monotonic()
+        frames = host.read_frames(1, timeout=10.0)
+        elapsed = time.monotonic() - t0
+        assert frames == []
+        assert host.ser.eof
+        assert elapsed < 2.0, f"busy-spun for {elapsed:.1f}s after peer close"
+    finally:
+        host.close()

@@ -283,3 +283,27 @@ class TestNativeUdp:
         tx.close()
         assert rx.packets_filtered == 64
         assert rx.frames_received == 0
+
+
+def test_invalid_count_byte_dropped_default_policy():
+    """The wire's UDP checksum is 0 (PARITY quirk 7), so a corrupted count
+    byte arrives undetected: the default assembler must DROP it like the
+    reference, never alias it into slot (idx % 64) over a genuine packet."""
+    asm = MultiPacketAssembler()
+    re, im = _spectrum(7)
+    pkts = frame_to_packets(spectrum_to_frame_bytes(re, im))
+    for p in pkts[:-1]:
+        assert asm.add(p) is None
+    bad = bytes([64]) + bytes(1024)  # bit-flip of count byte 0
+    assert asm.add(bad) is None
+    assert asm.packets_dropped == 1
+    frame = asm.add(pkts[-1])
+    assert frame == spectrum_to_frame_bytes(re, im)  # slot 0 uncorrupted
+
+
+def test_packets_to_frame_rejects_invalid_count_byte():
+    re, im = _spectrum(8)
+    pkts = frame_to_packets(spectrum_to_frame_bytes(re, im))
+    pkts[3] = bytes([200]) + pkts[3][1:]
+    with pytest.raises(ValueError, match="invalid count byte"):
+        packets_to_frame(pkts)

@@ -118,7 +118,9 @@ def packets_to_frame(packets: list[bytes]) -> bytes:
     for p in packets:
         if len(p) != ETHERNET_PAYLOAD_SIZE:
             raise ValueError(f"payload must be {ETHERNET_PAYLOAD_SIZE} bytes")
-        slots[p[0] % PACKETS_PER_FRAME] = p[1:]
+        if p[0] >= PACKETS_PER_FRAME:
+            raise ValueError(f"invalid count byte {p[0]}")
+        slots[p[0]] = p[1:]
     missing = [k for k, s in enumerate(slots) if s is None]
     if missing:
         raise ValueError(f"missing packets: {missing}")
@@ -173,7 +175,14 @@ class MultiPacketAssembler:
             self.packets_dropped += len(self._slots)
             self._slots.clear()
             self._first_at = None
-        idx = payload[0] % PACKETS_PER_FRAME
+        idx = payload[0]
+        if idx >= PACKETS_PER_FRAME:
+            # Drop invalid count bytes like the reference: the UDP checksum
+            # is 0 on this wire (PARITY quirk 7), so a corrupted count byte
+            # arrives undetected — aliasing it into a valid slot (mod 64)
+            # would silently overwrite a genuine packet's payload.
+            self.packets_dropped += 1
+            return None
         if not self._slots:
             self._first_at = now
         self._slots[idx] = payload[1:]

@@ -41,16 +41,27 @@ class FdSerial:
     def __init__(self, fd: int, timeout: float = 0.1):
         self.fd = fd
         self.timeout = timeout
+        self.eof = False
         os.set_blocking(fd, False)
 
     def read(self, n: int = 1) -> bytes:
+        if self.eof:
+            return b""
         r, _, _ = select.select([self.fd], [], [], self.timeout)
         if not r:
             return b""
         try:
-            return os.read(self.fd, n)
-        except (BlockingIOError, OSError):
+            data = os.read(self.fd, n)
+        except BlockingIOError:
+            return b""  # spurious wakeup; not EOF
+        except OSError:
+            # EIO on a pty whose peer closed = hangup. Mark EOF so callers
+            # (read_frames) fail fast instead of busy-spinning to deadline.
+            self.eof = True
             return b""
+        if not data:
+            self.eof = True  # select-readable + empty read = EOF
+        return data
 
     def write(self, data: bytes) -> int:
         view = memoryview(data)
@@ -144,11 +155,15 @@ class SerialTransport:
         return self.deframer.push(data)
 
     def read_frames(self, n: int = 1, timeout: float = 10.0) -> list[bytes]:
-        """Block until ``n`` frames arrive (or timeout); returns what came."""
+        """Block until ``n`` frames arrive (or timeout, or the port hits
+        EOF — a closed pty peer must fail fast, not spin to the deadline);
+        returns what came."""
         frames: list[bytes] = []
         deadline = time.monotonic() + timeout
         while len(frames) < n and time.monotonic() < deadline:
             frames.extend(self.poll())
+            if getattr(self.ser, "eof", False):
+                break
         return frames
 
     def request_frame(self, timeout: float = 10.0) -> bytes | None:
