@@ -317,10 +317,15 @@ class BlockedSOSComposite:
         return self.APow.shape[0]
 
 
-def precompute_composite(
-    sos: np.ndarray, block: int = 128, frame_blocks: int = 128, dtype=jnp.float32
-) -> BlockedSOSComposite:
-    """Build the composite blocked operator (host-side, float64 internals)."""
+def _composite_host_parts(sos: np.ndarray, block: int, frame_blocks: int):
+    """Host-side float64 math shared by the composite precomputes.
+
+    Returns (T (L,L), M (L,m), P (m,L), alpows (B+1,m,m)) as float64 NumPy.
+    alpows[k] = (A^L)^k fully determines the W block-Toeplitz operator, so
+    only it needs to cross the host->device link (72 KB vs W's 9.2 MB at the
+    default 128x128 shape — a ~100x upload cut that matters both for runtime
+    coefficient reload latency and on degraded-tunnel days, measured ~100 s
+    per bank at ~100 KB/s effective upload)."""
     A, Bv, C, D = sos_to_composite_statespace(sos)
     m = A.shape[0]
     L, B = block, frame_blocks
@@ -350,22 +355,39 @@ def precompute_composite(
     alpows[0] = np.eye(m)
     for k in range(1, B + 1):
         alpows[k] = AL @ alpows[k - 1]
+    return T, M, P, alpows
 
-    # W[j*m+a, i*m+b] = (AL^(j-i))[a, b] for i <= j else 0.
-    dj = np.arange(B)[:, None] - np.arange(B)[None, :]
-    Wb = np.where(
-        (dj >= 0)[:, :, None, None], alpows[np.clip(dj, 0, B)], 0.0
+
+@jax.jit
+def _expand_block_toeplitz(alpows: jnp.ndarray) -> jnp.ndarray:
+    """Device-side W construction: W[j*m+a, i*m+b] = alpows[j-i][a,b] for
+    i <= j else 0. Pure PLACEMENT of already-rounded alpows entries — no
+    arithmetic — so the result is bit-identical to building W on the host
+    and shipping it, at 1/128 the transfer."""
+    B = alpows.shape[0] - 1
+    m = alpows.shape[-1]
+    dj = jnp.arange(B)[:, None] - jnp.arange(B)[None, :]
+    Wb = jnp.where(
+        (dj >= 0)[:, :, None, None], alpows[jnp.clip(dj, 0, B)], 0
     )  # (B, B, m, m)
-    W = Wb.transpose(0, 2, 1, 3).reshape(B * m, B * m)
+    return Wb.transpose(0, 2, 1, 3).reshape(B * m, B * m)
 
+
+def precompute_composite(
+    sos: np.ndarray, block: int = 128, frame_blocks: int = 128, dtype=jnp.float32
+) -> BlockedSOSComposite:
+    """Build the composite blocked operator (host-side float64 internals;
+    the large W leaf is expanded on device from the shipped alpows stack)."""
+    T, M, P, alpows = _composite_host_parts(sos, block, frame_blocks)
     as_j = lambda a: jnp.asarray(a, dtype=dtype)
+    ap = as_j(alpows)  # (B+1, m, m)
     return BlockedSOSComposite(
         T=as_j(T),
         M=as_j(M),
         P=as_j(P),
-        APow=as_j(alpows[1 : B + 1]),
-        W=as_j(W),
-        ALB=as_j(alpows[B]),
+        APow=ap[1:],
+        W=_expand_block_toeplitz(ap),
+        ALB=ap[-1],
     )
 
 
@@ -462,17 +484,19 @@ def precompute_composite_bank(
     channel counts should share filters (``precompute_composite``).
     """
     sos_bank = np.atleast_3d(np.asarray(sos_bank, np.float64))
-    ops = [
-        precompute_composite(sos_bank[c], block, frame_blocks, dtype)
+    parts = [
+        _composite_host_parts(sos_bank[c], block, frame_blocks)
         for c in range(sos_bank.shape[0])
     ]
+    as_j = lambda a: jnp.asarray(a, dtype=dtype)
+    ap = as_j(np.stack([p[3] for p in parts]))  # (C, B+1, m, m)
     return BlockedSOSComposite(
-        T=jnp.stack([o.T for o in ops]),
-        M=jnp.stack([o.M for o in ops]),
-        P=jnp.stack([o.P for o in ops]),
-        APow=jnp.stack([o.APow for o in ops]),
-        W=jnp.stack([o.W for o in ops]),
-        ALB=jnp.stack([o.ALB for o in ops]),
+        T=as_j(np.stack([p[0] for p in parts])),
+        M=as_j(np.stack([p[1] for p in parts])),
+        P=as_j(np.stack([p[2] for p in parts])),
+        APow=ap[:, 1:],
+        W=jax.vmap(_expand_block_toeplitz)(ap),
+        ALB=ap[:, -1],
     )
 
 

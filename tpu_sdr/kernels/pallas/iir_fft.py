@@ -144,14 +144,19 @@ def build_plan(
     as_j = lambda a: jnp.asarray(a, dtype=dtype)
     n1 = fft_plan["w1r"].shape[0]
     n2 = fft_plan["w2r"].shape[0]
-    twr = np.tile(np.asarray(fft_plan["twr"]), (1, G))
-    twi = np.tile(np.asarray(fft_plan["twi"]), (1, G))
+    # The tiled/half twiddle planes are derived ON DEVICE from the plan
+    # constants already resident there (tile/slice/pad = placement only,
+    # bit-identical to the former host construction) — pulling the plan back
+    # to the host and re-shipping ~1.6 MB per bank is pure tunnel traffic.
+    twr = jnp.tile(fft_plan["twr"], (1, G)).astype(dtype)
+    twi = jnp.tile(fft_plan["twi"], (1, G)).astype(dtype)
 
-    def half_rows(a2d: np.ndarray) -> np.ndarray:
+    def half_rows(a2d: jnp.ndarray) -> jnp.ndarray:
         # rows k2 in [0, n2/2] zero-padded to HALF_K2 sublanes
-        out = np.zeros((HALF_K2, a2d.shape[1]))
-        out[: n2 // 2 + 1] = np.asarray(a2d)[: n2 // 2 + 1]
-        return out
+        keep = a2d[: n2 // 2 + 1]
+        return jnp.pad(
+            keep, ((0, HALF_K2 - keep.shape[0]), (0, 0))
+        ).astype(dtype)
 
     return PallasSOSPlan(
         T=as_j(T),
@@ -166,11 +171,11 @@ def build_plan(
         win=jnp.asarray(win, dtype).reshape(n2, n1),
         w1r=fft_plan["w1r"], w1i=fft_plan["w1i"],
         w2r=fft_plan["w2r"], w2i=fft_plan["w2i"],
-        twr=as_j(twr), twi=as_j(twi),
-        w2r_h=as_j(half_rows(fft_plan["w2r"])),
-        w2i_h=as_j(half_rows(fft_plan["w2i"])),
-        twr_h=as_j(half_rows(twr)),
-        twi_h=as_j(half_rows(twi)),
+        twr=twr, twi=twi,
+        w2r_h=half_rows(fft_plan["w2r"]),
+        w2i_h=half_rows(fft_plan["w2i"]),
+        twr_h=half_rows(twr),
+        twi_h=half_rows(twi),
     )
 
 
