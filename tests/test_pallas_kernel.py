@@ -115,3 +115,25 @@ class TestFMDemodPallas:
         with pytest.raises(ValueError, match="tile width"):
             fm_demod_pallas(re[:, :100], im[:, :100], pr, pr, y0,
                             fs=2e5, dev=75e3, pole=None, interpret=True)
+
+
+def test_atan2_poly_matches_ieee_atan2():
+    """The FM kernel's in-kernel atan2 (Mosaic has no atan2 lowering) vs
+    jnp.arctan2: 2.4e-7 worst case on random octants, and exact IEEE
+    signed-zero behavior — the discriminator's zero-state first sample
+    computes atan2(+-0, -0), which must be +-pi like the XLA forward."""
+    import jax.numpy as jnp
+
+    from tpu_sdr.kernels.pallas.affine_scan import _atan2_poly
+
+    rng = np.random.default_rng(3)
+    y = jnp.asarray(rng.standard_normal(200_000), jnp.float32)
+    x = jnp.asarray(rng.standard_normal(200_000), jnp.float32)
+    d = np.abs(np.asarray(_atan2_poly(y, x)) - np.asarray(jnp.arctan2(y, x)))
+    assert d.max() < 1e-6
+    for yy, xx in [(0.0, 0.0), (-0.0, 0.0), (0.0, -0.0), (-0.0, -0.0),
+                   (1.0, 0.0), (-1.0, 0.0), (0.0, 1.0), (-0.0, 1.0),
+                   (0.0, -1.0), (-0.0, -1.0)]:
+        got = float(_atan2_poly(jnp.float32(yy), jnp.float32(xx)))
+        want = float(jnp.arctan2(jnp.float32(yy), jnp.float32(xx)))
+        assert got == want or abs(got - want) < 1e-6, (yy, xx, got, want)

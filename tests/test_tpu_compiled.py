@@ -243,27 +243,49 @@ def test_compiled_agc_vs_sequential(setup):
 
 
 def test_compiled_fm_pallas_kernel(setup):
-    """The fused Mosaic FM kernel vs the XLA forward on the chip, plus
-    compiled chunked-vs-oneshot consistency of the kernel itself."""
+    """The fused Mosaic FM kernel on the chip vs the float64 NumPy oracle
+    (sequential discriminator + de-emphasis), plus compiled chunked-vs-
+    oneshot consistency of the kernel itself.
+
+    The pallas-vs-XLA-forward equivalence is pinned on CPU (interpret
+    parity, ~5e-9, tests/test_pallas_kernel.py); the on-chip question is
+    whether MOSAIC compilation preserves the kernel's numerics, which the
+    f64 oracle answers without paying the XLA forward's relay compile
+    (measured: _fm_forward's remote compile hung >570 s in a degraded
+    window while the Mosaic kernel compiled in 0.9 s). prev state is
+    (1, 0) so the first sample avoids the signed-zero atan2(+-0, -0)
+    corner, which np.angle(0j)=0 defines differently than IEEE."""
     import jax.numpy as jnp
 
-    from tpu_sdr.kernels.demod import _fm_forward
     from tpu_sdr.kernels.pallas.affine_scan import fm_demod_pallas
 
     rng = np.random.default_rng(11)
     c, t = 4, 2 * 64 * 128
-    re = jnp.asarray(rng.standard_normal((c, t)), jnp.float32)
-    im = jnp.asarray(rng.standard_normal((c, t)), jnp.float32)
-    pr = jnp.zeros((c, 1), jnp.float32)
+    re_np = rng.standard_normal((c, t)).astype(np.float32)
+    im_np = rng.standard_normal((c, t)).astype(np.float32)
+    fs, dev, pole = 2e5, 75e3, 0.9997
+    z = re_np.astype(np.float64) + 1j * im_np.astype(np.float64)
+    z1 = np.concatenate([np.ones((c, 1), complex), z[:, :-1]], axis=1)
+    disc = np.angle(z * np.conj(z1)) * fs / (2 * np.pi) / dev
+    ref = np.empty_like(disc)
+    acc = np.zeros(c)
+    for n in range(t):
+        acc = pole * acc + (1 - pole) * disc[:, n]
+        ref[:, n] = acc
+
+    re = jnp.asarray(re_np)
+    im = jnp.asarray(im_np)
+    pr = jnp.ones((c, 1), jnp.float32)
+    pi0 = jnp.zeros((c, 1), jnp.float32)
     y0 = jnp.zeros((c,), jnp.float32)
-    kw = dict(fs=2e5, dev=75e3, pole=0.9997)
-    a_ref, _, _, f_ref = _fm_forward(re, im, pr, pr, y0, block=128, **kw)
-    a_pal, r1, i1, f1 = fm_demod_pallas(re, im, pr, pr, y0, **kw)
-    rel = np.abs(np.asarray(a_pal) - np.asarray(a_ref)).max()
-    assert rel < 1e-5, f"pallas vs xla on chip: {rel}"
+    kw = dict(fs=fs, dev=dev, pole=pole)
+    a_pal, r1, i1, f1 = fm_demod_pallas(re, im, pr, pi0, y0, **kw)
+    rel = np.abs(np.asarray(a_pal) - ref).max()
+    assert rel < 1e-5, f"pallas on chip vs f64 oracle: {rel}"  # CPU: 8.1e-7
+    assert np.abs(np.asarray(f1) - ref[:, -1]).max() < 1e-5
     # carried-state chunking at tile width (same grid per chunk)
     h = t // 2
-    c1, r2, i2, f2 = fm_demod_pallas(re[:, :h], im[:, :h], pr, pr, y0, **kw)
+    c1, r2, i2, f2 = fm_demod_pallas(re[:, :h], im[:, :h], pr, pi0, y0, **kw)
     c2, *_ = fm_demod_pallas(re[:, h:], im[:, h:], r2, i2, f2, **kw)
     got = np.concatenate([np.asarray(c1), np.asarray(c2)], axis=1)
     assert np.abs(got - np.asarray(a_pal)).max() < 1e-6

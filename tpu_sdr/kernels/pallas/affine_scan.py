@@ -34,6 +34,45 @@ from jax.experimental.pallas import tpu as pltpu
 
 _L = 128  # the canonical affine block (matches kernels/demod)
 
+# atan(r) ~= r * P(r^2) on [0, 1]: near-minimax least-squares fit at 4000
+# Chebyshev nodes, degree-17 odd polynomial; max |err| 1.3e-7 in f32 Horner
+# (validated on a 200k grid). Mosaic has no atan2 lowering on this backend
+# ("Unimplemented primitive in Pallas TPU lowering ... atan2", verified via
+# cross-platform .lower()), so the kernel carries its own octant-reduced
+# implementation.
+_ATAN_C = (
+    9.999999055e-01, -3.333265785e-01, 1.998653749e-01, -1.416433338e-01,
+    1.050731979e-01, -7.247950662e-02, 3.989956004e-02, -1.445869707e-02,
+    2.468246625e-03,
+)
+
+
+def _signbit(v):
+    """IEEE sign bit via bitcast (jnp.signbit has no Mosaic story; `v < 0`
+    misses -0.0, which the discriminator's zero-state first sample hits:
+    arctan2(+-0, -0) must be +-pi to match the XLA forward)."""
+    return jax.lax.bitcast_convert_type(v, jnp.int32) < 0
+
+
+def _atan2_poly(y, x):
+    """Octant-reduced atan2 for in-kernel use (elementwise VPU ops only).
+
+    Matches IEEE signed-zero semantics (atan2(+-0, -0) = +-pi,
+    atan2(+-0, +0) = +-0) so the kernel agrees with the XLA forward's
+    jnp.arctan2 on the zero-state first sample."""
+    ax, ay = jnp.abs(x), jnp.abs(y)
+    hi = jnp.maximum(ax, ay)
+    lo = jnp.minimum(ax, ay)
+    r = lo / jnp.where(hi > 0, hi, jnp.float32(1.0))
+    r2 = r * r
+    p = jnp.float32(_ATAN_C[-1])
+    for c in _ATAN_C[-2::-1]:
+        p = p * r2 + jnp.float32(c)
+    a = p * r
+    a = jnp.where(ay > ax, jnp.float32(np.pi / 2) - a, a)
+    a = jnp.where(_signbit(x), jnp.float32(np.pi) - a, a)
+    return jnp.where(_signbit(y), -a, a)
+
 
 def _fm_kernel(re_ref, im_ref, pr_ref, pi_ref, y0_ref, out_ref,
                spr, spi, sy, *, rows, fs, dev, pole):
@@ -52,7 +91,7 @@ def _fm_kernel(re_ref, im_ref, pr_ref, pi_ref, y0_ref, out_ref,
     im1 = jnp.concatenate([spi[:], im_t[:, :-1]], axis=-1)
     dot = re_t * re1 + im_t * im1
     cross = im_t * re1 - re_t * im1
-    audio = jnp.arctan2(cross, dot) * jnp.float32(fs / (2.0 * np.pi))
+    audio = _atan2_poly(cross, dot) * jnp.float32(fs / (2.0 * np.pi))
     audio = audio * jnp.float32(1.0 / dev)
     spr[:] = re_t[:, -1:]
     spi[:] = im_t[:, -1:]
@@ -76,16 +115,20 @@ def _fm_kernel(re_ref, im_ref, pr_ref, pi_ref, y0_ref, out_ref,
         d *= 2
 
     # Sequential chain across the tile's blocks, writing each block's
-    # audio as soon as its incoming state is known.
-    def body(r, y):
-        a_row = jax.lax.dynamic_slice_in_dim(A, r, 1, axis=1)[:, 0]
-        b_row = jax.lax.dynamic_slice_in_dim(B, r, 1, axis=1)[:, 0]
-        out_row = a_row * y[:, None] + b_row  # (C, 128)
-        out_ref[:, pl.ds(r * _L, _L)] = out_row
-        return out_row[:, -1]
-
-    y_fin = jax.lax.fori_loop(0, rows, body, sy[:, 0])
-    sy[:] = y_fin[:, None]
+    # audio as soon as its incoming state is known. Statically unrolled
+    # with lax.slice_in_dim + reshape: Mosaic lowers neither dynamic_slice
+    # on VALUES (fori_loop-carried index) nor jnp integer indexing (which
+    # also traces to dynamic_slice); `rows` is a compile-time constant
+    # anyway. y stays a (C, 1) column so every step is pure slice/reshape/
+    # broadcast.
+    y = sy[:]  # (C, 1)
+    for r in range(rows):
+        a_row = jax.lax.slice_in_dim(A, r, r + 1, axis=1).reshape(c, _L)
+        b_row = jax.lax.slice_in_dim(B, r, r + 1, axis=1).reshape(c, _L)
+        out_row = a_row * y + b_row  # (C, 128)
+        out_ref[:, r * _L : (r + 1) * _L] = out_row
+        y = jax.lax.slice_in_dim(out_row, _L - 1, _L, axis=1)
+    sy[:] = y
 
 
 @functools.partial(
