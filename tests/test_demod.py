@@ -313,3 +313,52 @@ def test_filter_designs_are_sane():
     w2, h2 = sps.sosfreqz(sos_dc, worN=1024, fs=FS)
     assert abs(h2[0]) < 1e-6  # DC killed
     assert abs(h2[-1]) == pytest.approx(1.0, abs=0.01)
+
+
+@pytest.mark.parametrize("tau", [None, 75e-6])
+def test_fm_pallas_path_matches_xla(rng, tau):
+    """The fused Mosaic path (interpret on CPU) vs the XLA path: same
+    canonical blocks, different tree mechanics (roll+mask vs pad shifts)
+    => tiny float slop, not bitwise."""
+    dev = 5_000.0
+    msg = _tone(700.0, FS, 4096)
+    re, im = _fm_signal(msg, FS, dev)
+    xla = FMDemodulator(FS, deviation_hz=dev, deemphasis_tau=tau)
+    pal = FMDemodulator(FS, deviation_hz=dev, deemphasis_tau=tau,
+                        use_pallas=True)
+    a_x, _ = xla.process(re, im, xla.initial_state())
+    a_p, _ = pal.process(re, im, pal.initial_state())
+    np.testing.assert_allclose(np.asarray(a_p), np.asarray(a_x),
+                               atol=2e-6, rtol=0)
+
+
+def test_fm_pallas_chunked_bitwise_mixed_chunks(rng):
+    """Pallas-path chunked == one-shot BITWISE for mixed chunk lengths —
+    each length picks a different tile width, so this also pins the
+    kernel's tile-width invariance (block-local tree + sequential chain)."""
+    dev = 5_000.0
+    t_len = 8192
+    msg = _tone(700.0, FS, t_len)
+    re, im = _fm_signal(msg, FS, dev)
+    fm = FMDemodulator(FS, deviation_hz=dev, use_pallas=True)
+    one, _ = fm.process(re, im, fm.initial_state())
+    st = fm.initial_state()
+    outs = []
+    pos = 0
+    for n in (128, 384, 1536, 2048, 4096):  # sums to 8192
+        o, st = fm.process(re[pos:pos + n], im[pos:pos + n], st)
+        outs.append(np.asarray(o))
+        pos += n
+    np.testing.assert_array_equal(np.concatenate(outs), np.asarray(one))
+
+
+def test_fm_pallas_batch_shapes(rng):
+    dev = 5_000.0
+    re = rng.standard_normal((3, 2048)).astype(np.float32)
+    im = rng.standard_normal((3, 2048)).astype(np.float32)
+    fm = FMDemodulator(FS, deviation_hz=dev, use_pallas=True)
+    a, st = fm.process(re, im, fm.initial_state((3,)))
+    assert a.shape == (3, 2048) and st.filt.shape == (3,)
+    # each batch row == the row processed alone
+    alone, _ = fm.process(re[1], im[1], fm.initial_state())
+    np.testing.assert_array_equal(np.asarray(a[1]), np.asarray(alone))

@@ -366,21 +366,56 @@ class FMDemodulator:
     Input: complex baseband planes at ``fs`` (a DDC output). Output:
     audio at the same rate, ~[-1, 1] for full deviation; compose a
     ``Resampler`` for the sound-card rate. ``deemphasis_tau=None``
-    disables the de-emphasis pole."""
+    disables the de-emphasis pole.
+
+    ``use_pallas=True`` routes through the fused Mosaic kernel
+    (``kernels/pallas/affine_scan.fm_demod_pallas``): one HBM pass,
+    in-VMEM prefix + chain over the same canonical 128-sample blocks.
+    Its bits differ ~5e-9 from the XLA path (roll+mask tree vs pad
+    shifts), but are invariant to chunking and tile width, so the
+    chunked == one-shot contract holds within the path. Requires
+    block == 128; the sharded mirror always uses the XLA raw ops."""
 
     def __init__(self, fs: float, deviation_hz: float = 75e3,
-                 deemphasis_tau: float | None = 75e-6, block: int = 128):
+                 deemphasis_tau: float | None = 75e-6, block: int = 128,
+                 use_pallas: bool = False):
         self.fs = float(fs)
         self.deviation_hz = float(deviation_hz)
         self.tau = deemphasis_tau
         self.block = int(block)
         self._pole = (None if deemphasis_tau is None
                       else float(np.exp(-1.0 / (self.fs * deemphasis_tau))))
+        if use_pallas and self.block != 128:
+            raise ValueError("use_pallas requires block=128")
+        self.use_pallas = bool(use_pallas)
 
     def initial_state(self, batch_shape: tuple = ()) -> DemodState:
         b = tuple(batch_shape)
         z1 = jnp.zeros(b + (1,), jnp.float32)
         return DemodState(z1, z1, jnp.zeros(b, jnp.float32), 0)
+
+    def _process_pallas(self, re, im, state: DemodState):
+        from tpu_sdr.kernels.pallas.affine_scan import fm_demod_pallas
+
+        lead = re.shape[:-1]
+        t = re.shape[-1]
+        c = int(np.prod(lead, dtype=np.int64)) if lead else 1
+        n_blocks = t // 128
+        # Largest tile width (<= 64 blocks) dividing the chunk; the kernel's
+        # math is bitwise invariant to this choice (block-local tree +
+        # sequential chain), so different chunk lengths stay consistent.
+        rows = next(r for r in range(min(64, n_blocks), 0, -1)
+                    if n_blocks % r == 0)
+        audio, pr, pi, filt = fm_demod_pallas(
+            re.reshape(c, t), im.reshape(c, t),
+            state.prev_re.reshape(c, 1), state.prev_im.reshape(c, 1),
+            state.filt.reshape(c),
+            fs=self.fs, dev=self.deviation_hz, pole=self._pole,
+            rows_per_tile=rows,
+            interpret=jax.default_backend() == "cpu")
+        return (audio.reshape(*lead, t),
+                DemodState(pr.reshape(*lead, 1), pi.reshape(*lead, 1),
+                           filt.reshape(lead), state.offset + t))
 
     def process(self, re, im, state: DemodState):
         re = jnp.asarray(re, jnp.float32)
@@ -389,6 +424,8 @@ class FMDemodulator:
         if t % self.block:
             raise ValueError(
                 f"chunk length {t} not a multiple of block={self.block}")
+        if self.use_pallas:
+            return self._process_pallas(re, im, state)
         audio, pr, pi, filt = _fm_forward(
             re, im, state.prev_re, state.prev_im, state.filt,
             fs=self.fs, dev=self.deviation_hz, pole=self._pole,
