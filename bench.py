@@ -236,6 +236,7 @@ def main():
         }
     except Exception as e:  # never lose the headline to the extras
         log(f"bench: roofline report failed: {type(e).__name__}: {e}")
+    RESULT.update(extras)  # keep the SIGTERM-emitted line current per stage
 
     # Optional tiers, budget permitting — compiled up front, then measured
     # INTERLEAVED with f32 re-reps (A,B,C per rep) per the measurement
@@ -250,27 +251,33 @@ def main():
         else:
             log(f"bench: skipping {dtype} tier (budget)")
     if len(runners) > 1:
+        # Guarded like every other optional stage: a relay/TPU error during
+        # a slope here must not swallow the already-measured f32 headline.
         tier_slopes: dict[str, list[float]] = {r.dtype: [] for r in runners}
-        for rep in range(5):
-            if remaining() < 45 and rep >= 2:
-                log(f"bench: interleaved tiers stopping at rep {rep} (budget)")
-                break
-            for r in runners:
-                tier_slopes[r.dtype].append(r.slope())
-            log(
-                "bench: interleaved rep %d: %s"
-                % (
-                    rep,
-                    {
-                        d: f"{s[-1] * 1e3:.3f} ms"
-                        for d, s in tier_slopes.items()
-                    },
+        try:
+            for rep in range(5):
+                if remaining() < 45 and rep >= 2:
+                    log(f"bench: interleaved tiers stopping at rep {rep} (budget)")
+                    break
+                for r in runners:
+                    tier_slopes[r.dtype].append(r.slope())
+                log(
+                    "bench: interleaved rep %d: %s"
+                    % (
+                        rep,
+                        {
+                            d: f"{s[-1] * 1e3:.3f} ms"
+                            for d, s in tier_slopes.items()
+                        },
+                    )
                 )
-            )
+        except Exception as e:
+            log(f"bench: interleaved tiers failed: {type(e).__name__}: {e}")
         for r in runners:
             if tier_slopes[r.dtype]:
                 extras["tiers"][r.dtype] = median_rate(r, tier_slopes[r.dtype])
         extras["tiers_interleaved"] = True
+        RESULT.update(extras)
 
     # Latency mode, budget permitting.
     if remaining() > 90:

@@ -857,3 +857,41 @@ def test_rds_endpoint(server):
         assert r["block_error_rate"] < 0.3
     finally:
         backend.start_receiver()
+
+
+def test_zoom_wire_calibration_units():
+    """The zoom view reports magnitudes in the SAME wire-LSB units as the
+    main plot: each pipeline applies its own schedule-derived 2^15/N scale,
+    so a unit-amplitude carrier reads the same level in both views (under
+    the xfft 1/N schedule a tone's bin amplitude is N-independent). Guards
+    the review finding that zoom emitted raw floats while the main display
+    applied wire_calibration — a silent ~6 dB unit mismatch."""
+    from tpu_sdr.core.qformat import xfft_wire_scale
+
+    b = GuiBackend(source=None)
+    q = b.subscribe()
+    try:
+        nz = 1024
+        rt = {
+            "cfg": {"mode": "pfb", "channel": 3, "m": 128, "fft_size": nz},
+            "sub_rate": 1e6 / 128,
+            "center_hz": 3 * 1e6 / 128,
+        }
+        mag = np.zeros(nz, np.float32)
+        mag[0] = 100.0  # DC bin -> survives fftshift at nz//2
+        b._emit_zoom_frame(rt, mag)
+        ev, payload = q.get(timeout=1.0)
+        assert ev == "zoom_frame"
+        z = json.loads(payload)
+        # default calibration: zoom applies ITS OWN 2^15/nz (= 32 at 1024),
+        # not the main path's 16K-derived 2.0
+        expect = 100.0 * xfft_wire_scale(nz)
+        assert z["peak_mag"] == pytest.approx(expect)
+        assert expect == pytest.approx(100.0 * 32.0)
+        # the user's trim scales the zoom view proportionally
+        b.wire_calibration = 1.0
+        b._emit_zoom_frame(rt, mag)
+        z2 = json.loads(q.get(timeout=1.0)[1])
+        assert z2["peak_mag"] == pytest.approx(expect / 2.0)
+    finally:
+        b.unsubscribe(q)

@@ -29,6 +29,16 @@ Q15_SCALE = 1 << 15
 Q16_SCALE = 1 << 16
 COEFF_SCALE = 64  # designer quantization step (fft_analyzer_gui.py:168)
 
+
+def xfft_wire_scale(n: int = 16384) -> float:
+    """float-spectrum -> wire-int16 scale implied by the xfft default
+    scaling schedule: wire = (1/N)*FFT(x_q15) = (2^15/N)*FFT(x_float) for
+    Q15-normalized float samples — 2.0 at the reference's N = 16384.
+    Single source of truth; the per-stage integer model lives in
+    ``tpu_sdr/kernels/fft_q15.py`` (kept jax-free here so the host-only
+    transport layer never pulls in the kernels package)."""
+    return Q15_SCALE / float(n)
+
 INT16_MIN, INT16_MAX = -(1 << 15), (1 << 15) - 1
 INT8_MIN, INT8_MAX = -128, 127
 

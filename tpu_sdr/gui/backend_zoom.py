@@ -129,6 +129,20 @@ class ZoomMixin:
         zc = rt["cfg"]
         nz = zc["fft_size"]
         sub_rate, center_hz = rt["sub_rate"], rt["center_hz"]
+        # Same display units as the main plot: each pipeline applies ITS OWN
+        # schedule-derived wire scale (2^15/N). Under the xfft 1/N schedule a
+        # carrier's bin amplitude is N-independent, so the same tone reads
+        # the same wire-LSB level in the 16K main view and the N-point zoom
+        # view. The user's wire_calibration trim scales both proportionally
+        # (1.0 on the main path => raw-float main, zoom still re-ratioed to
+        # its own N so relative levels stay comparable).
+        from tpu_sdr.core.qformat import xfft_wire_scale
+
+        cal = self.wire_calibration * (
+            xfft_wire_scale(nz) / xfft_wire_scale(self.sa.cfg.fft_size)
+        )
+        if cal != 1.0:
+            mag = mag * cal
         view = np.fft.fftshift(mag)  # subchannel stream is complex baseband
         offs = (np.arange(nz) - nz // 2) * (sub_rate / nz)
         peak = int(np.argmax(view))

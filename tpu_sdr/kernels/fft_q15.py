@@ -44,13 +44,11 @@ N_DEFAULT = 16384
 
 # Hardware wire LSBs per unit float-spectrum amplitude: wire = (1/N)*FFT(x_q15)
 # = (2^15/N)*FFT(x_float). See module docstring. 2.0 for the reference's 16K.
+# Canonical definition lives in core/qformat (jax-free, shared with the
+# transport layer); re-exported here next to the integer model it describes.
+from tpu_sdr.core.qformat import xfft_wire_scale  # noqa: E402
+
 Q15_FULL_SCALE = 1 << 15
-
-
-def xfft_wire_scale(n: int = N_DEFAULT) -> float:
-    """float-spectrum -> wire-int16 scale implied by the default schedule."""
-    return Q15_FULL_SCALE / float(n)
-
 
 XFFT_WIRE_SCALE = xfft_wire_scale(N_DEFAULT)
 

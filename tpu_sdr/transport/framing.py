@@ -10,6 +10,13 @@ Wire format (SURVEY.md §2.6, BASELINE.md):
 - reassembly: 64 slots keyed by the count byte, stale-slot eviction after
   3-4 s (``fft_analyzer_gui.py:308-352``), no retransmit (fire-and-forget).
 
+NOTE — default scale change (round 2): ``quantize_spectrum_q15``,
+``spectrum_to_frame_bytes`` and every ``send_spectrum`` now default to
+``scale=XFFT_WIRE_SCALE`` (2.0 at N=16K) instead of 1.0, so wire int16
+amplitudes match an FPGA-calibrated GUI (VERDICT r1 item 1). Callers that
+relied on raw pass-through quantization must pass ``scale=1.0`` explicitly;
+float values above 2^15/scale now saturate where they previously fit.
+
 A GUI written against the FPGA reassembles our frames unchanged. The
 performance-critical inner loops (quantize+interleave, CRC) have a C++
 implementation in ``tpu_sdr.transport.native`` with these NumPy versions as
@@ -33,9 +40,12 @@ N_BINS = 16384
 # ``imports/new/dsp_system_top.vhd:534-536``; ``ip/xfft_0/xfft_0.xci``
 # scaling_options=scaled, rounding_modes=truncation), an overall 1/N shift —
 # so the int16 words on the wire are (1/N)*FFT(x_int16) = (2^15/N)*FFT(x_float)
-# for Q15-normalized float samples. 2.0 at N = 16384. Derivation and the
-# per-stage integer model: ``tpu_sdr/kernels/fft_q15.py``.
-XFFT_WIRE_SCALE = 32768.0 / N_BINS
+# for Q15-normalized float samples. 2.0 at N = 16384. Single source of truth
+# (jax-free): core/qformat.xfft_wire_scale; per-stage integer model:
+# kernels/fft_q15.py.
+from tpu_sdr.core.qformat import xfft_wire_scale
+
+XFFT_WIRE_SCALE = xfft_wire_scale(N_BINS)
 
 
 def quantize_spectrum_q15(
