@@ -98,3 +98,16 @@ def test_checkpoint_roundtrip_through_files(tmp_path):
         np.asarray(out_a["magnitude"]), np.asarray(out_b["magnitude"])
     )
     assert int(sb.state.frame_count) == int(sa.state.frame_count)
+
+
+def test_checkpoint_roundtrips_uart_streaming():
+    """An armed 0xA5 DATA_REQ stream survives checkpoint/restore like the
+    rest of the command-plane state (review finding: it used to reset to
+    False, so a resumed UART session forgot the host's data request)."""
+    sa = SpectrumAnalyzer(PipelineConfig(channels=1))
+    sa.handle_bytes(bytes([Command.COMM_UART, Command.START, Command.DATA_REQ]))
+    assert sa.uart_streaming
+    sb = SpectrumAnalyzer(PipelineConfig(channels=1))
+    sb.restore(sa.checkpoint())
+    assert sb.uart_streaming
+    assert sb.comm_mode == sa.comm_mode and sb.running

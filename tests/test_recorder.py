@@ -108,3 +108,59 @@ def test_ring_trim_releases_big_chunk(tmp_path, rng):
     head = rec._chunks[0]
     assert head.shape[-1] == 100
     assert head.base is None or head.base.shape[-1] <= 100
+
+
+def test_file_source_channel_semantics(tmp_path, rng):
+    """channels=1 (default) plays a file's NATIVE channel count; a mono
+    file fans out to any requested C; any other mismatch raises instead of
+    silently replacing recorded channels with channel 0 (review finding)."""
+    two = str(tmp_path / "two.npy")
+    np.save(two, rng.standard_normal((2, 64)).astype(np.float32))
+    assert FileSource(two).read(10).shape == (2, 10)  # native
+    assert FileSource(two, channels=2).read(10).shape == (2, 10)
+    with pytest.raises(ValueError, match="2 channels"):
+        FileSource(two, channels=3)
+    mono = str(tmp_path / "mono.npy")
+    np.save(mono, rng.standard_normal(64).astype(np.float32))
+    out = FileSource(mono, channels=4).read(10)
+    assert out.shape == (4, 10)
+    np.testing.assert_array_equal(out[0], out[3])
+
+
+def test_recorder_append_close_race_is_clean(tmp_path, rng):
+    """append/close serialize on the recorder's lock: a chunk either lands
+    in the saved capture or raises 'recorder is closed' — hammer the pair
+    from two threads and assert the saved file is a clean prefix-chain of
+    whole chunks (no torn/partial chunk)."""
+    import threading
+
+    path = str(tmp_path / "race.npy")
+    rec = SampleRecorder(path, fs=1e6)
+    stop = threading.Event()
+    appended = []
+
+    def writer():
+        i = 0
+        while not stop.is_set():
+            c = np.full((1, 17), float(i), np.float32)
+            try:
+                rec.append(c)
+                appended.append(i)
+            except ValueError as e:
+                assert "closed" in str(e)
+                return
+            i += 1
+
+    t = threading.Thread(target=writer)
+    t.start()
+    while len(appended) < 50:
+        pass
+    meta = rec.close()
+    stop.set()
+    t.join()
+    data = np.load(path)
+    # every 17-sample chunk is whole and consecutive from 0
+    assert meta["samples"] % 17 == 0
+    k = meta["samples"] // 17
+    expect = np.repeat(np.arange(k, dtype=np.float32), 17)[None, :]
+    np.testing.assert_array_equal(data, expect)

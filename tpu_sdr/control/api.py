@@ -271,6 +271,9 @@ class SpectrumAnalyzer:
             "custom_is_bank": (
                 self.custom_sos is not None and self.custom_sos.ndim == 3
             ),
+            # an armed 0xA5 DATA_REQ stream must survive resume like every
+            # other piece of command-plane state
+            "uart_streaming": self.uart_streaming,
             "stats": self.stats.as_dict(),
         }
 
@@ -281,6 +284,7 @@ class SpectrumAnalyzer:
         self.filter_mode = FilterMode(ckpt["filter_mode"])
         self.comm_mode = CommMode(ckpt["comm_mode"])
         self.running = bool(ckpt["running"])
+        self.uart_streaming = bool(ckpt.get("uart_streaming", False))
         if ckpt.get("custom_sos") is not None:
             sos = np.asarray(ckpt["custom_sos"])
             if ckpt.get("custom_is_bank", sos.ndim == 3):

@@ -53,12 +53,13 @@ class GuiBackend(CaptureMixin, DisplayMixin, ZoomMixin, AudioScanMixin):
         # wire words, which carry the xfft default 1/N scaling
         # (ip/xfft_0/xfft_0.xci; the RTL never writes s_axis_config,
         # dsp_system_top.vhd:534-536). Our pipeline plots float spectra, so
-        # we apply XFFT_WIRE_SCALE (= 2^15/N = 2.0) to display in the same
-        # wire-LSB units a GUI calibrated against the FPGA would read.
-        # Set to 1.0 for raw float units.
-        from tpu_sdr.transport.framing import XFFT_WIRE_SCALE
+        # we apply the schedule-derived 2^15/N scale OF THIS ANALYZER'S FFT
+        # (2.0 at the reference's 16K; 32 for a 1K small-FFT config) to
+        # display in the same wire-LSB units a GUI calibrated against the
+        # FPGA would read. Set to 1.0 for raw float units.
+        from tpu_sdr.core.qformat import xfft_wire_scale
 
-        self.wire_calibration = float(XFFT_WIRE_SCALE)
+        self.wire_calibration = float(xfft_wire_scale(self.sa.cfg.fft_size))
         self.filter_config = {
             "kind": "butterworth",
             "btype": "lowpass",
@@ -112,7 +113,13 @@ class GuiBackend(CaptureMixin, DisplayMixin, ZoomMixin, AudioScanMixin):
         # Raw-sample ring for on-demand band scans (POST /api/scan), burst
         # demodulation, and RDS decode: the acquisition loop keeps the last
         # ~2 s of channel-0 samples (RDS needs ~1 s per PS name cycle).
-        self._scan_ring = np.zeros(0, np.float32)
+        # Stored as a chunk list (O(chunk) append in the acquisition loop —
+        # a flat-array ring re-copied ~2 s of samples per chunk, measured
+        # as hundreds of MB/s of memcpy); readers are rare user-triggered
+        # APIs that materialize via the `_scan_ring` property.
+        self._scan_chunks: list[np.ndarray] = []
+        self._scan_buffered = 0
+        self._scan_cache: np.ndarray | None = np.zeros(0, np.float32)
         self._scan_ring_len = 0  # set from cfg on first append
         # Blind IQ imbalance correction on complex sources
         # (update_config {"iq_correction": true}); no-op for real input.
@@ -139,6 +146,34 @@ class GuiBackend(CaptureMixin, DisplayMixin, ZoomMixin, AudioScanMixin):
         self._thread: threading.Thread | None = None
         self._last_emit = 0.0
         self._fps_window: list[float] = []
+
+    # ---------------- raw-sample ring ----------------
+
+    @property
+    def _scan_ring(self) -> np.ndarray:
+        """Materialized view of the chunked raw-sample ring (newest
+        ~2 s, channel 0). Cached until the acquisition loop appends; the
+        chunk list itself is never mutated here (the acquisition thread
+        owns it), so a concurrent append at worst yields a one-chunk-stale
+        snapshot."""
+        cache = self._scan_cache
+        if cache is None:
+            chunks = list(self._scan_chunks)  # snapshot under the GIL
+            if chunks:
+                cache = np.concatenate(chunks, axis=-1)
+                if self._scan_ring_len:
+                    cache = cache[-self._scan_ring_len:]
+            else:
+                cache = np.zeros(0, np.float32)
+            self._scan_cache = cache
+        return cache
+
+    @_scan_ring.setter
+    def _scan_ring(self, value) -> None:
+        v = np.asarray(value)
+        self._scan_chunks = [v] if v.size else []
+        self._scan_buffered = int(v.shape[-1]) if v.size else 0
+        self._scan_cache = v
 
     # ---------------- event fan-out ----------------
 
@@ -215,9 +250,15 @@ class GuiBackend(CaptureMixin, DisplayMixin, ZoomMixin, AudioScanMixin):
             if rec is not None:
                 try:
                     rec.append(np.atleast_2d(x))
-                except ValueError as e:  # closed/shape flip: drop cleanly
-                    self._recorder = None
-                    self.status(f"recording stopped: {e}", ok=False)
+                except ValueError as e:
+                    # "recorder is closed" = the HTTP thread's stop_record
+                    # won the race after our snapshot — a CLEAN stop, the
+                    # chunk is deliberately excluded; anything else (e.g. a
+                    # real<->IQ signature flip) is a genuine error.
+                    if self._recorder is rec:
+                        self._recorder = None
+                    if "closed" not in str(e):
+                        self.status(f"recording stopped: {e}", ok=False)
             # snapshot the mode once per iteration: it can be flipped from
             # the HTTP thread between the request and the decode otherwise
             # (the snapshot is threaded through _emit_frame too)
@@ -264,14 +305,24 @@ class GuiBackend(CaptureMixin, DisplayMixin, ZoomMixin, AudioScanMixin):
                         f"zoom disabled after error: {type(e).__name__}: {e}",
                         ok=False,
                     )
-            # scan ring: keep the newest ~0.5 s of raw channel-0 samples
-            xr = x[0] if getattr(x, "ndim", 1) > 1 else x
-            if self._scan_ring.dtype != xr.dtype:
-                self._scan_ring = np.zeros(0, xr.dtype)  # real<->IQ flip
+            # scan ring: keep the newest ~2 s of raw channel-0 samples
+            xr = np.asarray(x[0] if getattr(x, "ndim", 1) > 1 else x)
+            if self._scan_chunks and self._scan_chunks[-1].dtype != xr.dtype:
+                self._scan_chunks.clear()  # real<->IQ flip resets the ring
+                self._scan_buffered = 0
             if not self._scan_ring_len:
                 self._scan_ring_len = int(2.0 * self.sa.cfg.sample_rate)
-            self._scan_ring = np.concatenate(
-                [self._scan_ring, np.asarray(xr)])[-self._scan_ring_len:]
+            self._scan_chunks.append(xr)
+            self._scan_buffered += xr.shape[-1]
+            # drop whole stale chunks; the final [-len:] trim happens at
+            # materialization time (rare, user-triggered)
+            while (
+                len(self._scan_chunks) > 1
+                and self._scan_buffered - self._scan_chunks[0].shape[-1]
+                >= self._scan_ring_len
+            ):
+                self._scan_buffered -= self._scan_chunks.pop(0).shape[-1]
+            self._scan_cache = None
             # audio demod taps every raw chunk too (carried receiver state)
             if self.audio_cfg["enabled"]:
                 try:

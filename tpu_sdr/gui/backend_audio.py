@@ -30,7 +30,7 @@ class AudioScanMixin:
                 "scan ring has too few samples; start the receiver and retry")
         iq = bool(np.iscomplexobj(ring))
         lo = float(cfg.get("start_khz", -fs / 2e3 if iq else 0.0)) * 1e3
-        hi = float(cfg.get("stop_khz", fs / 2e3 if iq else fs / 2e3)) * 1e3
+        hi = float(cfg.get("stop_khz", fs / 2e3)) * 1e3
         bw = float(cfg.get("bw_khz", 25.0)) * 1e3
         thr = float(cfg.get("threshold_db", 10.0))
         sc = SpectrumScanner(fs, lo, hi, channel_bw=bw, threshold_db=thr)

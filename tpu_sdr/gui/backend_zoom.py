@@ -112,7 +112,11 @@ class ZoomMixin:
         and emit a ``zoom_frame`` per full zoom-FFT frame."""
         from tpu_sdr.core.config import FilterMode as FM
 
-        xn = np.asarray(x).reshape(-1)  # single-stream tap
+        # Channel-0 tap (like the scan ring and audio taps): reshape(-1)
+        # on a (C, T) chunk would splice the channel streams end-to-end
+        # into the carried DDC/PFB state with a phase seam per chunk.
+        xa = np.asarray(x)
+        xn = (xa[0] if xa.ndim > 1 else xa).reshape(-1)
         iq = bool(np.iscomplexobj(xn))
         rt = self._zoom_runtime(iq)
         sub = self._zoom_front(rt, xn, iq)

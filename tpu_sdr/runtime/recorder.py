@@ -18,12 +18,18 @@ from __future__ import annotations
 
 import json
 import os
+import threading
 
 import numpy as np
 
 
 class SampleRecorder:
-    """Accumulate sample chunks; write one .npy (+ .json sidecar) on close."""
+    """Accumulate sample chunks; write one .npy (+ .json sidecar) on close.
+
+    Thread-safe: ``append`` and ``close`` serialize on an internal lock, so
+    a GUI acquisition thread appending while an HTTP thread closes either
+    lands the chunk in the file or raises "recorder is closed" — never a
+    torn buffer or a silently dropped tail."""
 
     def __init__(
         self,
@@ -41,10 +47,9 @@ class SampleRecorder:
         self.samples_written = 0  # total appended (pre-ring)
         self._sig = None  # (channels, is_complex)
         self._closed = False
+        self._lock = threading.Lock()
 
     def append(self, x) -> None:
-        if self._closed:
-            raise ValueError("recorder is closed")
         x = np.asarray(x)
         if x.ndim == 1:
             x = x[None, :]
@@ -53,43 +58,47 @@ class SampleRecorder:
         is_c = np.iscomplexobj(x)
         x = np.ascontiguousarray(x, np.complex64 if is_c else np.float32)
         sig = (x.shape[0], is_c)
-        if self._sig is None:
-            self._sig = sig
-        elif sig != self._sig:
-            raise ValueError(
-                f"chunk signature {sig} != recorder's {self._sig} "
-                "(channels / real-vs-complex must not change mid-capture)"
-            )
-        self._chunks.append(x)
-        self._buffered += x.shape[-1]
-        self.samples_written += x.shape[-1]
-        if self.max_samples is not None:
-            # ring: drop whole chunks from the front, then trim the first
-            while (
-                len(self._chunks) > 1
-                and self._buffered - self._chunks[0].shape[-1]
-                >= self.max_samples
-            ):
-                self._buffered -= self._chunks.pop(0).shape[-1]
-            excess = self._buffered - self.max_samples
-            if excess > 0:
-                # copy, not slice: a view would keep the whole original
-                # chunk array alive, defeating the ring's memory bound
-                # (ascontiguousarray is NOT enough — it returns the view
-                # unchanged when the slice happens to be contiguous)
-                self._chunks[0] = self._chunks[0][..., excess:].copy()
-                self._buffered -= excess
+        with self._lock:
+            if self._closed:
+                raise ValueError("recorder is closed")
+            if self._sig is None:
+                self._sig = sig
+            elif sig != self._sig:
+                raise ValueError(
+                    f"chunk signature {sig} != recorder's {self._sig} "
+                    "(channels / real-vs-complex must not change mid-capture)"
+                )
+            self._chunks.append(x)
+            self._buffered += x.shape[-1]
+            self.samples_written += x.shape[-1]
+            if self.max_samples is not None:
+                # ring: drop whole chunks from the front, then trim the first
+                while (
+                    len(self._chunks) > 1
+                    and self._buffered - self._chunks[0].shape[-1]
+                    >= self.max_samples
+                ):
+                    self._buffered -= self._chunks.pop(0).shape[-1]
+                excess = self._buffered - self.max_samples
+                if excess > 0:
+                    # copy, not slice: a view would keep the whole original
+                    # chunk array alive, defeating the ring's memory bound
+                    # (ascontiguousarray is NOT enough — it returns the view
+                    # unchanged when the slice happens to be contiguous)
+                    self._chunks[0] = self._chunks[0][..., excess:].copy()
+                    self._buffered -= excess
 
     def close(self) -> dict:
         """Write the capture; returns the sidecar metadata dict."""
-        if self._closed:
-            raise ValueError("recorder already closed")
-        if self._sig is None:
-            # not fatal: the recorder stays usable (append then close)
-            raise ValueError("nothing recorded")
-        self._closed = True
-        data = np.concatenate(self._chunks, axis=-1)
-        self._chunks.clear()
+        with self._lock:
+            if self._closed:
+                raise ValueError("recorder already closed")
+            if self._sig is None:
+                # not fatal: the recorder stays usable (append then close)
+                raise ValueError("nothing recorded")
+            self._closed = True
+            data = np.concatenate(self._chunks, axis=-1)
+            self._chunks.clear()
         np.save(self.path, data)
         meta = {
             "fs": self.fs,

@@ -157,8 +157,8 @@ class SpectrumScanner:
             pad = self.k - batch.size
             if pad:
                 batch = np.concatenate([batch, np.repeat(batch[:1], pad)])
-            p = self._measure_batch(x, batch, iq)
-            power[lo : lo + self.k - pad] = p[: self.k - pad]
+            batch_power = self._measure_batch(x, batch, iq)
+            power[lo : lo + self.k - pad] = batch_power[: self.k - pad]
         power_db = 10.0 * np.log10(np.maximum(power, 1e-30))
         floor = float(np.median(power_db))
         occupied = power_db > floor + self.threshold_db

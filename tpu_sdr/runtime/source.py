@@ -109,6 +109,19 @@ class FileSource:
         dtype = np.complex64 if np.iscomplexobj(data) else np.float32
         self.data = np.atleast_2d(np.asarray(data, dtype))
         self.fs = fs
+        # channels=1 (the default) means "the file's native channel count";
+        # asking for MORE channels than a mono file has fans channel 0 out
+        # (a convenience); any other mismatch would silently drop or invent
+        # recorded channels, so it is an error.
+        file_ch = self.data.shape[0]
+        if channels == 1:
+            channels = file_ch
+        elif file_ch not in (1, channels):
+            raise ValueError(
+                f"file has {file_ch} channels, source configured for "
+                f"{channels}; only native (channels=1) or mono->C fan-out "
+                "is supported"
+            )
         self.channels = channels
         self.pos = 0
 
@@ -117,7 +130,7 @@ class FileSource:
         idx = (self.pos + np.arange(n_samples)) % total
         self.pos = (self.pos + n_samples) % total
         out = self.data[:, idx]
-        if out.shape[0] < self.channels:
+        if out.shape[0] < self.channels:  # mono->C fan-out (see __init__)
             out = np.broadcast_to(out[0], (self.channels, n_samples))
         if pace:
             time.sleep(n_samples / self.fs)
