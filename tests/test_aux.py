@@ -387,3 +387,19 @@ class TestCli:
         assert main(["bench", "--channels", "1", "--frames", "2", "--reps", "1"]) == 0
         rec = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
         assert rec["value"] > 0 and rec["quality"] == "f32"
+
+
+def test_uart_deframer_rejects_sub_frame_max_buffer():
+    """max_buffer < one frame cannot preserve alignment under overflow
+    (review finding: the trim clamped to a non-frame-multiple and broke
+    every subsequent frame boundary) — rejected at construction."""
+    with pytest.raises(ValueError, match="at least one"):
+        UartDeframer(max_buffer=1000)
+    # exactly one frame is legal and the trim only ever drops whole frames
+    rx = UartDeframer(max_buffer=FRAME_SIZE_BYTES)
+    f0 = bytes(range(256)) * (FRAME_SIZE_BYTES // 256)
+    f1 = bytes([7]) * FRAME_SIZE_BYTES
+    # half of f0, then the rest plus all of f1 (overflow mid-push)
+    out = rx.push(f0[: FRAME_SIZE_BYTES // 2])
+    out += rx.push(f0[FRAME_SIZE_BYTES // 2 :] + f1)
+    assert out == [f0, f1]  # alignment survived; nothing corrupted

@@ -161,3 +161,12 @@ def test_sharded_receiver_validation():
     with pytest.raises(ValueError, match="chunk_granularity"):
         sh.process(np.zeros((1, rx.chunk_granularity), np.float32),
                    sh.initial_state((1,)))
+
+
+def test_sharded_receiver_rejects_stereo():
+    """A stereo Receiver must fail loudly at ShardedReceiver construction
+    (review finding: it silently emitted mono, non-de-emphasized audio)."""
+    rx = Receiver(mode="wbfm", stereo=True)
+    mesh = make_sdr_mesh(channel=1, time=2)
+    with pytest.raises(NotImplementedError, match="stereo"):
+        ShardedReceiver(rx, mesh)

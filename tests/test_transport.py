@@ -134,6 +134,35 @@ class TestNativeParity:
         frame = spectrum_to_frame_bytes(re, im)
         assert native.frame_to_packets(frame) == frame_to_packets(frame)
 
+    def test_assemble_parity_drops_invalid_count_bytes(self):
+        """C++ assemble == MultiPacketAssembler drop semantics: a corrupt
+        count byte (>= 64) is DROPPED, never aliased into slot c%64 where
+        it would overwrite a genuine packet (review finding)."""
+        re, im = _spectrum(6)
+        frame = spectrum_to_frame_bytes(re, im)
+        pkts = frame_to_packets(frame)
+        # shuffled + a corrupt duplicate of slot 7's data with count 64+7:
+        # aliasing would overwrite slot 7 with the corrupt payload
+        rng = np.random.default_rng(6)
+        bad = bytes([64 + 7]) + bytes(1024)
+        shuffled = [pkts[i] for i in rng.permutation(64)]
+        out, filled = native.assemble_payloads(shuffled + [bad])
+        assert filled == 64
+        assert out == frame  # bad packet left no trace
+        # NumPy fallback path agrees bit-for-bit (temporarily hide the lib)
+        import tpu_sdr.transport.native as nat
+
+        saved = nat._lib, nat._tried
+        try:
+            nat._lib, nat._tried = None, True
+            out_py, filled_py = nat.assemble_payloads(shuffled + [bad])
+        finally:
+            nat._lib, nat._tried = saved
+        assert (out_py, filled_py) == (out, filled)
+        # missing slots: filled < 64 and the hole reads as zeros
+        out2, filled2 = native.assemble_payloads(shuffled[:-1])
+        assert filled2 == 63
+
 
 def test_udp_loopback_end_to_end():
     """Sender -> OS loopback -> receiver -> decoded spectra."""

@@ -15,8 +15,17 @@ from tpu_sdr.core.config import PipelineConfig
 
 # v5e per-chip peaks (public numbers).
 CHIP_SPECS = {
-    "v5e": {"bf16_tflops": 197.0, "f32_eff_tflops": 25.0, "hbm_gbs": 819.0},
+    "v5e": {"bf16_tflops": 197.0, "hbm_gbs": 819.0},
 }
+
+# MXU passes per LOGICAL flop for each quality tier: the model counts
+# algorithmic flops, and the executed matmuls multiply that by the
+# precision trick's pass count — bf16 runs the MXU natively; the f32
+# tier's high3 splits every product into 3 bf16 passes (hi*hi + hi*lo +
+# lo*hi, docs/ARCHITECTURE.md "Per-tier kernel precision"); f32max's
+# HIGHEST is the 6-pass bf16_6x-class exact-f32 scheme. Effective logical
+# rate = bf16 peak / passes.
+TIER_MXU_PASSES = {"bf16": 1.0, "f32": 3.0, "f32max": 6.0}
 
 
 @dataclasses.dataclass
@@ -50,8 +59,11 @@ def pipeline_cost(cfg: PipelineConfig | None = None) -> list[StageCost]:
         StageCost("iir_inject", 2.0 * B * m * L, 0.0),
         StageCost(
             "fft_4step",
-            2.0 * n * cfg.fft_n2 + 4.0 * 2.0 * n  # step1 real (2 matmuls)
-            + 4.0 * n * cfg.fft_n1 * 2.0,  # step2 complex (4 matmuls)
+            # step1 real input: 2 real matmuls of n*n2 MACs = 4*n*n2 flops
+            # (kernels/fft.py step-1 einsum pair), + twiddle elementwise,
+            # + step3 complex: 4 real matmuls of n*n1 MACs = 8*n*n1 flops
+            4.0 * n * cfg.fft_n2 + 4.0 * 2.0 * n
+            + 4.0 * n * cfg.fft_n1 * 2.0,
             0.0,
         ),
         StageCost("magnitude", 4.0 * n, 0.0),
@@ -72,9 +84,8 @@ def roofline_report(
     n = cfg.fft_size
     flops = sum(s.flops_per_frame for s in stages)
     hbm = sum(s.hbm_bytes_per_frame for s in stages)
-    tflops = (
-        spec["bf16_tflops"] if cfg.dtype == "bf16" else spec["f32_eff_tflops"]
-    )
+    passes = TIER_MXU_PASSES.get(cfg.dtype, 3.0)
+    tflops = spec["bf16_tflops"] / passes
     t_compute = flops / (tflops * 1e12)
     t_memory = hbm / (spec["hbm_gbs"] * 1e9)
     bound = "compute" if t_compute > t_memory else "memory"
@@ -87,6 +98,7 @@ def roofline_report(
         "flops_per_frame": flops,
         "hbm_bytes_per_frame": hbm,
         "arithmetic_intensity": flops / max(hbm, 1.0),
+        "mxu_passes": passes,
         "bound": bound,
         "ceiling_samples_per_sec": ceiling_sps,
         "stages": {s.name: s.flops_per_frame for s in stages},

@@ -22,6 +22,7 @@ import jax.numpy as jnp
 from jax.sharding import NamedSharding, PartitionSpec as P
 
 from tpu_sdr.kernels.pfb import Channelizer, _forward
+from tpu_sdr.shard.halo import left_halo
 
 
 class ShardedChannelizer:
@@ -49,19 +50,13 @@ class ShardedChannelizer:
         time_shards = self.mesh.shape["time"]
 
         def body(x_loc, state, h2, cos, sin):
-            if time_shards > 1 and hist:
+            if hist:
+                # canonical one-ppermute exchange (shard/halo.py) — also
+                # the single-shard identity (halo=state, carry my tail)
                 tail = x_loc[..., x_loc.shape[-1] - hist :]
-                left = jax.lax.ppermute(
-                    tail, "time", [(i, i + 1) for i in range(time_shards - 1)]
-                )
-                idx = jax.lax.axis_index("time")
-                halo = jnp.where(idx == 0, state, left)
-                # the new global state is the LAST shard's tail
-                new_state = jax.lax.all_gather(tail, "time")[-1]
+                halo, new_state = left_halo(tail, state, time_shards)
             else:
-                halo, new_state = state, (
-                    x_loc[..., x_loc.shape[-1] - hist :] if hist else state
-                )
+                halo, new_state = state, state
             cat = jnp.concatenate([halo, x_loc], axis=-1)
             re, im, _ = _forward(
                 cat, h2, cos, sin, ch.taps, ch.m, ch._precision, iq=iq,

@@ -18,6 +18,7 @@ import jax.numpy as jnp
 from jax.sharding import NamedSharding, PartitionSpec as P
 
 from tpu_sdr.kernels.fastconv import FastFIR, FastFIRState, _fastfir_forward
+from tpu_sdr.shard.halo import left_halo
 
 
 class ShardedFastFIR:
@@ -50,13 +51,9 @@ class ShardedFastFIR:
 
         def body(x_loc, tail, hr, hi, plan):
             if time_shards > 1:
+                # canonical one-ppermute exchange (shard/halo.py)
                 mine = x_loc[..., x_loc.shape[-1] - hist:]
-                left = jax.lax.ppermute(
-                    mine, "time",
-                    [(i, i + 1) for i in range(time_shards - 1)])
-                idx = jax.lax.axis_index("time")
-                halo = jnp.where(idx == 0, tail, left)
-                new_tail = jax.lax.all_gather(mine, "time")[-1]
+                halo, new_tail = left_halo(mine, tail, time_shards)
             else:
                 halo = tail
                 new_tail = None  # forward returns it below

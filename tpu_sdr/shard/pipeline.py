@@ -203,13 +203,17 @@ class ShardedSpectrumPipeline:
                     f"{expected}, got {tuple(state.sos_state.shape)}: create "
                     "it with initial_state(batch_shape=(2,))"
                 )
-        x = self.shard_input(x)
+        # friendly errors BEFORE the put (like channelizer/ddc/psd): a bad
+        # chunk length must not cost a multi-MB mesh transfer first, and a
+        # non-divisible T would die inside shard_map as a cryptic GSPMD
+        # sharding error
         tpd = self.mesh.shape["time"] * self.cfg.fft_size
-        if x.shape[-1] % tpd:
+        if np.shape(x)[-1] % tpd:
             raise ValueError(
-                f"stream chunk length {x.shape[-1]} must be a multiple of "
-                f"time_shards*fft_size = {tpd}"
+                f"stream chunk length {np.shape(x)[-1]} must be a multiple "
+                f"of time_shards*fft_size = {tpd}"
             )
+        x = self.shard_input(x)
         fn = self._fn(
             _MODE_TO_INDEX[FilterMode(mode)], outputs, complex_input
         )

@@ -33,6 +33,15 @@ class ShardedReceiver:
     single-device granularity times the time-shard count)."""
 
     def __init__(self, rx: Receiver, mesh: jax.sharding.Mesh):
+        if getattr(rx, "stereo_enabled", False):
+            # The sharded chain has no stereo stage: accepting a stereo
+            # Receiver would silently emit mono, non-de-emphasized audio
+            # (and the (L,R)-shaped resampler state would die with an
+            # opaque shape error). Fail loudly at construction instead.
+            raise NotImplementedError(
+                "ShardedReceiver does not support stereo=True yet; use the "
+                "single-device Receiver for stereo, or mono WBFM here"
+            )
         self.rx = rx
         self.mesh = mesh
         self.ddc = ShardedDDC(rx.ddc, mesh)
@@ -71,7 +80,9 @@ class ShardedReceiver:
                 bb["re"], bb["im"], state.squelch)
             audio = audio * gate
         audio, rs = self.resampler.process(audio, state.resamp)
-        return audio, ReceiverState(ddc_state, dm, agc_state, rs, sq_state)
+        return audio, ReceiverState(
+            ddc_state, dm, agc_state, rs, sq_state, state.stereo
+        )
 
     def _check(self, t: int):
         if t % self.chunk_granularity:

@@ -10,6 +10,7 @@ from __future__ import annotations
 import ctypes
 import os
 import subprocess
+import threading
 import warnings
 
 import numpy as np
@@ -18,9 +19,18 @@ _DIR = os.path.join(os.path.dirname(__file__), "native")
 _SO = os.path.join(_DIR, "libframer.so")
 _lib = None
 _tried = False
+_load_lock = threading.Lock()
 
 
 def _load():
+    # Serialized: concurrent first calls (e.g. a sender on the main thread
+    # while a receiver worker hits the module) must not run two overlapping
+    # `make` writes to libframer.so or dlopen a half-written .so.
+    with _load_lock:
+        return _load_locked()
+
+
+def _load_locked():
     global _lib, _tried
     if _tried:
         return _lib
@@ -189,6 +199,46 @@ def frame_to_packets(frame: bytes, packets: int = 64, data_size: int = 1024):
     raw = out.tobytes()
     step = data_size + 1
     return [raw[i * step : (i + 1) * step] for i in range(packets)]
+
+
+def assemble_payloads(payloads, data_size: int = 1024):
+    """Lenient batch reassembly: (frame_bytes, filled_slot_count).
+
+    Mirrors ``MultiPacketAssembler``'s drop semantics — payloads whose
+    count byte is >= 64 are DROPPED (invalid on this wire; the UDP checksum
+    is 0, so corruption reaches this layer), never aliased into a valid
+    slot. The caller decides whether filled < 64 is an error; the strict
+    raising variant is ``framing.packets_to_frame``. NumPy fallback when
+    the native lib is unavailable.
+    """
+    from tpu_sdr.transport import framing
+
+    n = framing.PACKETS_PER_FRAME
+    step = data_size + 1
+    lib = _load()
+    if lib is None:
+        slots: list[bytes | None] = [None] * n
+        for p in payloads:
+            if len(p) != step:
+                raise ValueError(f"payload must be {step} bytes")
+            if p[0] < n:
+                slots[p[0]] = bytes(p[1:])
+        filled = sum(s is not None for s in slots)
+        return (
+            b"".join(s if s is not None else b"\0" * data_size for s in slots),
+            filled,
+        )
+    buf = b"".join(payloads)
+    if len(buf) != step * len(payloads):
+        raise ValueError(f"every payload must be {step} bytes")
+    out = np.zeros(n * data_size, dtype=np.uint8)
+    filled = lib.assemble(
+        buf,
+        len(payloads),
+        data_size,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+    )
+    return out.tobytes(), int(filled)
 
 
 def udp_available() -> bool:

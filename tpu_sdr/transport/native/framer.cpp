@@ -104,13 +104,19 @@ void packetize(const uint8_t* frame, uint8_t* out, uint32_t packets,
 }
 
 // Reassemble payloads (any order). Returns number of distinct slots filled.
+// A count byte >= 64 is invalid on this wire (the FPGA's mark_cnt is mod-64,
+// imp/phy_rmii_if.vhd:322) and the packet is DROPPED, matching the Python
+// MultiPacketAssembler/packets_to_frame — aliasing it into slot p[0] % 64
+// would silently overwrite a genuine packet's data (the UDP checksum is 0
+// on this wire, so corruption reaches this layer).
 uint32_t assemble(const uint8_t* payloads, uint32_t count, uint32_t data_size,
                   uint8_t* frame_out) {
     uint64_t seen = 0;
     uint32_t filled = 0;
     for (uint32_t i = 0; i < count; ++i) {
         const uint8_t* p = payloads + (uint64_t)i * (data_size + 1);
-        uint32_t slot = p[0] % 64;
+        uint32_t slot = p[0];
+        if (slot >= 64) continue;
         if (!(seen >> slot & 1)) {
             seen |= 1ull << slot;
             ++filled;

@@ -75,6 +75,11 @@ class UartDeframer:
         max_buffer: int = 4 * FRAME_SIZE_BYTES,
         clock=time.monotonic,
     ):
+        if max_buffer < FRAME_SIZE_BYTES:
+            raise ValueError(
+                f"max_buffer must hold at least one {FRAME_SIZE_BYTES}-byte "
+                f"frame; got {max_buffer}"
+            )
         self.stall_after = stall_after
         self.max_buffer = max_buffer
         self.clock = clock
@@ -102,10 +107,15 @@ class UartDeframer:
         if len(self._buf) > self.max_buffer:
             # trim whole frames from the head so alignment survives the
             # overflow (dropping an arbitrary byte count would shift every
-            # subsequent frame boundary permanently)
+            # subsequent frame boundary permanently) — round the excess UP
+            # to whole frames, then DOWN to what the buffer actually holds
+            # in whole frames: a naive min() could delete a partial-frame
+            # prefix and permanently break alignment
             excess = len(self._buf) - self.max_buffer
             excess = -(-excess // FRAME_SIZE_BYTES) * FRAME_SIZE_BYTES
-            excess = min(excess, len(self._buf))
+            excess = min(
+                excess, (len(self._buf) // FRAME_SIZE_BYTES) * FRAME_SIZE_BYTES
+            )
             del self._buf[:excess]
             self.bytes_dropped += excess
         frames = []

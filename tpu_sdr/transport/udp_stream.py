@@ -109,6 +109,10 @@ class UdpSpectrumReceiver:
         self._last_emit = 0.0
         self._stop = threading.Event()
         self._thread: threading.Thread | None = None
+        # set when the worker dies on an unexpected socket error, so the
+        # owner can see WHY frames_received stopped advancing instead of a
+        # silently frozen receiver
+        self.error: str | None = None
 
     @property
     def port(self) -> int:
@@ -120,20 +124,40 @@ class UdpSpectrumReceiver:
         self._thread = threading.Thread(target=self._run, daemon=True)
         self._thread.start()
 
+    def _survives(self, e: OSError) -> bool:
+        """True if the worker should keep receiving after this error.
+        Transient queue/buffer pressure is retried; a real socket failure
+        records ``self.error`` and stops the worker VISIBLY (a silent
+        `break` left the receiver looking alive with frames_received
+        frozen forever)."""
+        import errno
+
+        if self._stop.is_set():
+            return False  # stop() closed the socket under us: clean exit
+        if e.errno in (errno.EINTR, errno.EAGAIN, errno.ENOBUFS, errno.ENOMEM):
+            return True
+        self.error = f"receiver socket error: {e}"
+        self._stop.set()
+        return False
+
     def _run(self):
         while not self._stop.is_set():
             if self._nsock is not None:
                 # native path: drain the queue in one recvmmsg syscall
                 try:
                     batch = self._nsock.recv_burst(timeout=0.25)
-                except OSError:
+                except OSError as e:
+                    if self._survives(e):
+                        continue
                     break
             else:
                 try:
                     batch = [self.sock.recvfrom(2048)]
                 except socket.timeout:
                     continue
-                except OSError:
+                except OSError as e:
+                    if self._survives(e):
+                        continue
                     break
             for data, src in batch:
                 self._handle_packet(data, src)
