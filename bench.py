@@ -167,7 +167,7 @@ def median_rate(runner: TierRunner, slopes: list[float]) -> float:
     return runner.samples_per_dispatch / s[len(s) // 2]
 
 
-def measure_headline(runner: TierRunner, reps: int = 7) -> float:
+def measure_headline(runner: TierRunner, reps: int = 7) -> tuple[float, list[float]]:
     slopes = []
     for rep in range(reps):
         slopes.append(runner.slope())
@@ -183,7 +183,7 @@ def measure_headline(runner: TierRunner, reps: int = 7) -> float:
         f"bench[{runner.dtype}]: median per-dispatch "
         f"{runner.samples_per_dispatch / rate * 1e3:.3f} ms => {rate / 1e9:.2f} GSPS"
     )
-    return rate
+    return rate, slopes
 
 
 def measure_latency_ms() -> float:
@@ -209,9 +209,14 @@ def main():
     # (8.4 Msamples amortizes the tunnel's per-launch cost).
     C, F = 8, 64
     f32 = TierRunner("f32", C, F)
-    rate_f32 = measure_headline(f32)
+    rate_f32, f32_slopes = measure_headline(f32)
 
-    extras: dict = {"tiers": {"f32": rate_f32}}
+    # Per-rep slope arrays (ms) per tier: the drift/variance evidence the
+    # medians alone can't carry (CLAUDE.md measurement discipline).
+    slopes_ms: dict[str, list[float]] = {
+        "f32_headline": [round(s * 1e3, 4) for s in f32_slopes]
+    }
+    extras: dict = {"tiers": {"f32": rate_f32}, "slopes_ms": slopes_ms}
     RESULT = {
         "metric": "samples_per_sec_per_chip_window_iir12_fft16k",
         "value": rate_f32,
@@ -276,7 +281,30 @@ def main():
         for r in runners:
             if tier_slopes[r.dtype]:
                 extras["tiers"][r.dtype] = median_rate(r, tier_slopes[r.dtype])
-        extras["tiers_interleaved"] = True
+                slopes_ms[r.dtype] = [
+                    round(s * 1e3, 4) for s in tier_slopes[r.dtype]
+                ]
+        # claim interleaving only if at least one full A/B/C rep landed
+        extras["tiers_interleaved"] = all(
+            len(tier_slopes[r.dtype]) >= 1 for r in runners
+        )
+        # per-tier roofline fraction (the ceiling is dtype-dependent:
+        # bf16 needs fewer MXU passes than split-f32)
+        try:
+            from tpu_sdr.bench.roofline import roofline_report as _rr
+            from tpu_sdr.core.config import PipelineConfig as _PC
+
+            extras["roofline_per_tier"] = {
+                d: round(
+                    _rr(_PC(channels=C, dtype=d), measured_samples_per_sec=rate)[
+                        "fraction_of_ceiling"
+                    ],
+                    4,
+                )
+                for d, rate in extras["tiers"].items()
+            }
+        except Exception as e:
+            log(f"bench: per-tier roofline failed: {type(e).__name__}: {e}")
         RESULT.update(extras)
 
     # Latency mode, budget permitting.

@@ -46,11 +46,17 @@ class TestUart:
         assert rx.stalls_detected == 1
         assert rx.bytes_dropped == 10_000
 
-    def test_overflow_trim(self):
+    def test_overflow_extracts_before_trim(self):
+        # complete frames are DELIVERED, never trimmed: a push larger than
+        # max_buffer returns every whole frame and keeps the sub-frame
+        # remainder (the overflow trim only ever applies to genuine excess,
+        # which extraction makes impossible)
         rx = UartDeframer(max_buffer=2 * FRAME_SIZE_BYTES)
         junk = bytes(3 * FRAME_SIZE_BYTES + 17)
-        rx.push(junk)
-        assert rx.bytes_dropped > 0
+        frames = rx.push(junk)
+        assert len(frames) == 3
+        assert rx.bytes_dropped == 0
+        assert rx.frames_received == 3
 
     def test_baud_pacing_rate(self):
         import time
@@ -403,3 +409,22 @@ def test_uart_deframer_rejects_sub_frame_max_buffer():
     out = rx.push(f0[: FRAME_SIZE_BYTES // 2])
     out += rx.push(f0[FRAME_SIZE_BYTES // 2 :] + f1)
     assert out == [f0, f1]  # alignment survived; nothing corrupted
+
+
+def test_uart_deframer_burst_push_delivers_all_frames():
+    """A burst push (what SerialTransport.read_frames produces after a
+    stall) at the DEFAULT max_buffer must deliver every complete frame:
+    the round-2 bug trimmed the buffer before extracting, deleting
+    never-delivered frames whenever a push crossed max_buffer."""
+    rx = UartDeframer()  # default max_buffer = 4 frames
+    frames = [bytes([i]) * FRAME_SIZE_BYTES for i in range(6)]
+    out = rx.push(b"".join(frames))  # 6 frames > max_buffer in one push
+    assert out == frames
+    assert rx.bytes_dropped == 0
+    assert rx.frames_received == 6
+    # partial remainder after a burst is preserved, not trimmed
+    out = rx.push(frames[0] + frames[1][: FRAME_SIZE_BYTES // 2])
+    assert out == [frames[0]]
+    out = rx.push(frames[1][FRAME_SIZE_BYTES // 2 :])
+    assert out == [frames[1]]
+    assert rx.bytes_dropped == 0

@@ -1,6 +1,7 @@
 """SampleRecorder capture -> FileSource playback roundtrips."""
 
 import json
+import time
 
 import numpy as np
 import pytest
@@ -153,11 +154,17 @@ def test_recorder_append_close_race_is_clean(tmp_path, rng):
 
     t = threading.Thread(target=writer)
     t.start()
+    # deadline the wait: a writer-thread death (any exception other than
+    # the expected ValueError) must surface as a test failure, not a hang
+    deadline = time.monotonic() + 10.0
     while len(appended) < 50:
-        pass
+        if not t.is_alive() or time.monotonic() > deadline:
+            break
     meta = rec.close()
     stop.set()
-    t.join()
+    t.join(timeout=10.0)
+    assert not t.is_alive(), "writer thread failed to exit"
+    assert len(appended) >= 50, "writer made no progress before the deadline"
     data = np.load(path)
     # every 17-sample chunk is whole and consecutive from 0
     assert meta["samples"] % 17 == 0

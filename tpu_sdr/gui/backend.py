@@ -120,6 +120,7 @@ class GuiBackend(CaptureMixin, DisplayMixin, ZoomMixin, AudioScanMixin):
         self._scan_chunks: list[np.ndarray] = []
         self._scan_buffered = 0
         self._scan_cache: np.ndarray | None = np.zeros(0, np.float32)
+        self._scan_gen = 0  # bumped by every acquisition-thread append
         self._scan_ring_len = 0  # set from cfg on first append
         # Blind IQ imbalance correction on complex sources
         # (update_config {"iq_correction": true}); no-op for real input.
@@ -158,6 +159,7 @@ class GuiBackend(CaptureMixin, DisplayMixin, ZoomMixin, AudioScanMixin):
         snapshot."""
         cache = self._scan_cache
         if cache is None:
+            gen0 = self._scan_gen  # capture before the snapshot
             chunks = list(self._scan_chunks)  # snapshot under the GIL
             if chunks:
                 cache = np.concatenate(chunks, axis=-1)
@@ -165,7 +167,12 @@ class GuiBackend(CaptureMixin, DisplayMixin, ZoomMixin, AudioScanMixin):
                     cache = cache[-self._scan_ring_len:]
             else:
                 cache = np.zeros(0, np.float32)
-            self._scan_cache = cache
+            # only re-validate the cache if no append landed since the
+            # snapshot: storing unconditionally could overwrite the
+            # appender's `_scan_cache = None` invalidation and serve a
+            # stale snapshot until the NEXT append (review finding)
+            if self._scan_gen == gen0:
+                self._scan_cache = cache
         return cache
 
     @_scan_ring.setter
@@ -322,6 +329,8 @@ class GuiBackend(CaptureMixin, DisplayMixin, ZoomMixin, AudioScanMixin):
                 >= self._scan_ring_len
             ):
                 self._scan_buffered -= self._scan_chunks.pop(0).shape[-1]
+            self._scan_gen += 1  # before the invalidation: readers that saw
+            # the old gen will decline to re-validate their snapshot
             self._scan_cache = None
             # audio demod taps every raw chunk too (carried receiver state)
             if self.audio_cfg["enabled"]:

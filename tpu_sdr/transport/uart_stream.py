@@ -104,13 +104,20 @@ class UartDeframer:
             self.bytes_dropped += dropped
         self._last_rx = now
         self._buf.extend(data)
-        if len(self._buf) > self.max_buffer:
-            # trim whole frames from the head so alignment survives the
-            # overflow (dropping an arbitrary byte count would shift every
-            # subsequent frame boundary permanently) — round the excess UP
-            # to whole frames, then DOWN to what the buffer actually holds
-            # in whole frames: a naive min() could delete a partial-frame
-            # prefix and permanently break alignment
+        # Extract every complete frame BEFORE the overflow trim: a push that
+        # completes frame A and appends frame B must deliver A, not delete it
+        # (trim-first silently dropped valid spectra on burst reads after a
+        # stall — the round-2 red test). After extraction the remainder is a
+        # sub-frame, necessarily <= max_buffer (>= one frame by contract), so
+        # delivered data can never be trimmed.
+        frames = []
+        while len(self._buf) >= FRAME_SIZE_BYTES:
+            frames.append(bytes(self._buf[:FRAME_SIZE_BYTES]))
+            del self._buf[:FRAME_SIZE_BYTES]
+            self.frames_received += 1
+        if len(self._buf) > self.max_buffer:  # pragma: no cover — unreachable
+            # defensive only: whole-frame-aligned trim of a genuinely-excess
+            # remainder, kept in case the invariant above is ever weakened
             excess = len(self._buf) - self.max_buffer
             excess = -(-excess // FRAME_SIZE_BYTES) * FRAME_SIZE_BYTES
             excess = min(
@@ -118,11 +125,6 @@ class UartDeframer:
             )
             del self._buf[:excess]
             self.bytes_dropped += excess
-        frames = []
-        while len(self._buf) >= FRAME_SIZE_BYTES:
-            frames.append(bytes(self._buf[:FRAME_SIZE_BYTES]))
-            del self._buf[:FRAME_SIZE_BYTES]
-            self.frames_received += 1
         return frames
 
     def decode(self, frame: bytes):
