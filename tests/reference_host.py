@@ -7,6 +7,9 @@ want executed. This helper parses the module AST and executes ONLY:
 - top-level ``NAME = <literal arithmetic>`` constant assignments (values
   restricted to constants, names, and arithmetic — no calls, no attributes),
 - the ``decode_mag_16iq_le`` / ``decode_iq_components`` functions,
+- the ``design_iir_filter`` / ``quantize_coefficients`` / ``int8_to_byte``
+  designer functions (pure SciPy/NumPy; the SciPy prototypes are injected
+  by us, the reference's own imports never execute),
 - the ``MultiPacketAssembler`` class,
 
 in a namespace containing just ``np``, ``time`` and a silenced ``print``.
@@ -25,7 +28,15 @@ import numpy as np
 
 REFERENCE_GUI = "/root/reference/scripts/fft_analyzer_gui.py"
 
-_WANTED_DEFS = {"decode_mag_16iq_le", "decode_iq_components"}
+_WANTED_DEFS = {
+    "decode_mag_16iq_le",
+    "decode_iq_components",
+    # pure SciPy/NumPy designer math (fft_analyzer_gui.py:108-179) — the
+    # oracle for the 12-byte coefficient wire parity tests
+    "design_iir_filter",
+    "quantize_coefficients",
+    "int8_to_byte",
+}
 _WANTED_CLASSES = {"MultiPacketAssembler"}
 
 _SAFE_EXPR_NODES = (
@@ -68,9 +79,18 @@ def load_reference_host(path: str = REFERENCE_GUI) -> types.SimpleNamespace:
         elif isinstance(node, ast.ClassDef) and node.name in _WANTED_CLASSES:
             selected.append(node)
     mod = ast.Module(body=selected, type_ignores=[])
+    from scipy.signal import bessel, butter, cheby1, cheby2, ellip
+
     ns: dict = {
         "np": np,
         "time": time,
+        # design_iir_filter's SciPy prototypes, imported by US (the
+        # reference's own `from scipy.signal import ...` never executes)
+        "butter": butter,
+        "cheby1": cheby1,
+        "cheby2": cheby2,
+        "ellip": ellip,
+        "bessel": bessel,
         "print": lambda *a, **k: None,  # silence the assembler's debug print
         "__builtins__": {
             "__build_class__": __build_class__,

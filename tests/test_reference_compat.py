@@ -216,3 +216,88 @@ def test_full_scale_tone_wire_level_matches_schedule(ref):
     mag_f = ref.decode_mag_16iq_le(frame_f)
     assert abs(mag_f[k0] - mag[k0]) <= 4.0
     assert XFFT_WIRE_SCALE == 2.0
+
+
+# ---------------------------------------------------------------------------
+# Designer wire-bytes parity: our sos_to_wire_bytes vs the reference's
+# executed design_iir_filter + quantize_coefficients + payload packing
+# (fft_analyzer_gui.py:108-179,591-608) over a grid of designs.
+# ---------------------------------------------------------------------------
+
+_KIND_MAP = {  # our kind name -> the reference's
+    "butterworth": "butter",
+    "chebyshev1": "cheby1",
+    "chebyshev2": "cheby2",
+    "elliptic": "ellip",
+    "bessel": "bessel",
+}
+
+
+def _ref_wire_bytes(ref, sos):
+    """The reference's exact payload path: quantize, truncate/pad to 2
+    sections (fft_analyzer_gui.py:1185-1192), pack via int(c) & 0xFF
+    (:603, the UartReceiver._byte shorthand)."""
+    coeffs = ref.quantize_coefficients(sos)
+    if len(coeffs) > 2:
+        coeffs = coeffs[:2]
+    while len(coeffs) < 2:
+        coeffs.append([64, 0, 0, 64, 0, 0])
+    return bytes(int(c) & 0xFF for sec in coeffs for c in sec)
+
+
+@pytest.mark.parametrize("kind", sorted(_KIND_MAP))
+@pytest.mark.parametrize("btype", ["lowpass", "highpass", "bandpass", "bandstop"])
+@pytest.mark.parametrize("order_cut", [(2, 10.0), (4, 10.0), (2, 20.0), (4, 3.0)])
+def test_designer_wire_bytes_match_reference(ref, kind, btype, order_cut):
+    """For every design the wire format can carry (<= 2 sections), our 12
+    coefficient bytes are byte-identical to what the reference GUI would
+    send to the FPGA for the same design request. Same units both sides
+    (fs = 100.0, the reference's MHz default) so the Wn divisions — and
+    therefore the SciPy SOS bits — are identical operations."""
+    from tpu_sdr.control.designer import design_iir_filter, sos_to_wire_bytes
+
+    order, cutoff = order_cut
+    fs = 100.0
+    kw = dict(kind=_KIND_MAP[kind], ripple=1.0, attenuation=40.0)
+    if btype in ("bandpass", "bandstop"):
+        ref_sos = ref.design_iir_filter(
+            btype, order, cutoff, cutoff * 2, fs, **kw
+        )
+        ours = design_iir_filter(
+            kind, btype, order, fs, (cutoff, cutoff * 2),
+            ripple_db=1.0, attenuation_db=40.0,
+        )
+    else:
+        ref_sos = ref.design_iir_filter(btype, order, cutoff, None, fs, **kw)
+        ours = design_iir_filter(
+            kind, btype, order, fs, cutoff, ripple_db=1.0, attenuation_db=40.0
+        )
+    np.testing.assert_array_equal(np.asarray(ref_sos), ours.sos)
+    if ours.sos.shape[0] <= 2:
+        assert ours.to_wire_bytes() == _ref_wire_bytes(ref, ref_sos)
+    else:
+        # DELIBERATE divergence: the GUI silently truncates >2-section
+        # designs to 2 (fft_analyzer_gui.py:1185-1187), which silently
+        # changes the realized response; we refuse and direct the user to
+        # the array API instead. Assert both behaviors so the divergence
+        # stays documented-and-tested, not accidental.
+        with pytest.raises(ValueError, match="wire format carries 2"):
+            sos_to_wire_bytes(ours.sos)
+        truncated = _ref_wire_bytes(ref, ref_sos)
+        assert truncated == _ref_wire_bytes(ref, np.asarray(ref_sos)[:2])
+
+
+def test_designer_quantization_matches_reference_elementwise(ref):
+    """quantize_coeff_x64 == the reference's quantize_coefficients on
+    adversarial values: clip edges, +/-0.5 ties (np.round half-even), and
+    coefficients beyond the int8 range."""
+    from tpu_sdr.core.qformat import quantize_coeff_x64
+
+    vals = np.array([
+        [0.0078125, -0.0078125, 0.0234375, 1.0, -1.9921875, 0.9921875],
+        [2.5, -2.5, 3.0, -3.0, 100.0, -100.0],  # saturation
+        [0.0078124, 0.00390625, -0.00390625, 1.984375, -1.984375, 0.5],
+    ])
+    ours = quantize_coeff_x64(vals)
+    theirs = np.array(ref.quantize_coefficients(vals), dtype=np.int8)
+    np.testing.assert_array_equal(ours, theirs)
