@@ -163,10 +163,68 @@ def test_sharded_receiver_validation():
                    sh.initial_state((1,)))
 
 
-def test_sharded_receiver_rejects_stereo():
-    """A stereo Receiver must fail loudly at ShardedReceiver construction
-    (review finding: it silently emitted mono, non-de-emphasized audio)."""
-    rx = Receiver(mode="wbfm", stereo=True)
-    mesh = make_sdr_mesh(channel=1, time=2)
-    with pytest.raises(NotImplementedError, match="stereo"):
-        ShardedReceiver(rx, mesh)
+@pytest.mark.parametrize("mesh_shape", MESHES)
+def test_sharded_stereo_decoder_bitwise(rng, mesh_shape):
+    """ShardedStereoDecoder == StereoDecoder bitwise for every mesh shape,
+    on a real MPX (pilot + L/R program) with carried state across chunks."""
+    from tpu_sdr.kernels.stereo import StereoDecoder, make_mpx
+    from tpu_sdr.shard.stereo import ShardedStereoDecoder
+
+    c_ax, t_ax = mesh_shape
+    mesh = make_sdr_mesh(channel=c_ax, time=t_ax)
+    fs = 200_000.0
+    dec = StereoDecoder(fs, deemphasis_tau=75e-6, leak=0.98)
+    sh = ShardedStereoDecoder(dec, mesh)
+    c, t = 8, t_ax * 512
+    n = np.arange(2 * t)
+    left = 0.5 * np.sin(2 * np.pi * 700.0 * n / fs)
+    right = 0.4 * np.sin(2 * np.pi * 1100.0 * n / fs)
+    mpx = make_mpx(left, right, fs).astype(np.float32)
+    m = np.stack([np.roll(mpx, 13 * i) for i in range(c)])
+    s1, s2 = dec.initial_state((c,)), sh.initial_state((c,))
+    for k in range(2):
+        chunk = m[:, k * t:(k + 1) * t]
+        lr_ref, s1 = dec.process(chunk, s1)
+        lr_got, s2 = sh.process(chunk, s2)
+        np.testing.assert_array_equal(np.asarray(lr_got), np.asarray(lr_ref))
+    for f in ("a_re", "a_im", "b_re", "b_im", "last_re", "last_im", "filt"):
+        np.testing.assert_array_equal(
+            np.asarray(getattr(s2, f)), np.asarray(getattr(s1, f)))
+    assert s2.offset == s1.offset
+    assert s2.pilot_pow == pytest.approx(s1.pilot_pow)
+
+
+@pytest.mark.parametrize("mesh_shape", [(2, 4), (1, 8)])
+def test_sharded_receiver_stereo_bitwise(mesh_shape):
+    """The full stereo WBFM chain (DDC -> FM -> MPX decode -> de-emphasis
+    -> resample) sharded == single-device bitwise, closing the one
+    capability corner the sharded chain lacked (round-2 verdict #6)."""
+    c_ax, t_ax = mesh_shape
+    mesh = make_sdr_mesh(channel=c_ax, time=t_ax)
+    fs = 1_000_000.0
+    rx = Receiver(fs=fs, center_hz=250e3, mode="wbfm", audio_rate=16e3,
+                  stereo=True)
+    sh = ShardedReceiver(rx, mesh)
+    assert sh.stereo_dec is not None
+    c = 2
+    t = sh.chunk_granularity
+    n = np.arange(t)
+    # stereo MPX program (19 kHz pilot — preserved through the DDC) ->
+    # FM modulate at 250 kHz with the full 75 kHz broadcast deviation
+    from tpu_sdr.kernels.stereo import make_mpx
+    left = 0.5 * np.sin(2 * np.pi * 700.0 * n / fs)
+    right = 0.4 * np.sin(2 * np.pi * 300.0 * n / fs)
+    mpx = make_mpx(left, right, fs)
+    ph = 2 * np.pi * 250e3 * n / fs + 2 * np.pi * 75e3 / fs * np.cumsum(mpx)
+    x = np.stack([0.5 * np.cos(ph), 0.4 * np.cos(ph + 0.3)]).astype(np.float32)
+    s1, s2 = rx.initial_state((c,)), sh.initial_state((c,))
+    for _ in range(2):
+        a_ref, s1 = rx.process(x, s1)
+        a_got, s2 = sh.process(x, s2)
+        assert a_got.shape == (c, 2, a_ref.shape[-1])
+        np.testing.assert_array_equal(np.asarray(a_got), np.asarray(a_ref))
+    # the pilot actually locked and the L/R matrix engaged (guards
+    # against a closed gate making this a mono-path-only comparison)
+    assert s2.stereo.pilot_level() > 0.02
+    a = np.asarray(a_got)[0]
+    assert not np.array_equal(a[0], a[1])

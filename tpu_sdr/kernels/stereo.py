@@ -60,6 +60,51 @@ from tpu_sdr.kernels.demod import _affine_prefix_raw, _chain_blocks
 PILOT_HZ = 19_000.0
 
 
+def _hann_corr_win(block: int):
+    """The normalized periodic-Hann correlator window (see _block_phasor)."""
+    n_b = np.arange(block)
+    w_np = 0.5 - 0.5 * np.cos(2.0 * np.pi * n_b / block)
+    return jnp.asarray(2.0 * w_np / w_np.sum(), jnp.float32)
+
+
+def _track_pilot(prev_ar, prev_ai, prev_br, prev_bi, *, lam: float,
+                 thresh: float, w_max: float):
+    """Per-block pilot tracking from the EMA states-as-of-block-(g-1):
+    rotation clamp, EMA de-lag, one-block advance, squaring, gate.
+    Shared verbatim by the single-device and sharded paths so
+    sharded == single-device stays bitwise. Returns (d2r, d2i, gate, p2):
+    the unit doubled phasor, the stereo gate, and |pilot|^2 per block."""
+    lam_f = jnp.float32(lam)
+    one_m = jnp.float32(1.0 - lam)
+    # unit per-block rotation phasor w (pilot frequency error vs NCO),
+    # clamped to the plausible drift range: without the clamp, a
+    # noise-driven w lets the de-lag factor below amplify the A-EMA by
+    # up to (1+lam)/(1-lam) (measured: a mono input synthesized a
+    # phantom pilot 400x above the noise floor)
+    bmag = jnp.sqrt(prev_br * prev_br + prev_bi * prev_bi)
+    safe_b = bmag > jnp.float32(1e-12)
+    wr_raw = jnp.where(safe_b, prev_br / jnp.maximum(bmag, 1e-12), 1.0)
+    wi_raw = jnp.where(safe_b, prev_bi / jnp.maximum(bmag, 1e-12), 0.0)
+    s_max = jnp.float32(np.sin(w_max))
+    wi = jnp.clip(jnp.where(wr_raw > 0, wi_raw, jnp.sign(wi_raw)), -s_max, s_max)
+    wr = jnp.sqrt(jnp.maximum(1.0 - wi * wi, 0.0))
+    # de-lag the A-EMA: divide by C = (1-lam)/(1-lam*conj(w)), then
+    # advance one block (the EMA is causal: it ends at block g-1)
+    dr = (1.0 - lam_f * wr) / one_m  # (1 - lam*conj(w)) / (1-lam)
+    di = (lam_f * wi) / one_m
+    ur = prev_ar * dr - prev_ai * di
+    ui = prev_ar * di + prev_ai * dr
+    ur, ui = ur * wr - ui * wi, ur * wi + ui * wr  # advance by w
+
+    p2 = ur * ur + ui * ui  # |pilot|^2 estimate per block
+    gate = (p2 > jnp.float32(thresh * thresh)).astype(jnp.float32)
+    # unit doubled phasor e^{j2phi} = U^2 / |U|^2
+    inv = 1.0 / jnp.maximum(p2, jnp.float32(1e-12))
+    d2r = (ur * ur - ui * ui) * inv
+    d2i = (2.0 * ur * ui) * inv
+    return d2r, d2i, gate, p2
+
+
 def _block_phasor(m, c19, s19, win, block: int):
     """Per-block pilot correlator: (..., T) -> (A_re, A_im) (..., G).
 
@@ -91,9 +136,7 @@ def _stereo_forward(m, a_re0, a_im0, b_re0, b_im0, last_re0, last_im0,
     c38, s38 = _nco_cos_sin(phase19 * jnp.uint32(2), k19 * jnp.uint32(2), t)
 
     # periodic Hann, normalized so a full-scale pilot reads amplitude 1
-    n_b = np.arange(block)
-    w_np = 0.5 - 0.5 * np.cos(2.0 * np.pi * n_b / block)
-    win = jnp.asarray(2.0 * w_np / w_np.sum(), jnp.float32)
+    win = _hann_corr_win(block)
     ar, ai = _block_phasor(m, c19, s19, win, block)  # (..., G)
 
     # rotation products B_g = A_g * conj(A_{g-1}); A_{-1} carried
@@ -110,32 +153,9 @@ def _stereo_forward(m, a_re0, a_im0, b_re0, b_im0, last_re0, last_im0,
     fin_br, prev_br = _chain_blocks(a_bc, one_m * br, b_re0, len(lead))
     fin_bi, prev_bi = _chain_blocks(a_bc, one_m * bi, b_im0, len(lead))
 
-    # unit per-block rotation phasor w (pilot frequency error vs NCO),
-    # clamped to the plausible drift range: without the clamp, a
-    # noise-driven w lets the de-lag factor below amplify the A-EMA by
-    # up to (1+lam)/(1-lam) (measured: a mono input synthesized a
-    # phantom pilot 400x above the noise floor)
-    bmag = jnp.sqrt(prev_br * prev_br + prev_bi * prev_bi)
-    safe_b = bmag > jnp.float32(1e-12)
-    wr_raw = jnp.where(safe_b, prev_br / jnp.maximum(bmag, 1e-12), 1.0)
-    wi_raw = jnp.where(safe_b, prev_bi / jnp.maximum(bmag, 1e-12), 0.0)
-    s_max = jnp.float32(np.sin(w_max))
-    wi = jnp.clip(jnp.where(wr_raw > 0, wi_raw, jnp.sign(wi_raw)), -s_max, s_max)
-    wr = jnp.sqrt(jnp.maximum(1.0 - wi * wi, 0.0))
-    # de-lag the A-EMA: divide by C = (1-lam)/(1-lam*conj(w)), then
-    # advance one block (the EMA is causal: it ends at block g-1)
-    dr = (1.0 - lam_f * wr) / one_m  # (1 - lam*conj(w)) / (1-lam)
-    di = (lam_f * wi) / one_m
-    ur = prev_ar * dr - prev_ai * di
-    ui = prev_ar * di + prev_ai * dr
-    ur, ui = ur * wr - ui * wi, ur * wi + ui * wr  # advance by w
-
-    p2 = ur * ur + ui * ui  # |pilot|^2 estimate per block
-    gate = (p2 > jnp.float32(thresh * thresh)).astype(jnp.float32)
-    # unit doubled phasor e^{j2phi} = U^2 / |U|^2
-    inv = 1.0 / jnp.maximum(p2, jnp.float32(1e-12))
-    d2r = (ur * ur - ui * ui) * inv
-    d2i = (2.0 * ur * ui) * inv
+    d2r, d2i, gate, p2 = _track_pilot(
+        prev_ar, prev_ai, prev_br, prev_bi,
+        lam=lam, thresh=thresh, w_max=w_max)
 
     # cos(2theta + 2phi) per sample, per-block phasor broadcast over L
     c38b = c38.reshape(*([1] * len(lead)), g, block)

@@ -15,3 +15,4 @@ from tpu_sdr.shard.demod import (  # noqa: F401
 from tpu_sdr.shard.resample import ShardedResampler  # noqa: F401
 from tpu_sdr.shard.fastconv import ShardedFastFIR  # noqa: F401
 from tpu_sdr.shard.receiver import ShardedReceiver  # noqa: F401
+from tpu_sdr.shard.stereo import ShardedStereoDecoder  # noqa: F401

@@ -2,11 +2,13 @@
 
 Composes the sharded stages — ``ShardedDDC`` (mixed-tail halo),
 sharded demod/AGC (one-sample halo + replicated affine-chain replay),
-``ShardedResampler`` (input-tail halo) — into one streaming receiver
-whose audio is BITWISE identical to the single-device ``Receiver`` for
-every mesh shape (tested in tests/test_shard_receiver.py). Data stays
-(channel, time)-sharded on device between stages; only the per-stage
-carried state (a few floats per channel) is replicated.
+``ShardedStereoDecoder`` (2-float block-phasor halo + replicated pilot
+EMA replay, stereo=True receivers), ``ShardedResampler`` (input-tail
+halo) — into one streaming receiver whose audio is BITWISE identical to
+the single-device ``Receiver`` for every mesh shape (tested in
+tests/test_shard_receiver.py). Data stays (channel, time)-sharded on
+device between stages; only the per-stage carried state (a few floats
+per channel) is replicated.
 """
 
 from __future__ import annotations
@@ -24,6 +26,7 @@ from tpu_sdr.shard.demod import (
     ShardedSSBDemodulator,
 )
 from tpu_sdr.shard.resample import ShardedResampler
+from tpu_sdr.shard.stereo import ShardedStereoDecoder
 
 
 class ShardedReceiver:
@@ -33,15 +36,6 @@ class ShardedReceiver:
     single-device granularity times the time-shard count)."""
 
     def __init__(self, rx: Receiver, mesh: jax.sharding.Mesh):
-        if getattr(rx, "stereo_enabled", False):
-            # The sharded chain has no stereo stage: accepting a stereo
-            # Receiver would silently emit mono, non-de-emphasized audio
-            # (and the (L,R)-shaped resampler state would die with an
-            # opaque shape error). Fail loudly at construction instead.
-            raise NotImplementedError(
-                "ShardedReceiver does not support stereo=True yet; use the "
-                "single-device Receiver for stereo, or mono WBFM here"
-            )
         self.rx = rx
         self.mesh = mesh
         self.ddc = ShardedDDC(rx.ddc, mesh)
@@ -53,6 +47,8 @@ class ShardedReceiver:
             self.demod = ShardedSSBDemodulator(rx.demod, mesh)
         else:  # pragma: no cover - future demod kinds
             raise TypeError(f"unsupported demod {type(rx.demod).__name__}")
+        self.stereo_dec = (None if rx.stereo_dec is None
+                           else ShardedStereoDecoder(rx.stereo_dec, mesh))
         self.agc = None if rx.agc is None else ShardedAGC(rx.agc, mesh)
         self.squelch = (None if rx.squelch is None
                         else ShardedSquelch(rx.squelch, mesh))
@@ -71,6 +67,9 @@ class ShardedReceiver:
 
     def _run(self, bb, state: ReceiverState, ddc_state):
         audio, dm = self.demod.process(bb["re"], bb["im"], state.demod)
+        st_state = state.stereo
+        if self.stereo_dec is not None:
+            audio, st_state = self.stereo_dec.process(audio, state.stereo)
         agc_state = state.agc
         if self.agc is not None:
             audio, agc_state = self.agc.process_real(audio, state.agc)
@@ -78,10 +77,12 @@ class ShardedReceiver:
         if self.squelch is not None:
             gate, sq_state = self.squelch.gates(
                 bb["re"], bb["im"], state.squelch)
+            if self.stereo_dec is not None:
+                gate = gate[..., None, :]  # broadcast over the (L, R) axis
             audio = audio * gate
         audio, rs = self.resampler.process(audio, state.resamp)
         return audio, ReceiverState(
-            ddc_state, dm, agc_state, rs, sq_state, state.stereo
+            ddc_state, dm, agc_state, rs, sq_state, st_state
         )
 
     def _check(self, t: int):

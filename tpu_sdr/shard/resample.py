@@ -45,12 +45,26 @@ class ShardedResampler:
                 x, halo, h, up=rs.up, down=rs.down, p=rs.p)
             return out, new_tail
 
-        self._jitted = jax.jit(jax.shard_map(
-            body, mesh=mesh,
-            in_specs=(P("channel", "time"), P("channel", None), P(None)),
-            out_specs=(P("channel", "time"), P("channel", None)),
-            check_vma=False,
-        ))
+        self._body = body
+        self._jitted_by_rank: dict[int, object] = {}
+
+    def _jitted(self, rank: int):
+        """The shard_map'd body for a given input rank: (C, T) for mono
+        audio, (C, 2, T) for a stereo receiver's L/R planes — the extra
+        middle axes are unsharded."""
+        fn = self._jitted_by_rank.get(rank)
+        if fn is None:
+            mid = (None,) * (rank - 2)
+            fn = jax.jit(jax.shard_map(
+                self._body, mesh=self.mesh,
+                in_specs=(P("channel", *mid, "time"),
+                          P("channel", *mid, None), P(None)),
+                out_specs=(P("channel", *mid, "time"),
+                           P("channel", *mid, None)),
+                check_vma=False,
+            ))
+            self._jitted_by_rank[rank] = fn
+        return fn
 
     def initial_state(self, batch_shape: tuple = ()) -> ResamplerState:
         return self.rs.initial_state(batch_shape)
@@ -71,8 +85,9 @@ class ShardedResampler:
         want = tuple(x.shape[:-1]) + (self.rs.history_len,)
         if tuple(state.tail.shape) != want:
             raise ValueError(f"state shape {tuple(state.tail.shape)} != {want}")
+        mid = (None,) * (x.ndim - 2)
         x = jax.device_put(
             jnp.asarray(x, jnp.float32),
-            NamedSharding(self.mesh, P("channel", "time")))
-        out, tail = self._jitted(x, state.tail, self.rs._h)
+            NamedSharding(self.mesh, P("channel", *mid, "time")))
+        out, tail = self._jitted(x.ndim)(x, state.tail, self.rs._h)
         return out, ResamplerState(tail, state.offset + t)
