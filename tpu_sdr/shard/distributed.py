@@ -41,6 +41,14 @@ def initialize(
         num_processes = int(os.environ.get("JAX_NUM_PROCESSES", "1"))
     if num_processes <= 1 and coordinator_address is None:
         return False  # single process: nothing to do
+    if os.environ.get("JAX_PLATFORMS", "").strip().lower() == "cpu":
+        # CPU multi-process collectives need an explicit backend; gloo is
+        # the in-tree one (verified working 2-process on this JAX — see
+        # tests/test_distributed.py). Must be set before initialize().
+        try:
+            jax.config.update("jax_cpu_collectives_implementation", "gloo")
+        except Exception:  # pragma: no cover - older/newer config surface
+            pass
     jax.distributed.initialize(
         coordinator_address=coordinator_address,
         num_processes=num_processes,
