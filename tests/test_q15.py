@@ -145,3 +145,52 @@ def test_q15_state_carry_bit_exact(setup):
     )
     assert np.array_equal(whole, parts)
     assert np.array_equal(np.asarray(zf_w), np.asarray(zf_b))
+
+
+def test_q15_device_fft_split_bit_exact(setup):
+    """Q15Pipeline(device_fft=True): host window+filter oracles + ONE
+    device FFT dispatch — every emitted array bitwise equals the all-jit
+    path and the NumPy oracle (round-3 verdict #8)."""
+    pipe, sos_q, x = setup
+    split = Q15Pipeline(PipelineConfig(channels=1), device_fft=True)
+    split.upload_sos_q(sos_q)
+    ref, zf_ref = pipe.process(x)
+    got, zf = split.process(x)
+    for k in ("windowed_q15", "filtered_q15", "spectrum_re_q15",
+              "spectrum_im_q15"):
+        assert np.array_equal(
+            np.asarray(got[k]).reshape(-1), np.asarray(ref[k]).reshape(-1)
+        ), k
+    np.testing.assert_array_equal(
+        np.asarray(got["magnitude"]), np.asarray(ref["magnitude"]).reshape(
+            np.asarray(got["magnitude"]).shape)
+    )
+    # filter state carries identically (values, not dtype)
+    assert np.array_equal(
+        np.asarray(zf, np.int64).reshape(-1),
+        np.asarray(zf_ref, np.int64).reshape(-1))
+    # and chunked == one-shot through the split path
+    g1, z1 = split.process(x[:16384])
+    g2, z2 = split.process(x[16384:], z1)
+    assert np.array_equal(
+        np.concatenate([np.asarray(g1["spectrum_re_q15"]).reshape(-1),
+                        np.asarray(g2["spectrum_re_q15"]).reshape(-1)]),
+        np.asarray(got["spectrum_re_q15"]).reshape(-1))
+
+
+def test_q15_device_fft_bypass_mode(setup):
+    """bypass=True: window + integer FFT only (the reference's 0xB1
+    reset-default) — wire ints equal the oracle over the RTL-windowed
+    frames; no coefficients required."""
+    from tpu_sdr.kernels import fft_q15 as fq
+
+    _, _, x = setup
+    split = Q15Pipeline(PipelineConfig(channels=1), device_fft=True)
+    out, _ = split.process(x, bypass=True)
+    xw = np.stack([golden.rtl_window_q15(x[:16384]),
+                   golden.rtl_window_q15(x[16384:])])
+    ref_re, ref_im = fq.fft_q15_np(xw)
+    assert np.array_equal(
+        np.asarray(out["spectrum_re_q15"]).reshape(2, -1), ref_re)
+    assert np.array_equal(
+        np.asarray(out["spectrum_im_q15"]).reshape(2, -1), ref_im)

@@ -50,6 +50,7 @@ class Q15Pipeline:
         self,
         cfg: PipelineConfig | None = None,
         rtl_misaligned_window: bool = False,
+        device_fft: bool = False,
     ):
         self.cfg = cfg or PipelineConfig()
         n = self.cfg.fft_size
@@ -59,9 +60,19 @@ class Q15Pipeline:
             # src/hann8192.vhd:36-43; steady-state counter wrap gives sample 0
             # ROM[N-1]) — see golden.rtl_window_q15(misaligned=True).
             rom = np.roll(rom, 1)
+        self.rom_np = rom
         self.rom = jnp.asarray(rom)
         self.sos_q: np.ndarray | None = None
+        # device_fft: the live-streaming split (round-3 verdict #8) — the
+        # vectorizable stages (window elementwise, 14-rank integer FFT) run
+        # as ONE jitted device dispatch per chunk; only the inherently
+        # per-sample saturating IIR stays on the host (NumPy oracle), and
+        # bypass mode skips it entirely. Same bits as the all-scan jit path
+        # and the NumPy oracle (tested); the win is rate: the full-jit path
+        # compiles a T-iteration lax.scan, useless for live chunks.
+        self.device_fft = bool(device_fft)
         self._jit = jax.jit(self._process)
+        self._fft_jit = jax.jit(self._window_fft, static_argnames=("bypass",))
 
     def upload_sos_q(self, sos_x64: np.ndarray):
         """Quantized coefficients, int8 x64 (the wire format's payload)."""
@@ -93,8 +104,74 @@ class Q15Pipeline:
             "magnitude": jnp.sqrt(fr * fr + fi * fi),
         }, zf
 
-    def process(self, x_q15, zi=None):
-        """x_q15 (..., T) int16 (frame-aligned). Returns (out dict, zf)."""
+    def _window_fft(self, y_frames, *, bypass):
+        """Device stage of the split path: [window +] integer FFT + decode.
+
+        ``bypass=True``: y_frames are RAW q15 frames — window on device
+        (elementwise) then FFT. ``bypass=False``: y_frames are already
+        windowed+filtered on the host — FFT only.
+        """
+        if bypass:
+            y_frames = window.window_q15(y_frames, self.rom)
+        fr_q, fi_q = fft_q15.fft_q15(y_frames)
+        fr = fr_q.astype(jnp.float32)
+        fi = fi_q.astype(jnp.float32)
+        return {
+            "spectrum_re_q15": fr_q,
+            "spectrum_im_q15": fi_q,
+            "magnitude": jnp.sqrt(fr * fr + fi * fi),
+        }
+
+    def _process_split(self, x, zi, bypass):
+        """Host window+filter (NumPy oracles) -> ONE device dispatch."""
+        from tpu_sdr.control import golden
+
+        n = self.cfg.fft_size
+        x = np.asarray(x, np.int16)
+        if x.ndim == 1:
+            x = x[None, :]
+        lead = x.shape[:-1]
+        if bypass:
+            if zi is None:
+                zi = np.zeros((*lead, self.cfg.n_sections, 2), np.int64)
+            out = self._fft_jit(
+                jnp.asarray(x.reshape(*lead, -1, n)), bypass=True
+            )
+            return out, jnp.asarray(zi)
+        if self.sos_q is None:
+            raise ValueError("upload_sos_q first")
+        frames = x.reshape(*lead, -1, n)
+        # vectorized host window (bit-exact: same ROM/rounding as the RTL)
+        xw = qf.window_multiply_q15(frames, self.rom_np).reshape(*lead, -1)
+        flat = xw.reshape(-1, xw.shape[-1])
+        if zi is None:
+            zi = np.zeros((*lead, self.cfg.n_sections, 2), np.int64)
+        zflat = np.asarray(zi, np.int64).reshape(
+            -1, self.cfg.n_sections, 2
+        ).copy()
+        sos64 = np.asarray(self.sos_q, np.int64)
+        ys = np.empty_like(flat)
+        for r in range(flat.shape[0]):  # the one per-sample host stage
+            ys[r], zflat[r] = golden.sosfilt_q15_intended(
+                sos64, flat[r], zflat[r]
+            )
+        out = self._fft_jit(
+            jnp.asarray(ys.reshape(*lead, -1, n)), bypass=False
+        )
+        out = dict(out)
+        out["windowed_q15"] = jnp.asarray(xw)
+        out["filtered_q15"] = jnp.asarray(ys.reshape(*lead, -1, n))
+        return out, jnp.asarray(zflat.reshape(*lead, self.cfg.n_sections, 2))
+
+    def process(self, x_q15, zi=None, bypass: bool = False):
+        """x_q15 (..., T) int16 (frame-aligned). Returns (out dict, zf).
+
+        ``bypass``: window+FFT only (the reference's reset-default 0xB1
+        mode) — only honored on the ``device_fft`` split path; the all-jit
+        path always filters (its zf contract predates the flag).
+        """
+        if self.device_fft:
+            return self._process_split(x_q15, zi, bypass)
         if self.sos_q is None:
             raise ValueError("upload_sos_q first")
         x = jnp.asarray(x_q15, jnp.int16)
