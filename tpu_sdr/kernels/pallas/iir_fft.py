@@ -188,26 +188,38 @@ def _split2(a):
 
 def _dot(a, b, precision):
     if precision == "high3":
-        # Manual 3-pass bf16 emulation of XLA Precision.HIGH (Mosaic only
-        # exposes default/highest): hi*hi + hi*lo + lo*hi, f32 accumulate.
+        # bf16 emulation of XLA Precision.HIGH (Mosaic only exposes
+        # default/highest) as ONE K-concatenated MXU pass:
+        #   ah@bh + ah@bl + al@bh == [ah|ah|al] @ [bh;bl;bh]
+        # (each bf16*bf16 product is exact in f32; the accumulator runs
+        # K-serially over 3K instead of summing three separate dot results,
+        # so the rounding ORDER differs from the 3-dot form while the error
+        # class is identical). Measured on-chip (scripts/ablate_spectrum.py,
+        # interleaved, cat3 < 3-dot in every paired rep): the 3-dot form
+        # cost 0.14-0.23 ms/dispatch over 1-pass; the concat form claws
+        # most of it back — no inter-dot f32 result adds, one MXU
+        # invocation per contraction.
         ah, al = _split2(a)
         bh, bl = _split2(b)
-        d = lambda x, y: jnp.dot(
-            x, y, preferred_element_type=jnp.float32, precision="default"
+        a3 = jnp.concatenate([ah, ah, al], axis=a.ndim - 1)
+        b3 = jnp.concatenate([bh, bl, bh], axis=b.ndim - 2)
+        return jnp.dot(
+            a3, b3, preferred_element_type=jnp.float32, precision="default"
         )
-        return d(ah, bh) + (d(ah, bl) + d(al, bh))
     return jnp.dot(a, b, preferred_element_type=jnp.float32, precision=precision)
 
 
 def _dotT(a, b, precision):
     dn = (((1,), (1,)), ((), ()))
     if precision == "high3":
+        # same K-concatenated single pass; K is the LAST axis of both
         ah, al = _split2(a)
         bh, bl = _split2(b)
-        d = lambda x, y: jax.lax.dot_general(
-            x, y, dn, preferred_element_type=jnp.float32, precision="default"
+        a3 = jnp.concatenate([ah, ah, al], axis=-1)
+        b3 = jnp.concatenate([bh, bl, bh], axis=-1)
+        return jax.lax.dot_general(
+            a3, b3, dn, preferred_element_type=jnp.float32, precision="default"
         )
-        return d(ah, bh) + (d(ah, bl) + d(al, bh))
     return jax.lax.dot_general(
         a, b, dn, preferred_element_type=jnp.float32, precision=precision,
     )
@@ -255,8 +267,24 @@ def _fft_mag(y, plan_refs, G, B, L, precision, karatsuba=False):
     w2r, w2i, twr, twi, w1r, w1i = plan_refs
     k2 = w2r.shape[0]  # n2 (full) or HALF_K2 (half-spectrum)
     yl = _stack_to_lanes(y, G, B, L)  # (n2, G*n1)
-    yr = _dot(w2r[:], yl, precision)  # (k2, G*n1)
-    yi = _dot(w2i[:], yl, precision)
+    if precision == "high3":
+        # fused step-1: yl is split ONCE and its [bh;bl;bh] concat is
+        # shared by BOTH DFT planes, which ride one (2*k2, 3*n2) MXU dot
+        ylh, yll = _split2(yl)
+        b3 = jnp.concatenate([ylh, yll, ylh], axis=0)  # (3*n2, G*n1)
+        w2rh, w2rl = _split2(w2r[:])
+        w2ih, w2il = _split2(w2i[:])
+        a3 = jnp.concatenate([
+            jnp.concatenate([w2rh, w2rh, w2rl], axis=1),
+            jnp.concatenate([w2ih, w2ih, w2il], axis=1),
+        ], axis=0)  # (2*k2, 3*n2)
+        yri = jnp.dot(
+            a3, b3, preferred_element_type=jnp.float32, precision="default"
+        )
+        yr, yi = yri[:k2], yri[k2:]
+    else:
+        yr = _dot(w2r[:], yl, precision)  # (k2, G*n1)
+        yi = _dot(w2i[:], yl, precision)
     tr = yr * twr[:] - yi * twi[:]
     ti = yr * twi[:] + yi * twr[:]
     trs = _stack_to_rows(tr, G, k2, L)  # (G*k2, n1)
