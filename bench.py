@@ -239,6 +239,20 @@ def main():
             "fraction_of_roofline": rep.get("fraction_of_ceiling"),
             "arithmetic_intensity": rep["arithmetic_intensity"],
         }
+        # the honest program floor (serial phases + real hybrid HBM
+        # traffic): how much restructuring headroom remains, vs the
+        # idealized MXU-only ceiling above (round-3 attribution)
+        from tpu_sdr.bench.roofline import serial_floor_report
+
+        sf = serial_floor_report(
+            PipelineConfig(channels=C), measured_samples_per_sec=rate_f32
+        )
+        extras["roofline"]["serial_floor_samples_per_sec"] = sf[
+            "serial_floor_samples_per_sec"
+        ]
+        extras["roofline"]["fraction_of_serial_floor"] = sf.get(
+            "fraction_of_serial_floor"
+        )
     except Exception as e:  # never lose the headline to the extras
         log(f"bench: roofline report failed: {type(e).__name__}: {e}")
     RESULT.update(extras)  # keep the SIGTERM-emitted line current per stage

@@ -428,3 +428,21 @@ def test_uart_deframer_burst_push_delivers_all_frames():
     out = rx.push(frames[1][FRAME_SIZE_BYTES // 2 :])
     assert out == [frames[1]]
     assert rx.bytes_dropped == 0
+
+
+def test_serial_floor_report_bounds():
+    """The serial-phase floor is strictly BELOW the idealized MXU-only
+    ceiling (it adds memory time instead of taking the max) and the
+    fraction responds to the measured rate."""
+    from tpu_sdr.bench.roofline import roofline_report, serial_floor_report
+
+    cfg = PipelineConfig(channels=8)
+    rr = roofline_report(cfg)
+    sf = serial_floor_report(cfg, measured_samples_per_sec=15e9)
+    assert sf["serial_floor_samples_per_sec"] < rr["ceiling_samples_per_sec"]
+    assert sf["hybrid_hbm_bytes_per_frame"] == 4 * cfg.fft_size * 4
+    assert 0 < sf["fraction_of_serial_floor"] < 1
+    # a measured rate above the floor reports > 1 (overlap achieved)
+    sf2 = serial_floor_report(
+        cfg, measured_samples_per_sec=2 * sf["serial_floor_samples_per_sec"])
+    assert sf2["fraction_of_serial_floor"] == pytest.approx(2.0)

@@ -109,6 +109,49 @@ def roofline_report(
     return report
 
 
+def serial_floor_report(
+    cfg: PipelineConfig | None = None,
+    chip: str = "v5e",
+    measured_samples_per_sec: float | None = None,
+) -> dict:
+    """The HONEST floor of the shipped hybrid program, vs the idealized
+    MXU-only ceiling of ``roofline_report``.
+
+    Measured round 3 (docs/measurements/attrib_pipeline_r3.json): the
+    dispatch's phases do not fully overlap, and the hybrid moves FOUR
+    HBM passes per frame (x in, the IIR output y written and re-read by
+    the Pallas kernel, magnitudes out) — so the achievable floor is
+    t_compute + t_memory with the real traffic, not max(t_c, t_m) with
+    in+out only. The measured pipeline sits at ~0.8+ of this floor
+    (round-3 attribution), which is the number that says how much
+    restructuring headroom actually remains.
+    """
+    cfg = cfg or PipelineConfig()
+    spec = CHIP_SPECS[chip]
+    stages = pipeline_cost(cfg)
+    n = cfg.fft_size
+    flops = sum(s.flops_per_frame for s in stages)
+    passes = TIER_MXU_PASSES.get(cfg.dtype, 3.0)
+    tflops = spec["bf16_tflops"] / passes
+    t_compute = flops / (tflops * 1e12)
+    hybrid_hbm = 4.0 * n * 4.0  # x in + y round-trip + mag out, f32
+    t_memory = hybrid_hbm / (spec["hbm_gbs"] * 1e9)
+    floor_sps = cfg.effective_hop / (t_compute + t_memory)
+    report = {
+        "chip": chip,
+        "dtype": cfg.dtype,
+        "hybrid_hbm_bytes_per_frame": hybrid_hbm,
+        "t_compute_us_per_frame": t_compute * 1e6,
+        "t_memory_us_per_frame": t_memory * 1e6,
+        "serial_floor_samples_per_sec": floor_sps,
+    }
+    if measured_samples_per_sec is not None:
+        report["fraction_of_serial_floor"] = (
+            measured_samples_per_sec / floor_sps
+        )
+    return report
+
+
 @contextlib.contextmanager
 def profiled(logdir: str = "/tmp/tpu_sdr_trace"):
     """Capture a jax.profiler device trace around a code block."""
