@@ -158,6 +158,8 @@ def test_q15_device_fft_split_bit_exact(setup):
     got, zf = split.process(x)
     for k in ("windowed_q15", "filtered_q15", "spectrum_re_q15",
               "spectrum_im_q15"):
+        # same SHAPE contract as the all-jit path (framed), same bits
+        assert np.asarray(got[k]).shape == np.asarray(ref[k]).shape, k
         assert np.array_equal(
             np.asarray(got[k]).reshape(-1), np.asarray(ref[k]).reshape(-1)
         ), k

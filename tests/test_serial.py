@@ -136,3 +136,46 @@ def test_peer_close_fails_fast_not_busy_spin():
         assert elapsed < 2.0, f"busy-spun for {elapsed:.1f}s after peer close"
     finally:
         host.close()
+
+
+def test_read_frames_stale_backlog_trim():
+    """A consumer stall leaves a frame backlog in the wire buffer; on
+    resume read_frames keeps only the NEWEST max(n, max_stale) frames
+    (the reference GUI's trim policy, fft_analyzer_gui.py:687-689) while
+    the deframer itself delivered everything (no mid-stream loss)."""
+
+    class ReplaySerial:
+        """Feeds a prepared backlog in read_chunk pieces."""
+
+        def __init__(self, data):
+            self.data = data
+            self.off = 0
+            self.eof = False
+
+        def read(self, n):
+            piece = self.data[self.off:self.off + n]
+            self.off += len(piece)
+            if not piece:
+                self.eof = True
+            return piece
+
+        def write(self, data):
+            return len(data)
+
+        def close(self):
+            pass
+
+    frames = [bytes([i]) * FRAME_SIZE_BYTES for i in range(9)]
+    tr = SerialTransport(ReplaySerial(b"".join(frames)))
+    got = tr.read_frames(n=1)  # default max_stale=4 -> newest 4
+    assert got == frames[-4:]
+    assert tr.frames_stale_dropped == 5
+    # n > max_stale: the request size wins
+    tr2 = SerialTransport(ReplaySerial(b"".join(frames)))
+    got2 = tr2.read_frames(n=6)
+    assert got2 == frames[-6:]
+    assert tr2.frames_stale_dropped == 3
+    # opt-out returns everything
+    tr3 = SerialTransport(ReplaySerial(b"".join(frames)))
+    assert tr3.read_frames(n=1, max_stale=None) == frames
+    assert tr3.frames_stale_dropped == 0

@@ -72,6 +72,19 @@ def pipeline_cost(cfg: PipelineConfig | None = None) -> list[StageCost]:
     return stages
 
 
+def _tier_compute(cfg: PipelineConfig, chip: str):
+    """The shared prelude of both reports: (spec, stages, flops,
+    passes, t_compute) — one source so fraction_of_ceiling and
+    fraction_of_serial_floor can never silently diverge."""
+    spec = CHIP_SPECS[chip]
+    stages = pipeline_cost(cfg)
+    flops = sum(s.flops_per_frame for s in stages)
+    passes = TIER_MXU_PASSES.get(cfg.dtype, 3.0)
+    tflops = spec["bf16_tflops"] / passes
+    t_compute = flops / (tflops * 1e12)
+    return spec, stages, flops, passes, t_compute
+
+
 def roofline_report(
     cfg: PipelineConfig | None = None,
     chip: str = "v5e",
@@ -79,14 +92,8 @@ def roofline_report(
 ) -> dict:
     """Summarize the pipeline against the chip's compute/memory roofs."""
     cfg = cfg or PipelineConfig()
-    spec = CHIP_SPECS[chip]
-    stages = pipeline_cost(cfg)
-    n = cfg.fft_size
-    flops = sum(s.flops_per_frame for s in stages)
+    spec, stages, flops, passes, t_compute = _tier_compute(cfg, chip)
     hbm = sum(s.hbm_bytes_per_frame for s in stages)
-    passes = TIER_MXU_PASSES.get(cfg.dtype, 3.0)
-    tflops = spec["bf16_tflops"] / passes
-    t_compute = flops / (tflops * 1e12)
     t_memory = hbm / (spec["hbm_gbs"] * 1e9)
     bound = "compute" if t_compute > t_memory else "memory"
     # Ingest ceiling: a frame of compute advances the stream by hop samples
@@ -127,13 +134,8 @@ def serial_floor_report(
     restructuring headroom actually remains.
     """
     cfg = cfg or PipelineConfig()
-    spec = CHIP_SPECS[chip]
-    stages = pipeline_cost(cfg)
+    spec, _stages, _flops, _passes, t_compute = _tier_compute(cfg, chip)
     n = cfg.fft_size
-    flops = sum(s.flops_per_frame for s in stages)
-    passes = TIER_MXU_PASSES.get(cfg.dtype, 3.0)
-    tflops = spec["bf16_tflops"] / passes
-    t_compute = flops / (tflops * 1e12)
     hybrid_hbm = 4.0 * n * 4.0  # x in + y round-trip + mag out, f32
     t_memory = hybrid_hbm / (spec["hbm_gbs"] * 1e9)
     floor_sps = cfg.effective_hop / (t_compute + t_memory)

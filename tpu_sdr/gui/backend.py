@@ -106,8 +106,8 @@ class GuiBackend(CaptureMixin, DisplayMixin, ZoomMixin, AudioScanMixin):
         # all. Opt-in via update_config({"q15_faithful": true}); the last
         # wire frame is served byte-exact at /api/q15_frame.
         self.q15_faithful = False
-        self._q15_rt = None  # (pipeline, zi, signature)
-        self._q15_last_wire = None  # (re int16, im int16) of the last frame
+        self._q15_rt = None  # dict: pipe / zi (carried) / sig
+        self._q15_last_wire = None  # (re, im int16, mode_name) of the last frame
         # Live audio demod (runtime/receiver): a Receiver tees every raw
         # chunk; the demodulated audio accumulates in a bounded ring the
         # save_audio route writes to WAV.
@@ -413,20 +413,27 @@ class GuiBackend(CaptureMixin, DisplayMixin, ZoomMixin, AudioScanMixin):
         mode = self.sa.filter_mode
         if mode == FilterMode.CUSTOM and self.sa.custom_sos is None:
             return None
-        # signature: rebuild the pipeline + reset its carried state when
-        # the analyzer's filter routing/coefficients change
+        # cheap signature — rebuild the pipeline + reset its carried state
+        # only when the analyzer's filter routing/coefficients change.
+        # id() of custom_sos suffices: upload_sos REPLACES the array (the
+        # hot loop must not re-quantize SciPy coefficients ~30x/s just to
+        # compare bytes — review finding)
         if mode == FilterMode.CUSTOM:
-            sos_q = qf.quantize_coeff_x64(self.sa.custom_sos)
-            sig = ("custom", sos_q.tobytes())
+            sig = ("custom", id(self.sa.custom_sos))
         elif mode == FilterMode.FIXED:
-            from tpu_sdr.control import golden
-
-            sos_q = qf.quantize_coeff_x64(golden.fixed_filter_sos())
             sig = ("fixed",)
         else:
-            sos_q, sig = None, ("bypass",)
-        rt = self._q15_rt
+            sig = ("bypass",)
+        rt = self._q15_rt  # dict: pipe / zi (carried) / sig
         if rt is None or rt["sig"] != sig:
+            if mode == FilterMode.CUSTOM:
+                sos_q = qf.quantize_coeff_x64(self.sa.custom_sos)
+            elif mode == FilterMode.FIXED:
+                from tpu_sdr.control import golden
+
+                sos_q = qf.quantize_coeff_x64(golden.fixed_filter_sos())
+            else:
+                sos_q = None
             pipe = Q15Pipeline(
                 PipelineConfig(channels=1, fft_size=self.sa.cfg.fft_size),
                 device_fft=True,
@@ -447,7 +454,10 @@ class GuiBackend(CaptureMixin, DisplayMixin, ZoomMixin, AudioScanMixin):
         n = rt["pipe"].cfg.fft_size
         re_q = np.asarray(out["spectrum_re_q15"]).reshape(-1, n)
         im_q = np.asarray(out["spectrum_im_q15"]).reshape(-1, n)
-        self._q15_last_wire = (re_q[-1], im_q[-1])
+        # the mode is captured WITH the frame: get_q15_frame must label
+        # the frame with the mode that produced it, not whatever the
+        # analyzer switched to afterwards (review finding)
+        self._q15_last_wire = (re_q[-1], im_q[-1], mode.name)
         return np.asarray(out["magnitude"]).reshape(re_q.shape)[-1]
 
     def get_q15_frame(self) -> dict:
@@ -462,12 +472,12 @@ class GuiBackend(CaptureMixin, DisplayMixin, ZoomMixin, AudioScanMixin):
                 "display frame")
         from tpu_sdr.transport.framing import frame_bytes_from_q15
 
-        re_q, im_q = self._q15_last_wire
+        re_q, im_q, mode_name = self._q15_last_wire
         frame = frame_bytes_from_q15(re_q, im_q)
         return {
             "frame_b64": base64.b64encode(frame).decode(),
             "bytes": len(frame),
-            "filter_mode": self.sa.filter_mode.name,
+            "filter_mode": mode_name,  # the mode that PRODUCED this frame
         }
 
     def set_mode(self, mode: str):

@@ -159,7 +159,8 @@ class Q15Pipeline:
             jnp.asarray(ys.reshape(*lead, -1, n)), bypass=False
         )
         out = dict(out)
-        out["windowed_q15"] = jnp.asarray(xw)
+        # FRAMED (*lead, F, n), matching the all-jit path's output contract
+        out["windowed_q15"] = jnp.asarray(xw.reshape(*lead, -1, n))
         out["filtered_q15"] = jnp.asarray(ys.reshape(*lead, -1, n))
         return out, jnp.asarray(zflat.reshape(*lead, self.cfg.n_sections, 2))
 

@@ -7,12 +7,13 @@ sharding story (SURVEY.md §5.7) already covers:
    index (wrapping uint32 — exact), like the sharded SSB BFO;
 2. the per-block pilot correlator is local to each shard;
 3. the rotation products B_g = A_g * conj(A_{g-1}) need each shard's
-   FIRST block to see the left neighbour's LAST raw block phasor — a
-   2-float ``ppermute`` halo (shard 0 splices the carried phasor);
+   FIRST block to see the left neighbour's LAST raw block phasor — the
+   re/im pair stacked into ONE 2-float ``ppermute`` halo (shard 0
+   splices the carried phasor);
 4. the four pilot EMAs are constant-coefficient ``_chain_blocks``
-   chains: ONE ``all_gather`` of the per-block forcings (8 floats per
-   128 samples), then every device replays the identical replicated
-   chain — the ShardedSquelch pattern. The de-lag/gate/doubling math
+   chains: their per-block forcings stack into ONE ``all_gather``
+   (8 floats per 128 samples), then every device replays the identical
+   replicated chains — the ShardedSquelch pattern. The de-lag/gate/doubling math
    then runs on the FULL replicated chain (a few flops per block) so
    the global last block's |pilot|^2 falls out without an extra
    collective; each shard slices its own blocks for the carrier mix;
@@ -44,19 +45,26 @@ from tpu_sdr.shard.demod import _affine_timesharded
 from tpu_sdr.shard.halo import left_halo
 
 
-def _ema_full_chain(bvals, y0, lam: float, lead_ndim: int, time_shards: int):
-    """Constant-``lam`` EMA over blocks, time-sharded: gather the local
-    per-block forcings once, replay the replicated global chain. Returns
-    (final (replicated), prev_all (..., G_total) — the EMA value as of
-    each block's predecessor, replicated)."""
-    lead = bvals.shape[:-1]
+def _ema_full_chains(bvals, y0s, lam: float, lead_ndim: int,
+                     time_shards: int):
+    """Constant-``lam`` EMAs over blocks, time-sharded: the four pilot
+    chains' per-block forcings ride ONE ``all_gather`` (stacked on a new
+    axis — pure data movement, so the replayed chains stay bitwise equal
+    to four separate gathers), then each replicated global chain replays.
+    ``bvals``: list of (..., G_loc); ``y0s``: list of (...,). Returns a
+    list of (final (replicated), prev_all (..., G_total))."""
+    lead = bvals[0].shape[:-1]
+    stacked = jnp.stack(bvals, axis=lead_ndim)  # (..., K, G_loc)
     if time_shards > 1:
-        b_all = jnp.moveaxis(jax.lax.all_gather(bvals, "time"), 0, -2)
-        b_all = b_all.reshape(*lead, -1)  # time-major (..., ts*G_loc)
+        b_all = jnp.moveaxis(jax.lax.all_gather(stacked, "time"), 0, -2)
+        b_all = b_all.reshape(*lead, len(bvals), -1)  # (..., K, ts*G_loc)
     else:
-        b_all = bvals
-    a_all = jnp.full(b_all.shape, jnp.float32(lam))
-    return _chain_blocks(a_all, b_all, y0, lead_ndim)
+        b_all = stacked
+    a_all = jnp.full(b_all.shape[:-2] + b_all.shape[-1:], jnp.float32(lam))
+    return [
+        _chain_blocks(a_all, b_all[..., k, :], y0, lead_ndim)
+        for k, y0 in enumerate(y0s)
+    ]
 
 
 class ShardedStereoDecoder:
@@ -86,20 +94,31 @@ class ShardedStereoDecoder:
             win = _hann_corr_win(blk)
             ar, ai = _block_phasor(m, c19, s19, win, blk)  # (..., G_loc)
 
-            # previous-block phasor: the one 2-float halo (step 3 above)
-            halo_r, new_last_r = left_halo(ar[..., -1:], last_re0[..., None], ts)
-            halo_i, new_last_i = left_halo(ai[..., -1:], last_im0[..., None], ts)
+            # previous-block phasor: re/im stacked into ONE 2-float halo
+            # exchange (step 3 above; stacking is pure data movement)
+            nd = len(lead)
+            tail = jnp.stack([ar[..., -1:], ai[..., -1:]], axis=nd)
+            carried = jnp.stack(
+                [last_re0[..., None], last_im0[..., None]], axis=nd)
+            halo, new_last = left_halo(tail, carried, ts)
+            halo_r = jnp.take(halo, 0, axis=nd)
+            halo_i = jnp.take(halo, 1, axis=nd)
+            new_last_r = jnp.take(new_last, 0, axis=nd)
+            new_last_i = jnp.take(new_last, 1, axis=nd)
             pr = jnp.concatenate([halo_r, ar[..., :-1]], axis=-1)
             pi = jnp.concatenate([halo_i, ai[..., :-1]], axis=-1)
             br = ar * pr + ai * pi
             bi = ai * pr - ar * pi
 
             one_m = jnp.float32(1.0 - lam)
-            nd = len(lead)
-            fin_ar, prev_ar = _ema_full_chain(one_m * ar, a_re0, lam, nd, ts)
-            fin_ai, prev_ai = _ema_full_chain(one_m * ai, a_im0, lam, nd, ts)
-            fin_br, prev_br = _ema_full_chain(one_m * br, b_re0, lam, nd, ts)
-            fin_bi, prev_bi = _ema_full_chain(one_m * bi, b_im0, lam, nd, ts)
+            (
+                (fin_ar, prev_ar),
+                (fin_ai, prev_ai),
+                (fin_br, prev_br),
+                (fin_bi, prev_bi),
+            ) = _ema_full_chains(
+                [one_m * ar, one_m * ai, one_m * br, one_m * bi],
+                [a_re0, a_im0, b_re0, b_im0], lam, nd, ts)
 
             # tracking math on the FULL replicated chain (identical ops
             # to single-device => bitwise), then slice this shard's blocks

@@ -138,6 +138,8 @@ class SerialTransport:
         self.framer = UartFramer(self._write, baud=baud)
         self.deframer = UartDeframer(stall_after=stall_after)
         self.read_chunk = read_chunk
+        self.frames_stale_dropped = 0  # backlog frames trimmed by read_frames
+        self._last_read_bytes = 0
 
     def _write(self, data: bytes):
         self.ser.write(data)
@@ -150,20 +152,49 @@ class SerialTransport:
         """One non-blocking-ish drain: read whatever is pending, return any
         frames completed by it."""
         data = self.ser.read(self.read_chunk)
+        self._last_read_bytes = len(data)
         if not data:
             return []
         return self.deframer.push(data)
 
-    def read_frames(self, n: int = 1, timeout: float = 10.0) -> list[bytes]:
+    def read_frames(
+        self,
+        n: int = 1,
+        timeout: float = 10.0,
+        max_stale: int | None = 4,
+    ) -> list[bytes]:
         """Block until ``n`` frames arrive (or timeout, or the port hits
         EOF — a closed pty peer must fail fast, not spin to the deadline);
-        returns what came."""
+        returns what came.
+
+        ``max_stale``: staleness bound for backlog bursts — when a single
+        call drains MORE than ``max(n, max_stale)`` frames (a consumer
+        stall left minutes of wire data in the OS buffer), only the newest
+        ones are returned and the older backlog is counted in
+        ``frames_stale_dropped``. This is the reference GUI's trim policy
+        (``fft_analyzer_gui.py:687-689``) applied at the transport edge —
+        the deframer itself never drops completed frames (so mid-stream
+        bursts lose nothing), the TRANSPORT bounds replay staleness.
+        ``max_stale=None`` disables the bound.
+        """
         frames: list[bytes] = []
         deadline = time.monotonic() + timeout
-        while len(frames) < n and time.monotonic() < deadline:
-            frames.extend(self.poll())
+        while time.monotonic() < deadline:
+            got = self.poll()
+            frames.extend(got)
             if getattr(self.ser, "eof", False):
                 break
+            if len(frames) >= n and not self._last_read_bytes:
+                # n satisfied AND the wire is drained (the last read
+                # returned no bytes): without the drain, a backlog would
+                # replay one stale frame per call and the max_stale trim
+                # below could never see it
+                break
+        if max_stale is not None:
+            keep = max(n, max_stale)
+            if len(frames) > keep:
+                self.frames_stale_dropped += len(frames) - keep
+                frames = frames[-keep:]
         return frames
 
     def request_frame(self, timeout: float = 10.0) -> bytes | None:

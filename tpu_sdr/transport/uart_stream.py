@@ -63,8 +63,15 @@ class UartDeframer:
 
     - stall detection: > ``stall_after`` seconds without bytes while a
       partial frame is buffered -> buffer reset (frame abandoned);
-    - overflow trim: buffer bounded at ``max_buffer`` (oldest bytes kept
-      until a full frame boundary, like the GUI's trim at :687-689).
+    - every COMPLETE frame is delivered — extraction runs before any
+      trimming, so a push that completes frames never deletes them (the
+      round-2 trim-first bug silently dropped valid spectra on burst
+      reads). Consequence: the buffered remainder is always a sub-frame,
+      so ``max_buffer`` (>= one frame, validated) can never be exceeded
+      and the defensive trim below is unreachable. STALENESS of a large
+      delivered backlog is the transport's policy, not the deframer's —
+      ``SerialTransport.read_frames(max_stale=...)`` applies the
+      reference GUI's newest-frames trim (:687-689) at that edge.
 
     Feed with ``push(data)``; complete frames come back as a list.
     """
