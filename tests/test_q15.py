@@ -196,3 +196,36 @@ def test_q15_device_fft_bypass_mode(setup):
         np.asarray(out["spectrum_re_q15"]).reshape(2, -1), ref_re)
     assert np.array_equal(
         np.asarray(out["spectrum_im_q15"]).reshape(2, -1), ref_im)
+
+
+def test_native_q15_filter_bit_exact_vs_oracle():
+    """The C++ q15 SOS loop == golden.sosfilt_q15_intended bitwise,
+    including saturation stress and carried state, per row. (Skips to
+    the NumPy fallback transparently when no toolchain — the fallback IS
+    the oracle, so this test then verifies the plumbing.)"""
+    from tpu_sdr.kernels import native_q15
+
+    rng = np.random.default_rng(3)
+    sos = qf.quantize_coeff_x64(
+        sps.cheby1(6, 1.0, 0.4, output="sos")).astype(np.int64)
+    sos = np.vstack([sos, [[64, 0, 0, 64, 0, 0]] * 3])
+    x = np.concatenate([
+        rng.standard_normal(5000) * 8000,
+        np.full(1000, 32767.0),  # drive the saturating nonlinearity
+        np.full(1000, -32768.0),
+        rng.standard_normal(3000) * 30000,
+    ]).astype(np.int16)
+    xs = np.stack([x, x[::-1]])
+    # chunked with carried state == one-shot, both bitwise vs the oracle
+    z = np.zeros((2, 6, 2), np.int64)
+    y1, z = native_q15.sosfilt_q15_rows(sos, xs[:, :4096], z)
+    y2, z = native_q15.sosfilt_q15_rows(sos, xs[:, 4096:], z)
+    for r in range(2):
+        y_g, z_g = golden.sosfilt_q15_intended(
+            sos, xs[r], np.zeros((6, 2), np.int64))
+        assert np.array_equal(np.concatenate([y1[r], y2[r]]), y_g)
+        assert np.array_equal(z[r], z_g)
+    with pytest.raises(ValueError, match="a0"):
+        bad = sos.copy()
+        bad[0, 3] = 63
+        native_q15.sosfilt_q15_rows(bad, xs, np.zeros((2, 6, 2), np.int64))

@@ -123,9 +123,7 @@ class Q15Pipeline:
         }
 
     def _process_split(self, x, zi, bypass):
-        """Host window+filter (NumPy oracles) -> ONE device dispatch."""
-        from tpu_sdr.control import golden
-
+        """Host window + native-C++ filter -> ONE device dispatch."""
         n = self.cfg.fft_size
         x = np.asarray(x, np.int16)
         if x.ndim == 1:
@@ -146,15 +144,13 @@ class Q15Pipeline:
         flat = xw.reshape(-1, xw.shape[-1])
         if zi is None:
             zi = np.zeros((*lead, self.cfg.n_sections, 2), np.int64)
-        zflat = np.asarray(zi, np.int64).reshape(
-            -1, self.cfg.n_sections, 2
-        ).copy()
+        zflat = np.asarray(zi, np.int64).reshape(-1, self.cfg.n_sections, 2)
         sos64 = np.asarray(self.sos_q, np.int64)
-        ys = np.empty_like(flat)
-        for r in range(flat.shape[0]):  # the one per-sample host stage
-            ys[r], zflat[r] = golden.sosfilt_q15_intended(
-                sos64, flat[r], zflat[r]
-            )
+        # the one per-sample host stage: the native C++ loop (bit-exact vs
+        # golden.sosfilt_q15_intended, ~250x faster; NumPy fallback inside)
+        from tpu_sdr.kernels import native_q15
+
+        ys, zflat = native_q15.sosfilt_q15_rows(sos64, flat, zflat)
         out = self._fft_jit(
             jnp.asarray(ys.reshape(*lead, -1, n)), bypass=False
         )
