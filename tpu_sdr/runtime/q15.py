@@ -135,7 +135,7 @@ class Q15Pipeline:
             out = self._fft_jit(
                 jnp.asarray(x.reshape(*lead, -1, n)), bypass=True
             )
-            return out, jnp.asarray(zi)
+            return out, np.asarray(zi)
         if self.sos_q is None:
             raise ValueError("upload_sos_q first")
         frames = x.reshape(*lead, -1, n)
@@ -155,10 +155,14 @@ class Q15Pipeline:
             jnp.asarray(ys.reshape(*lead, -1, n)), bypass=False
         )
         out = dict(out)
-        # FRAMED (*lead, F, n), matching the all-jit path's output contract
-        out["windowed_q15"] = jnp.asarray(xw.reshape(*lead, -1, n))
-        out["filtered_q15"] = jnp.asarray(ys.reshape(*lead, -1, n))
-        return out, jnp.asarray(zflat.reshape(*lead, self.cfg.n_sections, 2))
+        # FRAMED (*lead, F, n), matching the all-jit path's output contract.
+        # These are HOST-side products — returned as NumPy, never shipped
+        # to the device (each needless upload costs one tunnel round trip
+        # per chunk; measured 100s of ms in degraded windows, which took
+        # the filtered live mode from ~12 MSPS to 1.7)
+        out["windowed_q15"] = xw.reshape(*lead, -1, n)
+        out["filtered_q15"] = ys.reshape(*lead, -1, n)
+        return out, zflat.reshape(*lead, self.cfg.n_sections, 2)
 
     def process(self, x_q15, zi=None, bypass: bool = False):
         """x_q15 (..., T) int16 (frame-aligned). Returns (out dict, zf).
