@@ -92,11 +92,12 @@ def test_single_frame_chunks_equal_oneshot(pipe):
     "cfg_kw",
     [
         dict(dtype="f32"),
+        dict(dtype="f32", fused_two_pass=True),
         dict(dtype="f32max"),
         dict(dtype="f32max", fused_two_pass=True),
         dict(dtype="bf16"),
     ],
-    ids=["f32", "f32max-hybrid", "f32max-fused", "bf16"],
+    ids=["f32", "f32-fused", "f32max-hybrid", "f32max-fused", "bf16"],
 )
 def test_quality_tiers_meet_contract_and_chunk_identity(cfg_kw):
     """Every quality tier (and both f32max structures) meets the 1 dB

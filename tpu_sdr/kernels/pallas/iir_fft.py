@@ -231,16 +231,27 @@ def _masked_scan(g, alpows_ref, B, m, precision):
     Hillis-Steele doubling; rolls cross frame boundaries but the
     (row mod B) mask kills those contributions, so each frame's prefix is
     independent and exact.
+
+    Runs in TRANSPOSED state space (m, G*B): the doubling dot becomes
+    (m, m) @ (m, G*B) — M = 12 pads to 16 sublanes instead of the
+    row-major form's M = 1024, an 8x MXU-work saving per doubling
+    (M-padding: both forms pad K to 128 lanes). The contraction index
+    and its order are IDENTICAL to the row-major form (out[j,i] =
+    sum_k A[k,j] * rolled[i,k] either way, K-serial f32 accumulation),
+    so the values are bitwise unchanged; only the layout differs, with
+    one skinny (G*B, m) transpose at entry and exit.
     """
     GB = g.shape[0]
-    row = jax.lax.broadcasted_iota(jnp.int32, (GB, m), 0) % B
-    zh = g
+    zh = g.T  # (m, GB) — skinny relayout
+    col = jax.lax.broadcasted_iota(jnp.int32, (m, GB), 1) % B
     for k in range(LOG2B):
         sh = 1 << k
-        rolled = pltpu.roll(zh, sh, 0)
-        contrib = _dot(rolled, alpows_ref[k], precision)
-        zh = zh + jnp.where(row >= sh, contrib, 0.0)
-    return zh
+        rolled = pltpu.roll(zh, sh, 1)
+        # alpows_ref[k] holds (AL^(2^k))^T; the transposed-space operator
+        # is its transpose, i.e. AL^(2^k) itself (a (12,12) flip — free)
+        contrib = _dot(alpows_ref[k].T, rolled, precision)
+        zh = zh + jnp.where(col >= sh, contrib, 0.0)
+    return zh.T
 
 
 def _stack_to_lanes(y, G, B, L):

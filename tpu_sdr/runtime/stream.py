@@ -147,7 +147,9 @@ def process_stream(
                 bypass=True, karatsuba=_kernel_karatsuba(cfg),
             )
             zf = state.sos_state
-        elif banked or not (cfg.dtype == "f32max" and cfg.fused_two_pass):
+        elif banked or not (
+            cfg.dtype in ("f32max", "f32") and cfg.fused_two_pass
+        ):
             # Hybrid structure (all tiers by default): XLA window+IIR
             # (3-pass f32 for the f32 tier, bf16 passes for bf16, 6-pass
             # exact f32 for f32max) feeding the fused Pallas FFT+magnitude
@@ -164,10 +166,11 @@ def process_stream(
                 karatsuba=_kernel_karatsuba(cfg),
             )
         else:
-            # f32max + fused_two_pass: fully-fused two-pass Pallas pipeline,
-            # exact f32, one HBM read+write per frame.
-            # Summaries only seed boundary corrections, so they always run
-            # at default precision (no measurable SNR impact).
+            # fused_two_pass (f32max exact, or f32 high3 since the
+            # transposed in-kernel scan made the 12-state doublings cheap):
+            # fully-fused two-pass Pallas pipeline, one HBM read+write per
+            # frame. Summaries only seed boundary corrections, so they
+            # always run at default precision (no measurable SNR impact).
             w = iir_fft.iir_summaries(
                 flat, pp, interpret=pallas_interpret, precision="default"
             ).reshape(*lead, n_frames, m)
@@ -194,6 +197,7 @@ def process_stream(
                 pp,
                 interpret=pallas_interpret,
                 precision=kprec,
+                karatsuba=_kernel_karatsuba(cfg),
             )
             zf = z_final.reshape(*lead, m // 2, 2)
         out["magnitude"] = mag.reshape(*lead, n_frames, n)
