@@ -7,12 +7,12 @@ only valid comparison on this chip — CLAUDE.md measurement discipline),
 chaining each variant on its own evolving state so every dispatch is
 unique (relay memoization hazard). Variants:
 
-correct math (candidates to ship):
-  full       the shipped kernel: stacked dots, high3+karatsuba, 8 out .T
-  bigT       ONE (G*k2, k1) transpose + sublane slices instead of 8 small
+correct math (candidates to ship; cat3 WON and shipped as the default
+high3 in kernels/pallas/iir_fft.py):
+  full       the r2 kernel: stacked 3-dot high3+karatsuba, 8 out .T
+  cat3       K-concatenated single-pass high3 (one MXU dot/contraction)
   splitonce  hi/lo bf16 splits factored to once per operand
-  perframe   no lane/row stacking at all: per-frame (128,128) dots
-  combo      splitonce + bigT
+  combo      splitonce + ONE big output transpose
 
 wrong math (timing-only ablations, cumulative):
   noT        full minus the output transposes        (transpose cost)
