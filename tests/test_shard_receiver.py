@@ -228,3 +228,67 @@ def test_sharded_receiver_stereo_bitwise(mesh_shape):
     assert s2.stereo.pilot_level() > 0.02
     a = np.asarray(a_got)[0]
     assert not np.array_equal(a[0], a[1])
+
+
+@pytest.mark.parametrize("mode", ["wbfm", "am"])
+@pytest.mark.parametrize("mesh_shape", [(2, 4), (4, 2)])
+def test_sharded_receiver_bank_bitwise(mode, mesh_shape):
+    """ShardedReceiverBank == single-device ReceiverBank bitwise: K
+    stations mixed from ONE shared stream, carriers over the channel
+    axis, every later stage through the shared sharded chain."""
+    from tpu_sdr.runtime.receiver import ReceiverBank
+    from tpu_sdr.shard import ShardedReceiverBank
+
+    c_ax, t_ax = mesh_shape
+    mesh = make_sdr_mesh(channel=c_ax, time=t_ax)
+    fs = 1_000_000.0
+    centers = [150e3, 250e3, 330e3, 410e3]
+    bank = ReceiverBank(fs=fs, centers_hz=centers, mode=mode,
+                        audio_rate=16e3)
+    sh = ShardedReceiverBank(bank, mesh)
+    assert sh.k == 4
+    assert sh.chunk_granularity == t_ax * bank.chunk_granularity
+    t = sh.chunk_granularity
+    n = np.arange(t)
+    # two modulated stations + noise on the shared stream
+    msg = np.sin(2 * np.pi * 700.0 * n / fs)
+    x = (0.4 * np.cos(2 * np.pi * 150e3 * n / fs
+                      + 2 * np.pi * 40e3 / fs * np.cumsum(msg))
+         + 0.3 * (1 + 0.5 * msg) * np.cos(2 * np.pi * 330e3 * n / fs)
+         + 0.01 * np.random.default_rng(0).standard_normal(t)
+         ).astype(np.float32)
+    s1, s2 = bank.initial_state(), sh.initial_state()
+    for _ in range(2):
+        a_ref, s1 = bank.process(x, s1)
+        a_got, s2 = sh.process(x, s2)
+        assert a_got.shape == a_ref.shape == (4, a_ref.shape[-1])
+        np.testing.assert_array_equal(np.asarray(a_got), np.asarray(a_ref))
+
+
+def test_sharded_receiver_bank_stereo_bitwise():
+    """stereo=True through the sharded bank: (K, 2, T') L/R planes,
+    bitwise vs the single-device bank."""
+    from tpu_sdr.kernels.stereo import make_mpx
+    from tpu_sdr.runtime.receiver import ReceiverBank
+    from tpu_sdr.shard import ShardedReceiverBank
+
+    mesh = make_sdr_mesh(channel=2, time=4)
+    fs = 1_000_000.0
+    bank = ReceiverBank(fs=fs, centers_hz=[150e3, 350e3], mode="wbfm",
+                        audio_rate=16e3, stereo=True)
+    sh = ShardedReceiverBank(bank, mesh)
+    t = sh.chunk_granularity
+    n = np.arange(t)
+    left = 0.5 * np.sin(2 * np.pi * 700.0 * n / fs)
+    right = 0.4 * np.sin(2 * np.pi * 300.0 * n / fs)
+    mpx = make_mpx(left, right, fs)
+    x = (0.5 * np.cos(2 * np.pi * 150e3 * n / fs
+                      + 2 * np.pi * 75e3 / fs * np.cumsum(mpx))
+         ).astype(np.float32)
+    s1, s2 = bank.initial_state(), sh.initial_state()
+    for _ in range(2):
+        a_ref, s1 = bank.process(x, s1)
+        a_got, s2 = sh.process(x, s2)
+        assert a_got.shape == (2, 2, a_ref.shape[-1])
+        np.testing.assert_array_equal(np.asarray(a_got), np.asarray(a_ref))
+    assert s2.stereo.pilot_level() > 0.02  # station 0 genuinely locked

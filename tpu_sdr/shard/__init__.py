@@ -14,5 +14,8 @@ from tpu_sdr.shard.demod import (  # noqa: F401
 )
 from tpu_sdr.shard.resample import ShardedResampler  # noqa: F401
 from tpu_sdr.shard.fastconv import ShardedFastFIR  # noqa: F401
-from tpu_sdr.shard.receiver import ShardedReceiver  # noqa: F401
+from tpu_sdr.shard.receiver import (  # noqa: F401
+    ShardedReceiver,
+    ShardedReceiverBank,
+)
 from tpu_sdr.shard.stereo import ShardedStereoDecoder  # noqa: F401
