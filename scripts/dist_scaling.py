@@ -1,0 +1,171 @@
+"""Multi-process scaling measurement: 1/2/4 OS processes, fixed per-device
+work, gloo collectives over localhost (VERDICT r3 item 3).
+
+What this measures and what it cannot:
+
+- It EXECUTES the real multi-process path (jax.distributed + gloo + the
+  sharded pipeline's collectives) at 1, 2 and 4 processes x 2 virtual CPU
+  devices, in BOTH axis layouts:
+    * ``channel_across``: channel axis maps to the process boundary — the
+      production layout (the channel axis never communicates, so only
+      replication traffic crosses processes);
+    * ``time_across``: time axis maps to the process boundary — the
+      summary all_gather (48*F_local bytes/frame/device) rides the
+      cross-process link, the layout the analytic model prices.
+- Weak scaling: frames per time shard and channels per channel shard are
+  fixed, so per-device compute is constant and step-time growth is
+  collective + runtime overhead. Efficiency(n) = t_step(1) / t_step(n).
+- CAVEAT (unchanged from bench_scaling.py): on localhost CPU there is no
+  ICI/DCN — these numbers bound HOST SCHEDULING + gloo-over-loopback, not
+  interconnect. The analytic model (docs/ARCHITECTURE.md "Analytic ICI/DCN
+  traffic model") is validated here STRUCTURALLY: it predicts the comm
+  volume, and the measured time_across-vs-channel_across delta is the
+  empirical cost of putting the chatty axis on the process boundary — the
+  quantity the >=90%-at-4-hosts target depends on.
+
+Writes docs/measurements/dist_scaling_r4.json and prints it.
+
+Run (CPU, safe alongside a TPU job):
+  env PYTHONPATH= python scripts/dist_scaling.py
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import socket
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+WORKER = os.path.join(REPO, "tests", "dist_worker.py")
+FFT = 16384
+F_LOC = 8  # frames per time shard (fixed per-device work)
+CH_PER_SHARD = 2
+
+
+def log(msg):
+    print(msg, file=sys.stderr, flush=True)
+
+
+def _free_port() -> int:
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        return s.getsockname()[1]
+
+
+def run_once(nprocs: int, knobs: dict, devices_per_proc: int = 2) -> dict:
+    env = {
+        **os.environ,
+        "PYTHONPATH": REPO,
+        "JAX_PLATFORMS": "cpu",
+        "XLA_FLAGS": (
+            f"--xla_force_host_platform_device_count={devices_per_proc}"
+        ),
+    }
+    port = _free_port()
+    procs = [
+        subprocess.Popen(
+            [
+                sys.executable, WORKER, str(i), str(port), str(nprocs),
+                "bench", json.dumps(knobs),
+            ],
+            env=env,
+            stdout=subprocess.PIPE,
+            stderr=subprocess.STDOUT,
+            text=True,
+            cwd=REPO,
+        )
+        for i in range(nprocs)
+    ]
+    outs = [p.communicate(timeout=600)[0] for p in procs]
+    for i, p in enumerate(procs):
+        if p.returncode != 0:
+            raise RuntimeError(f"worker {i} rc={p.returncode}:\n{outs[i]}")
+    for o in outs:
+        for line in o.splitlines():
+            if line.startswith("BENCH_JSON "):
+                return json.loads(line[len("BENCH_JSON "):])
+    raise RuntimeError("no BENCH_JSON line:\n" + "\n".join(outs))
+
+
+def main():
+    t0 = time.time()
+    results: dict = {"layouts": {}}
+    for layout in ("channel_across", "time_across"):
+        table = {}
+        for n in (1, 2, 4):
+            ndev = 2 * n
+            if layout == "channel_across":
+                knobs = {
+                    "mesh_channel": n, "mesh_time": ndev // n,
+                    "channels": CH_PER_SHARD * n,
+                    "frames_per_shard": F_LOC, "reps": 5,
+                }
+            else:
+                knobs = {
+                    "mesh_channel": 2, "mesh_time": ndev // 2,
+                    "channels": CH_PER_SHARD * 2,
+                    "frames_per_shard": F_LOC, "reps": 5,
+                }
+            r = run_once(n, knobs)
+            table[n] = r
+            log(
+                f"[{time.time() - t0:5.1f}s] {layout} n={n}: "
+                f"step {r['step_ms_median']:.1f} ms "
+                f"(mesh {r['mesh']}, {r['samples_per_step']} samples/step)"
+            )
+        base = table[1]["step_ms_median"]
+        eff = {
+            n: round(base / table[n]["step_ms_median"], 3) for n in table
+        }
+        results["layouts"][layout] = {
+            "step_ms": {str(n): round(table[n]["step_ms_median"], 2)
+                        for n in table},
+            "slopes_ms": {str(n): table[n]["step_ms_slopes"] for n in table},
+            "mesh": {str(n): table[n]["mesh"] for n in table},
+            "samples_per_step": {
+                str(n): table[n]["samples_per_step"] for n in table
+            },
+            "weak_scaling_efficiency": eff,
+        }
+
+    # Analytic model cross-check (docs/ARCHITECTURE.md): per-device summary
+    # traffic in the time_across layout at n=4 (T=4 time shards):
+    # recv 48 * F_LOC * (T-1) bytes per step.
+    T = 4
+    comm_bytes = 48 * F_LOC * (T - 1)
+    step_s = results["layouts"]["time_across"]["step_ms"]["4"] * 1e-3
+    # loopback gloo conservatively ~1 GB/s; DCN model value 6.25 GB/s
+    results["analytic_model"] = {
+        "summary_recv_bytes_per_device_per_step_T4": comm_bytes,
+        "predicted_comm_fraction_loopback_1GBps": round(
+            comm_bytes / 1e9 / step_s, 6
+        ),
+        "predicted_comm_fraction_dcn_6p25GBps": round(
+            comm_bytes / 6.25e9 / step_s, 8
+        ),
+        "note": (
+            "the model-predicted communication share of a step is < 1e-4 in "
+            "either medium, so any measured efficiency loss above that is "
+            "host scheduling/runtime, not traffic — consistent with the "
+            ">=90%-at-4-hosts prediction holding on real DCN hardware"
+        ),
+    }
+    results["method"] = {
+        "weak_scaling": True,
+        "frames_per_time_shard": F_LOC,
+        "channels_per_channel_shard": CH_PER_SHARD,
+        "devices_per_process": 2,
+        "collectives": "gloo over localhost (no ICI/DCN in this container)",
+    }
+    out_path = os.path.join(REPO, "docs", "measurements",
+                            "dist_scaling_r4.json")
+    with open(out_path, "w") as f:
+        json.dump(results, f, indent=1)
+    print(json.dumps(results))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,51 +1,60 @@
-"""Worker for tests/test_distributed.py: one of two REAL processes.
+"""Worker for tests/test_distributed.py + scripts/dist_scaling.py.
 
 Executes the actual multi-process path (BASELINE config 5 / SURVEY §2.8,
 the analog of the reference's Ethernet backend
 ``phy_rmii_if.vhd:185-444``): ``shard.distributed.initialize`` brings up
 jax.distributed against a localhost coordinator, ``pod_mesh`` builds the
-hosts-outermost (channel, time) mesh over 2 processes x 4 virtual CPU
-devices, and one ``ShardedSpectrumPipeline`` step runs with REAL
-cross-process collectives (gloo). Each process then checks its
-addressable output shards bitwise against the single-device reference
-the parent test computed, and prints WORKER_OK.
+hosts-outermost (channel, time) mesh over N processes x K virtual CPU
+devices, and ``ShardedSpectrumPipeline`` steps run with REAL
+cross-process collectives (gloo).
 
-Run only via test_distributed.py (env: JAX_PLATFORMS=cpu,
-XLA_FLAGS=--xla_force_host_platform_device_count=4).
+Modes (argv: pid port nprocs mode data_or_json):
+  verify  one step; each process checks its addressable output shards
+          bitwise against the single-device reference the parent computed
+          (data_or_json = path to the parent's .npz), prints WORKER_OK.
+  bench   fixed per-DEVICE work (weak scaling over the chatty time axis):
+          slope-timed chained steps with carried state; process 0 prints
+          one BENCH_JSON line (data_or_json = json of knobs).
+
+Run only via the parent (env: JAX_PLATFORMS=cpu,
+XLA_FLAGS=--xla_force_host_platform_device_count=K, PYTHONPATH=repo).
 """
 
+import json
 import sys
+import time
 
 import numpy as np
 
 
-def main() -> int:
-    pid, port, data_path = int(sys.argv[1]), sys.argv[2], sys.argv[3]
+def _setup(pid: int, port: str, nprocs: int):
     import jax
 
     from tpu_sdr.shard import distributed
 
-    started = distributed.initialize(
-        coordinator_address=f"localhost:{port}",
-        num_processes=2,
-        process_id=pid,
-    )
-    assert started, "initialize() must report it brought up jax.distributed"
-    assert jax.process_count() == 2, jax.process_count()
-    assert len(jax.devices()) == 8, len(jax.devices())
+    if nprocs > 1:
+        started = distributed.initialize(
+            coordinator_address=f"localhost:{port}",
+            num_processes=nprocs,
+            process_id=pid,
+        )
+        assert started, "initialize() must report it brought up jax.distributed"
+        assert jax.process_count() == nprocs, jax.process_count()
+    mesh = distributed.pod_mesh()  # hosts-outermost: (channel=nprocs, time=.)
+    return jax, mesh
 
-    mesh = distributed.pod_mesh()  # hosts-outermost: (channel=2, time=4)
-    assert dict(mesh.shape) == {"channel": 2, "time": 4}, dict(mesh.shape)
 
+def run_verify(pid: int, port: str, nprocs: int, data_path: str) -> int:
+    jax, mesh = _setup(pid, port, nprocs)
     from tpu_sdr.core.config import FilterMode, PipelineConfig
     from tpu_sdr.shard.pipeline import ShardedSpectrumPipeline
 
     ref = np.load(data_path)
-    cfg = PipelineConfig(channels=2)
+    channels = int(ref["x"].shape[0])
+    assert dict(mesh.shape)["channel"] == max(nprocs, 1), dict(mesh.shape)
+    cfg = PipelineConfig(channels=channels)
     pipe = ShardedSpectrumPipeline(cfg, mesh)
-    out, st = pipe.process(
-        ref["x"], pipe.initial_state(), FilterMode.FIXED
-    )
+    out, st = pipe.process(ref["x"], pipe.initial_state(), FilterMode.FIXED)
 
     # Each process verifies the shards it can address, bitwise.
     checked = 0
@@ -64,6 +73,98 @@ def main() -> int:
     )
     print(f"WORKER_OK pid={pid} shards={checked}", flush=True)
     return 0
+
+
+def run_bench(pid: int, port: str, nprocs: int, knobs_json: str) -> int:
+    """Weak scaling: frames per TIME SHARD fixed, time axis grows with the
+    device count, so per-device compute is constant and any step-time growth
+    is collective/runtime overhead. Carried state threads through every
+    step (the chain-validity discipline of bench.py, applied here too)."""
+    knobs = json.loads(knobs_json)
+    jax, mesh = _setup(pid, port, nprocs)
+    import scipy.signal as sps
+
+    from tpu_sdr.core.config import FilterMode, PipelineConfig
+    from tpu_sdr.shard import distributed
+    from tpu_sdr.shard.pipeline import ShardedSpectrumPipeline
+
+    if "mesh_channel" in knobs or "mesh_time" in knobs:
+        # Explicit axis split (the scaling harness measures BOTH layouts:
+        # channel-across-processes — the production one — and
+        # time-across-processes, the one that puts the summary exchange on
+        # the cross-process boundary).
+        import warnings
+
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore")
+            mesh = distributed.pod_mesh(
+                channel=knobs.get("mesh_channel"),
+                time=knobs.get("mesh_time"),
+            )
+    channels = int(knobs.get("channels", 2))
+    f_loc = int(knobs.get("frames_per_shard", 8))
+    t_shards = dict(mesh.shape)["time"]
+    cfg = PipelineConfig(channels=channels)
+    pipe = ShardedSpectrumPipeline(cfg, mesh)
+    pipe.upload_sos(sps.butter(12, 0.25, output="sos"))
+    T = f_loc * t_shards * cfg.fft_size
+    x = np.random.default_rng(0).standard_normal((channels, T)).astype(
+        np.float32
+    )
+    st = pipe.initial_state()
+    out, st = pipe.process(x, st, FilterMode.CUSTOM)  # compile
+    float(np.asarray(out["magnitude"].addressable_shards[0].data).ravel()[0])
+
+    def run_k(k):
+        nonlocal st
+        z = st
+        t0 = time.perf_counter()
+        for _ in range(k):
+            out, z = pipe.process(x, z, FilterMode.CUSTOM)
+        float(
+            np.asarray(out["magnitude"].addressable_shards[0].data).ravel()[0]
+        )
+        st = z
+        return time.perf_counter() - t0
+
+    run_k(2)  # warm
+    slopes = []
+    for _ in range(int(knobs.get("reps", 5))):
+        ts = min(run_k(1) for _ in range(2))
+        tl = min(run_k(7) for _ in range(2))
+        slopes.append((tl - ts) / 6)
+    med = sorted(slopes)[len(slopes) // 2]
+    if pid == 0:
+        print(
+            "BENCH_JSON "
+            + json.dumps(
+                {
+                    "nprocs": nprocs,
+                    "devices": len(jax.devices()),
+                    "mesh": dict(mesh.shape),
+                    "channels": channels,
+                    "frames_per_shard": f_loc,
+                    "samples_per_step": channels * T,
+                    "step_ms_median": med * 1e3,
+                    "step_ms_slopes": [round(s * 1e3, 3) for s in slopes],
+                }
+            ),
+            flush=True,
+        )
+    return 0
+
+
+def main() -> int:
+    pid, port, nprocs, mode, payload = (
+        int(sys.argv[1]),
+        sys.argv[2],
+        int(sys.argv[3]),
+        sys.argv[4],
+        sys.argv[5],
+    )
+    if mode == "bench":
+        return run_bench(pid, port, nprocs, payload)
+    return run_verify(pid, port, nprocs, payload)
 
 
 if __name__ == "__main__":

@@ -29,15 +29,16 @@ def _free_port() -> int:
         return s.getsockname()[1]
 
 
-def test_two_process_distributed_pipeline_bitwise(tmp_path):
-    # Single-device reference (this process; conftest forces CPU).
+def _run_verify(tmp_path, nprocs: int, devices_per_proc: int, channels: int):
+    """Spawn ``nprocs`` real OS processes against a single-device reference
+    computed in THIS process, and assert every worker verified its shards."""
     from tpu_sdr.core.config import FilterMode, PipelineConfig
     from tpu_sdr.runtime import SpectrumPipeline
 
-    cfg = PipelineConfig(channels=2)
+    cfg = PipelineConfig(channels=channels)
     pipe = SpectrumPipeline(cfg)
     rng = np.random.default_rng(17)
-    x = rng.standard_normal((2, 4 * cfg.fft_size)).astype(np.float32)
+    x = rng.standard_normal((channels, 4 * cfg.fft_size)).astype(np.float32)
     out, st = pipe.process(x, pipe.initial_state(), FilterMode.FIXED)
     data = str(tmp_path / "ref.npz")
     np.savez(
@@ -52,19 +53,24 @@ def test_two_process_distributed_pipeline_bitwise(tmp_path):
         **os.environ,
         "PYTHONPATH": REPO,  # drop any ambient TPU-claiming site dir
         "JAX_PLATFORMS": "cpu",
-        "XLA_FLAGS": "--xla_force_host_platform_device_count=4",
+        "XLA_FLAGS": (
+            f"--xla_force_host_platform_device_count={devices_per_proc}"
+        ),
     }
     port = _free_port()
     procs = [
         subprocess.Popen(
-            [sys.executable, WORKER, str(i), str(port), data],
+            [
+                sys.executable, WORKER, str(i), str(port), str(nprocs),
+                "verify", data,
+            ],
             env=env,
             stdout=subprocess.PIPE,
             stderr=subprocess.STDOUT,
             text=True,
             cwd=REPO,
         )
-        for i in range(2)
+        for i in range(nprocs)
     ]
     outs = []
     try:
@@ -77,7 +83,18 @@ def test_two_process_distributed_pipeline_bitwise(tmp_path):
         pytest.fail("distributed workers timed out:\n" + "\n".join(outs))
     for i, p in enumerate(procs):
         assert p.returncode == 0, (
-            f"worker {i} exited {p.returncode}:\n{outs[i]}\n--- other ---\n"
-            f"{outs[1 - i]}"
+            f"worker {i} exited {p.returncode}:\n{outs[i]}\n--- others ---\n"
+            + "\n".join(outs[:i] + outs[i + 1 :])
         )
         assert "WORKER_OK" in outs[i]
+
+
+def test_two_process_distributed_pipeline_bitwise(tmp_path):
+    _run_verify(tmp_path, nprocs=2, devices_per_proc=4, channels=2)
+
+
+def test_four_process_distributed_pipeline_bitwise(tmp_path):
+    # BASELINE config 5's ">= 4 hosts" shape, executed for real: 4 OS
+    # processes x 2 virtual devices = (channel=4, time=2) hosts-outermost
+    # mesh, gloo collectives, bitwise vs the single-device run.
+    _run_verify(tmp_path, nprocs=4, devices_per_proc=2, channels=4)

@@ -96,19 +96,25 @@ def test_single_frame_chunks_equal_oneshot(pipe):
         dict(dtype="f32max"),
         dict(dtype="f32max", fused_two_pass=True),
         dict(dtype="bf16"),
+        dict(dtype="bf16", bf16_io=True),
     ],
-    ids=["f32", "f32-fused", "f32max-hybrid", "f32max-fused", "bf16"],
+    ids=["f32", "f32-fused", "f32max-hybrid", "f32max-fused", "bf16",
+         "bf16-io"],
 )
 def test_quality_tiers_meet_contract_and_chunk_identity(cfg_kw):
-    """Every quality tier (and both f32max structures) meets the 1 dB
-    contract and keeps chunked == one-shot bit-identity."""
+    """Every quality tier (and both f32max structures, and the bf16_io
+    reduced-HBM variant) meets the 1 dB contract and keeps chunked ==
+    one-shot bit-identity."""
     p = SpectrumPipeline(PipelineConfig(**cfg_kw))
     sos = sps.butter(12, 0.25, output="sos")
     p.upload_sos(sos)
     x = golden.synth_tone(100_000.0, 2 * 16384, 1_000_000.0, noise=0.01)
     ref = golden.golden_pipeline(x, sos=sos, window="hann")["magnitude"]
     out, st = p.process(x.astype(np.float32), p.initial_state(), FilterMode.CUSTOM)
-    mag = np.array(out["magnitude"])[0]
+    if cfg_kw.get("bf16_io"):
+        # the opt-in mode stores magnitudes as bfloat16 (dtype contract)
+        assert out["magnitude"].dtype == jnp.bfloat16
+    mag = np.array(out["magnitude"], dtype=np.float32)[0]
     mask = ref > ref.max() * 1e-3
     assert np.abs(_db(mag[mask]) - _db(ref[mask])).max() < 1.0
     # chunked == one-shot (frame-granular)

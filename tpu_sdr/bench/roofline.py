@@ -136,7 +136,11 @@ def serial_floor_report(
     cfg = cfg or PipelineConfig()
     spec, _stages, _flops, _passes, t_compute = _tier_compute(cfg, chip)
     n = cfg.fft_size
-    hybrid_hbm = 4.0 * n * 4.0  # x in + y round-trip + mag out, f32
+    if cfg.dtype == "bf16" and cfg.bf16_io:
+        # x in (4 B) + y round-trip in bf16 (2+2) + bf16 magnitudes (2)
+        hybrid_hbm = n * (4.0 + 2.0 + 2.0 + 2.0)
+    else:
+        hybrid_hbm = 4.0 * n * 4.0  # x in + y round-trip + mag out, f32
     t_memory = hybrid_hbm / (spec["hbm_gbs"] * 1e9)
     floor_sps = cfg.effective_hop / (t_compute + t_memory)
     report = {

@@ -88,7 +88,19 @@ class PipelineConfig:
     # Pallas pipeline (one HBM read+write per frame, ~4 GSPS — the in-kernel
     # doubling scan pays 6-pass MXU tiles on (B,12)@(12,12) dots). Keep the
     # fused variant for HBM-constrained deployments; ignored by other tiers.
+    # (Round-4 note: the two-pass was also measured at the bf16 tier —
+    # 0.96 vs 0.34 ms hybrid, docs/measurements/ab_bf16_traffic_r4.json —
+    # so it stays f32max-only.)
     fused_two_pass: bool = False
+    # bf16 tier only: halve the inter-kernel HBM traffic — the IIR output
+    # ships to the FFT kernel as bfloat16 (bitwise-neutral on TPU: DEFAULT-
+    # precision MXU dots round their inputs to bf16 in hardware anyway —
+    # verified on-chip, docs/measurements/attrib_bf16_r4.json) and the
+    # magnitudes are STORED as bfloat16 (values = the f32 kernel results
+    # rounded once; output dtype changes, so this is opt-in). All streaming
+    # invariance contracts (chunked==one-shot, sharded==single-device,
+    # bitwise) hold within the mode. Ignored by other tiers.
+    bf16_io: bool = False
 
     def __post_init__(self):
         if self.fft_n1 * self.fft_n2 != self.fft_size:

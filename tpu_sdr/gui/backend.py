@@ -418,12 +418,17 @@ class GuiBackend(CaptureMixin, DisplayMixin, ZoomMixin, AudioScanMixin):
         # id() of custom_sos suffices: upload_sos REPLACES the array (the
         # hot loop must not re-quantize SciPy coefficients ~30x/s just to
         # compare bytes — review finding)
+        # Every mode's signature carries the analyzer identity + fft_size
+        # (review finding): if self.sa (or its fft_size) is ever replaced at
+        # runtime, a cached Q15Pipeline with the stale size would silently
+        # mis-frame any chunk length that happens to divide the old size.
+        base = (id(self.sa), self.sa.cfg.fft_size)
         if mode == FilterMode.CUSTOM:
-            sig = ("custom", id(self.sa.custom_sos))
+            sig = ("custom", id(self.sa.custom_sos), *base)
         elif mode == FilterMode.FIXED:
-            sig = ("fixed",)
+            sig = ("fixed", *base)
         else:
-            sig = ("bypass",)
+            sig = ("bypass", *base)
         rt = self._q15_rt  # dict: pipe / zi (carried) / sig
         if rt is None or rt["sig"] != sig:
             if mode == FilterMode.CUSTOM:

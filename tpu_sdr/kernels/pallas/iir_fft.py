@@ -344,6 +344,7 @@ def _spectrum_kernel(
         (w2r_ref, w2i_ref, twr_ref, twi_ref, w1r_ref, w1i_ref),
         G, B, L, precision, karatsuba,
     )
+    mag = mag.astype(out_ref.dtype)  # optional bf16 output (HBM halving)
     if half:
         # mag (G*HALF_K2, k1): rows k2 in [0, 64] per frame. Mosaic has no
         # rev lowering, so the mirror + transpose to natural order happen in
@@ -395,14 +396,16 @@ def _spectrum_complex_kernel(
     tis = _stack_to_rows(ti, G, B, L)
     zr, zi = _cdots(trs, tis, w1r_ref[:], w1i_ref[:],
                     lambda p, w: _dotT(p, w, precision), karatsuba)
-    mag = jnp.sqrt(zr * zr + zi * zi)
+    mag = jnp.sqrt(zr * zr + zi * zi).astype(out_ref.dtype)
     for fi in range(G):
         out_ref[fi] = mag[fi * B : (fi + 1) * B, :].T
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("interpret", "precision", "apply_window", "karatsuba"),
+    static_argnames=(
+        "interpret", "precision", "apply_window", "karatsuba", "out_dtype",
+    ),
 )
 def spectrum_mag_complex(
     xr: jnp.ndarray,
@@ -412,6 +415,7 @@ def spectrum_mag_complex(
     precision: str = "highest",
     apply_window: bool = True,
     karatsuba: bool = False,
+    out_dtype: str = "float32",
 ):
     """IQ frames xr/xi (F, N) -> magnitudes (F, N), fused in VMEM."""
     F = xr.shape[0]
@@ -425,7 +429,7 @@ def spectrum_mag_complex(
             _spectrum_complex_kernel, G=G, B=B, precision=precision,
             karatsuba=karatsuba, apply_window=apply_window,
         ),
-        out_shape=jax.ShapeDtypeStruct((F, n1, n2), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((F, n1, n2), jnp.dtype(out_dtype)),
         grid=(F // G,),
         in_specs=[
             fspec,
@@ -502,7 +506,7 @@ def iir_summaries(
     jax.jit,
     static_argnames=(
         "interpret", "precision", "bypass", "apply_window", "half_spectrum",
-        "karatsuba",
+        "karatsuba", "out_dtype",
     ),
 )
 def spectrum_from_state(
@@ -515,11 +519,17 @@ def spectrum_from_state(
     apply_window: bool = True,
     half_spectrum: bool = False,
     karatsuba: bool = False,
+    out_dtype: str = "float32",
 ):
     """x (F, N) frames + per-frame entry states (F, m) -> magnitudes (F, N).
 
     ``precision``: "default" | "high3" (manual 3-pass bf16 splits, ~XLA
     Precision.HIGH) | "highest" (exact f32, 6 passes).
+
+    ``out_dtype``: "float32" (default) or "bfloat16" — the latter halves
+    the magnitude write-back traffic; values are the f32 kernel results
+    rounded once on store (the dispatch stays HBM-heavy at low precisions,
+    so the bf16 tier opts in; see the round-4 traffic A/B).
 
     ``half_spectrum``: exploit the real input (conjugate symmetry) — compute
     k2 in [0, 64] only and mirror magnitudes for the rest. Exact math and
@@ -549,7 +559,7 @@ def spectrum_from_state(
             bypass=bypass, apply_window=apply_window, half=half_spectrum,
             karatsuba=karatsuba,
         ),
-        out_shape=jax.ShapeDtypeStruct((F, out_rows, n2), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((F, out_rows, n2), jnp.dtype(out_dtype)),
         grid=(F // G,),
         in_specs=[
             pl.BlockSpec((G, n2, n1), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),

@@ -56,6 +56,22 @@ def _kernel_karatsuba(cfg: PipelineConfig) -> bool:
     return cfg.dtype == "f32"
 
 
+def _kernel_out_dtype(cfg: PipelineConfig) -> str:
+    """Magnitude store dtype: bf16 when the bf16 tier opts into bf16_io."""
+    return (
+        "bfloat16" if cfg.dtype == "bf16" and cfg.bf16_io else "float32"
+    )
+
+
+def _maybe_bf16_y(cfg: PipelineConfig, y):
+    """bf16_io: ship the IIR output to the FFT kernel as bf16 (bitwise-
+    neutral on TPU — DEFAULT-precision MXU dots round inputs to bf16 in
+    hardware; verified on-chip, docs/measurements/attrib_bf16_r4.json)."""
+    if cfg.dtype == "bf16" and cfg.bf16_io:
+        return y.astype(jnp.bfloat16)
+    return y
+
+
 def _iir_precision(cfg: PipelineConfig):
     """XLA IIR precision in the hybrid structure (HIGH for the f32 tier)."""
     return Precision.HIGH if cfg.dtype == "f32" else _precision(cfg)
@@ -145,6 +161,7 @@ def process_stream(
             mag = iir_fft.spectrum_from_state(
                 flat, zs, pp, interpret=pallas_interpret, precision=kprec,
                 bypass=True, karatsuba=_kernel_karatsuba(cfg),
+                out_dtype=_kernel_out_dtype(cfg),
             )
             zf = state.sos_state
         elif banked or not (
@@ -161,9 +178,11 @@ def process_stream(
             )
             zs = jnp.zeros((flat.shape[0], m), jnp.float32)
             mag = iir_fft.spectrum_from_state(
-                y.reshape(-1, n), zs, pp, interpret=pallas_interpret,
+                _maybe_bf16_y(cfg, y).reshape(-1, n), zs, pp,
+                interpret=pallas_interpret,
                 precision=kprec, bypass=True, apply_window=False,
                 karatsuba=_kernel_karatsuba(cfg),
+                out_dtype=_kernel_out_dtype(cfg),
             )
         else:
             # fused_two_pass (f32max exact, or f32 high3 since the
@@ -315,6 +334,7 @@ def _process_stream_hop(
         mag = iir_fft.spectrum_from_state(
             flat, zs, pp, interpret=pallas_interpret, precision=kprec,
             bypass=True, apply_window=True, karatsuba=_kernel_karatsuba(cfg),
+            out_dtype=_kernel_out_dtype(cfg),
         )
         out["magnitude"] = mag.reshape(*lead, n_frames, n)
     else:
@@ -402,9 +422,11 @@ def process_stream_complex(
             )
             apply_window = False
         mag = iir_fft.spectrum_mag_complex(
-            y[0].reshape(-1, n), y[1].reshape(-1, n), pp,
+            _maybe_bf16_y(cfg, y[0]).reshape(-1, n),
+            _maybe_bf16_y(cfg, y[1]).reshape(-1, n), pp,
             interpret=pallas_interpret, precision=kprec,
             apply_window=apply_window, karatsuba=kara,
+            out_dtype=_kernel_out_dtype(cfg),
         )
         new_state = StreamState(
             sos_state=zf,

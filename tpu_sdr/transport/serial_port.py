@@ -178,6 +178,7 @@ class SerialTransport:
         ``max_stale=None`` disables the bound.
         """
         frames: list[bytes] = []
+        keep = n if max_stale is None else max(n, max_stale)
         deadline = time.monotonic() + timeout
         while time.monotonic() < deadline:
             got = self.poll()
@@ -189,6 +190,16 @@ class SerialTransport:
                 # returned no bytes): without the drain, a backlog would
                 # replay one stale frame per call and the max_stale trim
                 # below could never see it
+                break
+            if len(frames) >= keep and not got:
+                # Drain bound (review finding): against a peer that streams
+                # CONTINUOUSLY the wire never reads empty, so the drain
+                # condition above would spin to the full timeout. Once the
+                # trim window is already full (>= keep frames — the trim
+                # below returns only the newest ``keep`` anyway), stop at
+                # the first poll that completes no new frame: that is the
+                # live edge (or a backlog mid-frame — either way, further
+                # draining can only discard data the trim would drop).
                 break
         if max_stale is not None:
             keep = max(n, max_stale)
