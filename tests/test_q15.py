@@ -229,3 +229,68 @@ def test_native_q15_filter_bit_exact_vs_oracle():
         bad = sos.copy()
         bad[0, 3] = 63
         native_q15.sosfilt_q15_rows(bad, xs, np.zeros((2, 6, 2), np.int64))
+
+
+def test_native_fused_window_filter_bit_exact(setup):
+    """Round-4 fused native window+filter == the two-pass form (NumPy RTL
+    window then the batch filter), bit for bit, including the windowed
+    intermediate and the carried state."""
+    from tpu_sdr.kernels import native_q15, window
+
+    pipe, sos_q, x = setup
+    sos64 = np.asarray(pipe.sos_q, np.int64)
+    rom = np.asarray(window.hann_q16_rom(16384)).astype(np.int16)
+    xr = x.reshape(1, -1)
+    zi = np.zeros((1, pipe.cfg.n_sections, 2), np.int64)
+    # two-pass reference
+    xw = qf.window_multiply_q15(xr.reshape(1, -1, 16384), rom).reshape(1, -1)
+    y_ref, zf_ref = native_q15.sosfilt_q15_rows(sos64, xw, zi)
+    # fused
+    y, yw, zf = native_q15.sosfilt_q15_window_rows(sos64, xr, rom, zi)
+    assert np.array_equal(yw, xw)
+    assert np.array_equal(y, y_ref)
+    assert np.array_equal(zf, zf_ref)
+    # want_windowed=False returns None but identical filter output
+    y2, yw2, _ = native_q15.sosfilt_q15_window_rows(
+        sos64, xr, rom, zi, want_windowed=False
+    )
+    assert yw2 is None and np.array_equal(y2, y_ref)
+
+
+def test_q15_stream_bitwise_equals_sequential(setup):
+    """The double-buffered Q15Stream emits the SAME bits, in order, as
+    sequential process() calls with carried state (the pipeline only
+    reorders execution, never arithmetic)."""
+    from tpu_sdr.runtime.q15 import Q15Stream
+
+    _, sos_q, x = setup
+    split = Q15Pipeline(PipelineConfig(channels=1), device_fft=True)
+    split.upload_sos_q(sos_q)
+    rng = np.random.default_rng(7)
+    chunks = [
+        (rng.standard_normal(16384) * 6000).astype(np.int16)
+        for _ in range(4)
+    ]
+    # sequential reference
+    zi = None
+    refs = []
+    for c in chunks:
+        o, zi = split.process(c, zi, bypass=False)
+        refs.append({k: np.asarray(v) for k, v in o.items()})
+    # streamed
+    stream = Q15Stream(split, fetch=("magnitude", "spectrum_re_q15",
+                                    "spectrum_im_q15"))
+    got = []
+    for c in chunks:
+        r = stream.push(c)
+        if r is not None:
+            got.append(r)
+    tail = stream.flush()
+    assert tail is not None
+    got.append(tail)
+    stream.close()
+    assert len(got) == len(refs)
+    for (o, _zf), ref in zip(got, refs):
+        for k in ("magnitude", "spectrum_re_q15", "spectrum_im_q15",
+                  "filtered_q15", "windowed_q15"):
+            assert np.array_equal(np.asarray(o[k]), ref[k]), k

@@ -334,3 +334,131 @@ def test_compiled_burst_modem_loopback(setup):
                          z.imag.astype(np.float32), 512)
     assert bit_error_rate(bits, out["bits"]) == 0.0
     assert int(out["frame_lag"]) == 2
+
+
+def test_compiled_stereo_decoder(setup):
+    """FM stereo decoder compiled on the chip: L/R separation holds and
+    chunked == one-shot stays bitwise (round-4 VERDICT item 5 — the newer
+    kernel families get real-Mosaic coverage, not just interpret mode)."""
+    from tpu_sdr.kernels.stereo import StereoDecoder, make_mpx
+
+    fs = 200e3
+    n = 1 << 16
+    t = np.arange(n) / fs
+    left = 0.8 * np.sin(2 * np.pi * 1000 * t)
+    right = 0.8 * np.sin(2 * np.pi * 2500 * t)
+    m = make_mpx(left, right, fs).astype(np.float32)
+    dec = StereoDecoder(fs)
+    out, st = dec.process(m, dec.initial_state())
+    l, r = np.asarray(out, np.float64)
+
+    def tone_pow(x, f):
+        h = len(x) // 2
+        win = np.hanning(h)
+        k = int(round(f * h / fs))
+        spec = np.abs(np.fft.rfft(x[h:] * win)) ** 2
+        return np.max(spec[k - 2 : k + 3])
+
+    sep_l = 10 * np.log10(tone_pow(l, 1000) / tone_pow(l, 2500))
+    sep_r = 10 * np.log10(tone_pow(r, 2500) / tone_pow(r, 1000))
+    assert sep_l > 40 and sep_r > 40, (sep_l, sep_r)
+    # chunked == one-shot, bitwise, on the chip
+    dec2 = StereoDecoder(fs)
+    st2 = dec2.initial_state()
+    parts = []
+    for chunk in np.split(m, 4):
+        o, st2 = dec2.process(chunk, st2)
+        parts.append(np.asarray(o))
+    assert np.array_equal(np.concatenate(parts, axis=-1), np.asarray(out))
+
+
+def test_compiled_rds_loopback(setup):
+    """RDS encoder -> MPX -> compiled decoder on the chip: PI/PS/RadioText
+    recovered through the real Mosaic/XLA-TPU lowering."""
+    from tpu_sdr.kernels.rds import RDSDecoder, RDSEncoder, make_mpx_rds
+
+    fs = 200e3
+    enc = RDSEncoder(pi=0xC0DE, pty=4, ps="TPU SDR ", radiotext="TPU RADIOTEXT 42")
+    n_groups = 48
+    t_needed = RDSDecoder(fs).min_samples(n_groups)
+    t = np.arange(t_needed) / fs
+    left = 0.5 * np.sin(2 * np.pi * 1000 * t)
+    m = make_mpx_rds(left, left, fs, enc, n_groups=n_groups).astype(np.float32)
+    res = RDSDecoder(fs).decode(m)
+    assert res.pi == 0xC0DE
+    assert res.ps_name == "TPU SDR "
+    assert "TPU RADIOTEXT 42" in res.radiotext
+    assert res.block_error_rate < 0.1
+
+
+def test_compiled_fec_viterbi(setup):
+    """Convolutional encode + Viterbi decode (hard and punctured) run the
+    whole trellis scan on the chip; clean-channel roundtrip must be exact."""
+    from tpu_sdr.kernels.fec import ConvCode
+
+    rng = np.random.default_rng(0xFEC)
+    bits = rng.integers(2, size=200).astype(np.uint8)
+    for punct in (None, "3/4"):
+        code = ConvCode(7, (0o133, 0o171), puncture=punct)
+        coded = code.encode(bits)
+        out = code.decode_hard(coded, 200)
+        np.testing.assert_array_equal(out, bits, err_msg=f"puncture={punct}")
+
+
+def test_compiled_latency_pipeline(setup):
+    """LatencyPipeline (the intra-FFT TP engine) on the real chip: a
+    1-device mesh, bypass + filtered frames against the throughput engine
+    at the exact tier."""
+    import scipy.signal as sps
+
+    from tpu_sdr.core.config import FilterMode, PipelineConfig
+    from tpu_sdr.runtime import SpectrumPipeline
+    from tpu_sdr.shard.latency import LatencyPipeline
+
+    cfg = PipelineConfig(channels=1, dtype="f32max")
+    lat, thr = LatencyPipeline(cfg), SpectrumPipeline(cfg)
+    sos = sps.ellip(12, 0.5, 70, 0.3, output="sos")
+    lat.upload_sos(sos)
+    thr.upload_sos(sos)
+    rng = np.random.default_rng(41)
+    x = rng.standard_normal(2 * 16384).astype(np.float32)
+    z = lat.initial_state()
+    mags = []
+    for k in range(2):
+        mag, z = lat.process_frame(
+            x[k * 16384 : (k + 1) * 16384], z, FilterMode.CUSTOM
+        )
+        mags.append(np.asarray(mag))
+    out, _ = thr.process(x, thr.initial_state(), FilterMode.CUSTOM)
+    ref = np.asarray(out["magnitude"])[0]
+    got = np.stack(mags)
+    rel = np.abs(got - ref).max() / ref.max()
+    assert rel < 1e-4, f"latency vs throughput on chip: {rel}"
+
+
+def test_compiled_bf16_io_rounding_contract(setup):
+    """bf16_io mode on the chip: bf16-stored magnitudes equal the plain
+    bf16 tier's f32 magnitudes rounded once, and the y->bf16 transfer is
+    bitwise-free (DEFAULT MXU rounds inputs to bf16 in hardware)."""
+    import jax.numpy as jnp
+    import scipy.signal as sps
+
+    from tpu_sdr.core.config import FilterMode, PipelineConfig
+    from tpu_sdr.runtime import SpectrumPipeline
+
+    rng = np.random.default_rng(11)
+    x = rng.standard_normal((2, 2 * 16384)).astype(np.float32)
+    sos = sps.butter(12, 0.25, output="sos")
+    p_ref = SpectrumPipeline(PipelineConfig(channels=2, dtype="bf16"))
+    p_io = SpectrumPipeline(
+        PipelineConfig(channels=2, dtype="bf16", bf16_io=True)
+    )
+    p_ref.upload_sos(sos)
+    p_io.upload_sos(sos)
+    o_ref, _ = p_ref.process(x, p_ref.initial_state(), FilterMode.CUSTOM)
+    o_io, _ = p_io.process(x, p_io.initial_state(), FilterMode.CUSTOM)
+    assert o_io["magnitude"].dtype == jnp.bfloat16
+    ref_rounded = np.asarray(
+        jnp.asarray(o_ref["magnitude"]).astype(jnp.bfloat16)
+    )
+    np.testing.assert_array_equal(np.asarray(o_io["magnitude"]), ref_rounded)

@@ -133,12 +133,30 @@ def fft_q15_np(x_re, x_im=None, schedule=None):
     return re[..., br].astype(np.int16), im[..., br].astype(np.int16)
 
 
-def fft_q15(x_re, x_im=None, schedule=None):
+def _bitrev_transpose(x, n: int):
+    """Bit-reversal as an axis transpose: reshape (..., 2^m) to m two-point
+    axes, reverse their order, flatten. The SAME permutation ``bitrev``
+    indexes (so outputs are bit-identical to the take form) expressed as a
+    layout op instead of a gather — gathers are the TPU anti-pattern."""
+    m = n.bit_length() - 1
+    lead = x.shape[:-1]
+    k = len(lead)
+    xr = x.reshape(*lead, *((2,) * m))
+    perm = tuple(range(k)) + tuple(k + m - 1 - t for t in range(m))
+    return xr.transpose(perm).reshape(*lead, n)
+
+
+def fft_q15(x_re, x_im=None, schedule=None, bitrev: str = "take"):
     """JAX version (jit-safe, int32 datapath) — bit-exact vs ``fft_q15_np``.
 
     Input int16/int32 (..., N); returns (re, im) int16 natural order. The 14
     ranks unroll statically under jit; every op is elementwise int32 (the
     32768*32767 products and their pairwise sums stay inside int32).
+
+    ``bitrev``: "take" (gather by the precomputed index vector) or
+    "transpose" (the same permutation as a 14-axis transpose — bit-identical
+    outputs, different lowering; see the round-4 q15 attribution for which
+    is faster on the chip).
     """
     import jax.numpy as jnp
 
@@ -177,6 +195,11 @@ def fft_q15(x_re, x_im=None, schedule=None):
         p_im = p_im.at[..., 0].set(d_im[..., 0])
         re = jnp.stack([sum_re, p_re], axis=-2).reshape(*lead, n)
         im = jnp.stack([sum_im, p_im], axis=-2).reshape(*lead, n)
+    if bitrev == "transpose":
+        return (
+            _bitrev_transpose(re, n).astype(jnp.int16),
+            _bitrev_transpose(im, n).astype(jnp.int16),
+        )
     br = jnp.asarray(plan["bitrev"], jnp.int32)
     return (
         jnp.take(re, br, axis=-1).astype(jnp.int16),

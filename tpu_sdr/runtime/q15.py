@@ -138,19 +138,7 @@ class Q15Pipeline:
             return out, np.asarray(zi)
         if self.sos_q is None:
             raise ValueError("upload_sos_q first")
-        frames = x.reshape(*lead, -1, n)
-        # vectorized host window (bit-exact: same ROM/rounding as the RTL)
-        xw = qf.window_multiply_q15(frames, self.rom_np).reshape(*lead, -1)
-        flat = xw.reshape(-1, xw.shape[-1])
-        if zi is None:
-            zi = np.zeros((*lead, self.cfg.n_sections, 2), np.int64)
-        zflat = np.asarray(zi, np.int64).reshape(-1, self.cfg.n_sections, 2)
-        sos64 = np.asarray(self.sos_q, np.int64)
-        # the one per-sample host stage: the native C++ loop (bit-exact vs
-        # golden.sosfilt_q15_intended, ~250x faster; NumPy fallback inside)
-        from tpu_sdr.kernels import native_q15
-
-        ys, zflat = native_q15.sosfilt_q15_rows(sos64, flat, zflat)
+        ys, xw, zflat = self._host_stage(x, zi)
         out = self._fft_jit(
             jnp.asarray(ys.reshape(*lead, -1, n)), bypass=False
         )
@@ -160,6 +148,58 @@ class Q15Pipeline:
         # to the device (each needless upload costs one tunnel round trip
         # per chunk; measured 100s of ms in degraded windows, which took
         # the filtered live mode from ~12 MSPS to 1.7)
+        out["windowed_q15"] = xw.reshape(*lead, -1, n)
+        out["filtered_q15"] = ys.reshape(*lead, -1, n)
+        return out, zflat.reshape(*lead, self.cfg.n_sections, 2)
+
+    def _host_stage(self, x, zi):
+        """The per-sample host half of the filtered split path: fused
+        RTL window + saturating IIR in ONE native pass (round 4 — the
+        separate vectorized-NumPy window cost ~17 ms per 1M-sample chunk,
+        nearly the filter itself; the fused loop does both in ~the filter's
+        time, bit-exact vs the two-pass form, tested). Returns
+        (ys, xw, zf) as flat (R, T) rows + (R, S, 2) state."""
+        n = self.cfg.fft_size
+        x = np.asarray(x, np.int16)
+        if x.ndim == 1:
+            x = x[None, :]
+        lead = x.shape[:-1]
+        flat = x.reshape(-1, x.shape[-1])
+        if zi is None:
+            zi = np.zeros((*lead, self.cfg.n_sections, 2), np.int64)
+        zflat = np.asarray(zi, np.int64).reshape(-1, self.cfg.n_sections, 2)
+        sos64 = np.asarray(self.sos_q, np.int64)
+        from tpu_sdr.kernels import native_q15
+
+        ys, xw, zflat = native_q15.sosfilt_q15_window_rows(
+            sos64, flat, self.rom_np.astype(np.int16), zflat,
+            want_windowed=True,
+        )
+        return ys, xw, zflat
+
+    def process_async(self, x_q15, zi=None):
+        """Filtered split path, device stage left IN FLIGHT.
+
+        Runs the host stage (fused window+filter) synchronously, dispatches
+        the device FFT, and returns ``(pending, zf)`` where ``pending`` is a
+        dict whose spectrum leaves are un-fetched device arrays plus the
+        host-side ``windowed_q15``/``filtered_q15`` products. The caller
+        overlaps further host work with the device stage and materializes
+        when ready (``np.asarray``). ``Q15Stream`` packages the pattern.
+        """
+        if not self.device_fft:
+            raise ValueError("process_async requires device_fft=True")
+        if self.sos_q is None:
+            raise ValueError("upload_sos_q first")
+        n = self.cfg.fft_size
+        x = np.asarray(x_q15, np.int16)
+        if x.ndim == 1:
+            x = x[None, :]
+        lead = x.shape[:-1]
+        ys, xw, zflat = self._host_stage(x, zi)
+        out = dict(
+            self._fft_jit(jnp.asarray(ys.reshape(*lead, -1, n)), bypass=False)
+        )
         out["windowed_q15"] = xw.reshape(*lead, -1, n)
         out["filtered_q15"] = ys.reshape(*lead, -1, n)
         return out, zflat.reshape(*lead, self.cfg.n_sections, 2)
@@ -181,3 +221,78 @@ class Q15Pipeline:
         if zi is None:
             zi = jnp.zeros((*x.shape[:-1], self.cfg.n_sections, 2), jnp.int32)
         return self._jit(x, zi, jnp.asarray(self.sos_q, jnp.int32))
+
+
+class Q15Stream:
+    """Double-buffered live driver for the filtered faithful mode.
+
+    The FPGA's filter never stalls its FFT (``imp/filter_iir12.vhd:38-137``
+    — a free-running 1-sample pipeline); the r3 split path DID stall: host
+    window -> host filter -> upload -> device FFT -> fetch, strictly
+    sequential, measured 4.7 MSPS while its slowest component ran 45+.
+    This runner restores the overlap with a depth-1 pipeline:
+
+      * a single worker thread runs chunk k+1's host stage (the fused
+        native window+filter — C code, GIL released) while the main thread
+        uploads/dispatches chunk k and fetches chunk k-1;
+      * filter state threads through the worker in submission order, so
+        the output stream is bit-identical to sequential ``process()``
+        calls (tested);
+      * ``push(chunk)`` returns the COMPLETED result for the oldest
+        in-flight chunk (None until the pipeline fills); ``flush()``
+        drains the tail.
+
+    Steady-state rate = max(host stage, upload+dispatch+fetch) instead of
+    their sum.
+    """
+
+    def __init__(self, pipe: Q15Pipeline, fetch=("magnitude",)):
+        if not pipe.device_fft:
+            raise ValueError("Q15Stream requires Q15Pipeline(device_fft=True)")
+        import concurrent.futures
+
+        self.pipe = pipe
+        self.fetch = tuple(fetch)
+        self._pool = concurrent.futures.ThreadPoolExecutor(max_workers=1)
+        self._pending = None  # (future -> (out, zf)) of the newest chunk
+        self.zf = None  # state after the last FLUSHED chunk (resume point)
+
+    def _materialize(self, fut):
+        out, zf = fut.result()
+        done = dict(out)
+        for k in self.fetch:
+            done[k] = np.asarray(out[k])
+        return done, zf
+
+    def push(self, x_q15):
+        """Feed one frame-aligned chunk; returns the completed (out, zf) of
+        the PREVIOUS chunk, or None while the pipeline fills."""
+        zi = self.zf
+        # State must thread chunk-to-chunk: the host stage is sequential.
+        # The single worker executes submissions in order, so chaining
+        # through the previous future costs nothing and never deadlocks.
+        prev = self._pending
+
+        def run(x=x_q15, prev_fut=prev, zi0=zi):
+            if prev_fut is not None:
+                _, z = prev_fut.result()  # ordered: worker is single-thread
+            else:
+                z = zi0
+            return self.pipe.process_async(x, z)
+
+        self._pending = self._pool.submit(run)
+        if prev is None:
+            return None
+        return self._materialize(prev)
+
+    def flush(self):
+        """Drain the last in-flight chunk (or None if empty)."""
+        if self._pending is None:
+            return None
+        res = self._materialize(self._pending)
+        self._pending = None
+        self.zf = res[1]
+        return res
+
+    def close(self):
+        self._pool.shutdown(wait=True)

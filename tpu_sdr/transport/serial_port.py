@@ -191,15 +191,21 @@ class SerialTransport:
                 # replay one stale frame per call and the max_stale trim
                 # below could never see it
                 break
-            if len(frames) >= keep and not got:
+            if (
+                len(frames) >= keep
+                and not got
+                and self._last_read_bytes < self.read_chunk
+            ):
                 # Drain bound (review finding): against a peer that streams
                 # CONTINUOUSLY the wire never reads empty, so the drain
                 # condition above would spin to the full timeout. Once the
                 # trim window is already full (>= keep frames — the trim
                 # below returns only the newest ``keep`` anyway), stop at
-                # the first poll that completes no new frame: that is the
-                # live edge (or a backlog mid-frame — either way, further
-                # draining can only discard data the trim would drop).
+                # the first poll that completes no new frame AND read less
+                # than a full chunk: a backlog being drained fills every
+                # read_chunk, so a short, frameless read means we are at
+                # the wire's live rate and further draining only discards
+                # data the trim would drop.
                 break
         if max_stale is not None:
             keep = max(n, max_stale)
