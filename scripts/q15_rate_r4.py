@@ -99,29 +99,75 @@ def main():
     seq_ms = med(reps) * 1e3
     log(f"sequential: {seq_ms:.1f} ms/chunk ({F * N / med(reps) / 1e6:.1f} MSPS)")
 
-    # streamed end-to-end (double-buffered; steady state over 10 chunks)
-    stream = Q15Stream(pipe, fetch=("magnitude",))
-    stream.push(x)  # fill
-    reps = []
-    for i in range(10):
-        t0 = time.perf_counter()
-        r = stream.push(np.roll(x, i + 1, axis=-1))
-        assert r is not None
-        reps.append(time.perf_counter() - t0)
-    stream.flush()
-    stream.close()
-    stream_ms = med(reps) * 1e3
-    log(f"streamed: {stream_ms:.1f} ms/chunk ({F * N / med(reps) / 1e6:.1f} MSPS)")
+    # streamed end-to-end (double-buffered), swept over chunk size: the
+    # per-chunk cost is dominated by ~3 relay round trips (upload /
+    # dispatch / fetch, ~35 ms each on this tunnel — NOT bytes: a 2 MB
+    # upload is 2-7 ms in a healthy window), so bigger chunks amortize
+    # them while the host stage scales linearly.
+    streamed = {}
+    for f_chunk in (64, 256, 512):
+        xc = (rng.standard_normal((1, f_chunk * N)) * 8000).astype(np.int16)
+        stream = Q15Stream(pipe, fetch=("magnitude",))
+        stream.push(xc)  # fill (+compile for this shape)
+        reps = []
+        for i in range(8 if f_chunk == 64 else 5):
+            t0 = time.perf_counter()
+            r = stream.push(np.roll(xc, i + 1, axis=-1))
+            assert r is not None
+            reps.append(time.perf_counter() - t0)
+        stream.flush()
+        stream.close()
+        ms = med(reps) * 1e3
+        streamed[f_chunk] = {
+            "ms_per_chunk": ms,
+            "msps": f_chunk * N / (ms * 1e-3) / 1e6,
+            "reps_ms": [round(t * 1e3, 2) for t in reps],
+        }
+        log(f"streamed F={f_chunk}: {ms:.1f} ms/chunk "
+            f"({f_chunk * N / (ms * 1e-3) / 1e6:.1f} MSPS)")
 
+    # display-rate egress, PACKED: the GUI's actual faithful-mode
+    # consumption is the LAST frame's [re, im, |X|] per chunk. Round-4
+    # findings baked in: every host-initiated sync costs ~35 ms on this
+    # tunnel regardless of bytes (three separate small fetches measured
+    # identical to a 4 MB one) and the download link runs ~40-50 MB/s —
+    # so the device packs the whole display product into ONE (3, N)
+    # array (`display=True`) and the consumer pays exactly one sync.
+    display = {}
+    for f_chunk in (64, 256):
+        xc = (rng.standard_normal((1, f_chunk * N)) * 8000).astype(np.int16)
+        stream = Q15Stream(pipe, fetch=("display_frame",), display=True)
+        stream.push(xc)
+        reps = []
+        for i in range(8 if f_chunk == 64 else 5):
+            t0 = time.perf_counter()
+            r = stream.push(np.roll(xc, i + 1, axis=-1))
+            assert r is not None
+            assert r[0]["display_frame"].shape[-2:] == (3, N)
+            reps.append(time.perf_counter() - t0)
+        stream.flush()
+        stream.close()
+        ms = med(reps) * 1e3
+        display[f_chunk] = {
+            "ms_per_chunk": ms,
+            "msps": f_chunk * N / (ms * 1e-3) / 1e6,
+            "reps_ms": [round(t * 1e3, 2) for t in reps],
+        }
+        log(f"streamed display-egress F={f_chunk}: {ms:.1f} ms/chunk "
+            f"({f_chunk * N / (ms * 1e-3) / 1e6:.1f} MSPS)")
+
+    best = max(streamed.values(), key=lambda d: d["msps"])
+    best_disp = max(display.values(), key=lambda d: d["msps"])
     print(json.dumps({
         "bit_exact_on_chip": ok,
         "host_stage_ms": host_ms,
         "ms_per_chunk_sequential": seq_ms,
         "msps_sequential": F * N / (seq_ms * 1e-3) / 1e6,
-        "ms_per_chunk_streamed": stream_ms,
-        "msps_streamed": F * N / (stream_ms * 1e-3) / 1e6,
-        "reps_ms_streamed": [round(t * 1e3, 2) for t in reps],
-        "samples_per_chunk": F * N,
+        "streamed_by_chunk_frames": streamed,
+        "msps_streamed_best": best["msps"],
+        "display_egress_by_chunk_frames": display,
+        "msps_display_egress_best": best_disp["msps"],
+        "samples_per_chunk_seq": F * N,
     }), flush=True)
 
 

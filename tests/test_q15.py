@@ -294,3 +294,26 @@ def test_q15_stream_bitwise_equals_sequential(setup):
         for k in ("magnitude", "spectrum_re_q15", "spectrum_im_q15",
                   "filtered_q15", "windowed_q15"):
             assert np.array_equal(np.asarray(o[k]), ref[k]), k
+
+
+def test_display_frame_packs_last_frame(setup):
+    """display=True adds a single (…, 3, N) leaf = the LAST frame's
+    [re, im, |X|]; re/im are int16-exact in f32 (the GUI's single-fetch
+    display path depends on the roundtrip being bit-exact)."""
+    _, sos_q, x = setup
+    split = Q15Pipeline(PipelineConfig(channels=1), device_fft=True)
+    split.upload_sos_q(sos_q)
+    out, _ = split.process(x, bypass=False, display=True)
+    n = split.cfg.fft_size
+    disp = np.asarray(out["display_frame"]).reshape(3, n)
+    re_q = np.asarray(out["spectrum_re_q15"]).reshape(-1, n)
+    im_q = np.asarray(out["spectrum_im_q15"]).reshape(-1, n)
+    mag = np.asarray(out["magnitude"]).reshape(-1, n)
+    assert np.array_equal(disp[0].astype(np.int16), re_q[-1])
+    assert np.array_equal(disp[1].astype(np.int16), im_q[-1])
+    assert np.array_equal(disp[2], mag[-1])
+    # bypass mode too
+    outb, _ = split.process(x, bypass=True, display=True)
+    dispb = np.asarray(outb["display_frame"]).reshape(3, n)
+    magb = np.asarray(outb["magnitude"]).reshape(-1, n)
+    assert np.array_equal(dispb[2], magb[-1])

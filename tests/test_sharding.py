@@ -221,3 +221,32 @@ def test_phase_output_sharded():
     out_s, _ = sh.process(x, _state(2), FilterMode.BYPASS, outputs="phase")
     out_1, _ = single.process(x, _state(2), FilterMode.BYPASS, outputs="phase")
     assert np.array_equal(np.array(out_s["phase"]), np.array(out_1["phase"]))
+
+
+@pytest.mark.parametrize("mesh_shape", [(2, 4), (1, 8)])
+def test_sharded_equals_single_device_bf16_io(mesh_shape):
+    """The bf16_io reduced-HBM mode keeps the sharded == single-device
+    bitwise contract (the y->bf16 cast and bf16 magnitude store are
+    elementwise, applied identically per shard)."""
+    channels, time = mesh_shape
+    cfg = PipelineConfig(channels=max(channels, 2), dtype="bf16",
+                         bf16_io=True)
+    mesh = make_sdr_mesh(channel=channels, time=time)
+    sharded = ShardedSpectrumPipeline(cfg, mesh)
+    single_io = SpectrumPipeline(cfg)
+    sos = sps.butter(12, 0.22, output="sos")
+    sharded.upload_sos(sos)
+    single_io.upload_sos(sos)
+
+    C = max(channels, 2)
+    x = _mk_input(C, 8, seed=5)
+    out_s, st_s = sharded.process(x, _state(C), FilterMode.CUSTOM)
+    out_1, st_1 = single_io.process(x, _state(C), FilterMode.CUSTOM)
+    assert out_s["magnitude"].dtype == out_1["magnitude"].dtype == jnp.bfloat16
+    assert np.array_equal(
+        np.asarray(out_s["magnitude"], dtype=np.float32),
+        np.asarray(out_1["magnitude"], dtype=np.float32),
+    )
+    assert np.array_equal(
+        np.array(st_s.sos_state), np.array(st_1.sos_state)
+    )

@@ -455,15 +455,21 @@ class GuiBackend(CaptureMixin, DisplayMixin, ZoomMixin, AudioScanMixin):
         else:
             xq = xr.astype(np.int16)
         out, rt["zi"] = rt["pipe"].process(
-            xq, rt["zi"], bypass=sig[0] == "bypass")
+            xq, rt["zi"], bypass=sig[0] == "bypass", display=True)
         n = rt["pipe"].cfg.fft_size
-        re_q = np.asarray(out["spectrum_re_q15"]).reshape(-1, n)
-        im_q = np.asarray(out["spectrum_im_q15"]).reshape(-1, n)
+        # ONE fetch of the packed (3, N) display frame instead of three
+        # full-spectrum downloads (round-4 measurement: every host sync
+        # costs ~35 ms on the tunnel and the download link ~40-50 MB/s;
+        # the display only needs the last frame). re/im are int16-exact
+        # in f32, so the wire words survive the roundtrip bit-exactly.
+        disp = np.asarray(out["display_frame"]).reshape(3, n)
+        re_q = disp[0].astype(np.int16)
+        im_q = disp[1].astype(np.int16)
         # the mode is captured WITH the frame: get_q15_frame must label
         # the frame with the mode that produced it, not whatever the
         # analyzer switched to afterwards (review finding)
-        self._q15_last_wire = (re_q[-1], im_q[-1], mode.name)
-        return np.asarray(out["magnitude"]).reshape(re_q.shape)[-1]
+        self._q15_last_wire = (re_q, im_q, mode.name)
+        return disp[2]
 
     def get_q15_frame(self) -> dict:
         """The last faithful-mode spectrum as the byte-exact 65,536-byte

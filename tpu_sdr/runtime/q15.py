@@ -72,7 +72,9 @@ class Q15Pipeline:
         # compiles a T-iteration lax.scan, useless for live chunks.
         self.device_fft = bool(device_fft)
         self._jit = jax.jit(self._process)
-        self._fft_jit = jax.jit(self._window_fft, static_argnames=("bypass",))
+        self._fft_jit = jax.jit(
+            self._window_fft, static_argnames=("bypass", "display")
+        )
 
     def upload_sos_q(self, sos_x64: np.ndarray):
         """Quantized coefficients, int8 x64 (the wire format's payload)."""
@@ -104,25 +106,41 @@ class Q15Pipeline:
             "magnitude": jnp.sqrt(fr * fr + fi * fi),
         }, zf
 
-    def _window_fft(self, y_frames, *, bypass):
+    def _window_fft(self, y_frames, *, bypass, display=False):
         """Device stage of the split path: [window +] integer FFT + decode.
 
         ``bypass=True``: y_frames are RAW q15 frames — window on device
         (elementwise) then FFT. ``bypass=False``: y_frames are already
         windowed+filtered on the host — FFT only.
+
+        ``display=True`` adds a ``display_frame`` leaf: the LAST frame's
+        [re, im, |X|] stacked into ONE (..., 3, N) f32 array (re/im are
+        int16-exact in f32). Rationale (round-4 measurement,
+        docs/measurements/q15_rate_r4.json): on the tunneled chip every
+        host-initiated sync costs ~35 ms regardless of bytes, and the
+        download link runs ~40-50 MB/s — so a live display consumer must
+        pull its whole per-chunk product in ONE fetch of a small array,
+        not three full-spectrum ones.
         """
         if bypass:
             y_frames = window.window_q15(y_frames, self.rom)
         fr_q, fi_q = fft_q15.fft_q15(y_frames)
         fr = fr_q.astype(jnp.float32)
         fi = fi_q.astype(jnp.float32)
-        return {
+        out = {
             "spectrum_re_q15": fr_q,
             "spectrum_im_q15": fi_q,
             "magnitude": jnp.sqrt(fr * fr + fi * fi),
         }
+        if display:
+            lf = fr[..., -1, :]
+            li = fi[..., -1, :]
+            out["display_frame"] = jnp.stack(
+                [lf, li, jnp.sqrt(lf * lf + li * li)], axis=-2
+            )
+        return out
 
-    def _process_split(self, x, zi, bypass):
+    def _process_split(self, x, zi, bypass, display=False):
         """Host window + native-C++ filter -> ONE device dispatch."""
         n = self.cfg.fft_size
         x = np.asarray(x, np.int16)
@@ -133,14 +151,16 @@ class Q15Pipeline:
             if zi is None:
                 zi = np.zeros((*lead, self.cfg.n_sections, 2), np.int64)
             out = self._fft_jit(
-                jnp.asarray(x.reshape(*lead, -1, n)), bypass=True
+                jnp.asarray(x.reshape(*lead, -1, n)), bypass=True,
+                display=display,
             )
             return out, np.asarray(zi)
         if self.sos_q is None:
             raise ValueError("upload_sos_q first")
         ys, xw, zflat = self._host_stage(x, zi)
         out = self._fft_jit(
-            jnp.asarray(ys.reshape(*lead, -1, n)), bypass=False
+            jnp.asarray(ys.reshape(*lead, -1, n)), bypass=False,
+            display=display,
         )
         out = dict(out)
         # FRAMED (*lead, F, n), matching the all-jit path's output contract.
@@ -177,7 +197,7 @@ class Q15Pipeline:
         )
         return ys, xw, zflat
 
-    def process_async(self, x_q15, zi=None):
+    def process_async(self, x_q15, zi=None, display: bool = False):
         """Filtered split path, device stage left IN FLIGHT.
 
         Runs the host stage (fused window+filter) synchronously, dispatches
@@ -198,21 +218,28 @@ class Q15Pipeline:
         lead = x.shape[:-1]
         ys, xw, zflat = self._host_stage(x, zi)
         out = dict(
-            self._fft_jit(jnp.asarray(ys.reshape(*lead, -1, n)), bypass=False)
+            self._fft_jit(
+                jnp.asarray(ys.reshape(*lead, -1, n)), bypass=False,
+                display=display,
+            )
         )
         out["windowed_q15"] = xw.reshape(*lead, -1, n)
         out["filtered_q15"] = ys.reshape(*lead, -1, n)
         return out, zflat.reshape(*lead, self.cfg.n_sections, 2)
 
-    def process(self, x_q15, zi=None, bypass: bool = False):
+    def process(
+        self, x_q15, zi=None, bypass: bool = False, display: bool = False
+    ):
         """x_q15 (..., T) int16 (frame-aligned). Returns (out dict, zf).
 
         ``bypass``: window+FFT only (the reference's reset-default 0xB1
         mode) — only honored on the ``device_fft`` split path; the all-jit
         path always filters (its zf contract predates the flag).
+        ``display``: split path only — adds the single-fetch
+        ``display_frame`` leaf (see ``_window_fft``).
         """
         if self.device_fft:
-            return self._process_split(x_q15, zi, bypass)
+            return self._process_split(x_q15, zi, bypass, display)
         if self.sos_q is None:
             raise ValueError("upload_sos_q first")
         x = jnp.asarray(x_q15, jnp.int16)
@@ -246,13 +273,16 @@ class Q15Stream:
     their sum.
     """
 
-    def __init__(self, pipe: Q15Pipeline, fetch=("magnitude",)):
+    def __init__(
+        self, pipe: Q15Pipeline, fetch=("magnitude",), display: bool = False
+    ):
         if not pipe.device_fft:
             raise ValueError("Q15Stream requires Q15Pipeline(device_fft=True)")
         import concurrent.futures
 
         self.pipe = pipe
         self.fetch = tuple(fetch)
+        self.display = bool(display)
         self._pool = concurrent.futures.ThreadPoolExecutor(max_workers=1)
         self._pending = None  # (future -> (out, zf)) of the newest chunk
         self.zf = None  # state after the last FLUSHED chunk (resume point)
@@ -278,7 +308,7 @@ class Q15Stream:
                 _, z = prev_fut.result()  # ordered: worker is single-thread
             else:
                 z = zi0
-            return self.pipe.process_async(x, z)
+            return self.pipe.process_async(x, z, display=self.display)
 
         self._pending = self._pool.submit(run)
         if prev is None:
