@@ -134,7 +134,7 @@ def main():
     # so the device packs the whole display product into ONE (3, N)
     # array (`display=True`) and the consumer pays exactly one sync.
     display = {}
-    for f_chunk in (64, 256):
+    for f_chunk in (64, 256, 512, 1024):
         xc = (rng.standard_normal((1, f_chunk * N)) * 8000).astype(np.int16)
         stream = Q15Stream(pipe, fetch=("display_frame",), display=True)
         stream.push(xc)
