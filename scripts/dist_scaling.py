@@ -104,9 +104,14 @@ def main():
                     "frames_per_shard": F_LOC, "reps": 5,
                 }
             else:
+                # channel axis of 1: the time axis spans ALL devices, so
+                # it crosses the process boundary at every n >= 2 (with
+                # mesh_channel=2 and host-major order, n=2 put each
+                # channel row within one host — mislabeled as time_across;
+                # review finding).
                 knobs = {
-                    "mesh_channel": 2, "mesh_time": ndev // 2,
-                    "channels": CH_PER_SHARD * 2,
+                    "mesh_channel": 1, "mesh_time": ndev,
+                    "channels": CH_PER_SHARD,
                     "frames_per_shard": F_LOC, "reps": 5,
                 }
             r = run_once(n, knobs)

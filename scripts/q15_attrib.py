@@ -134,20 +134,27 @@ def main():
     out["fft_transpose_ms"] = slopes["transpose"]
 
     # --- fetches -----------------------------------------------------------
-    o, _ = pipe.process(x, bypass=False)
-    reps = []
-    for _ in range(5):
-        t0 = time.perf_counter()
-        _m = np.asarray(o["magnitude"])
-        reps.append(time.perf_counter() - t0)
-    out["fetch_mag_ms"] = med(reps) * 1e3
-    reps = []
-    for _ in range(5):
-        t0 = time.perf_counter()
-        _r = np.asarray(o["spectrum_re_q15"])
-        _i = np.asarray(o["spectrum_im_q15"])
-        reps.append(time.perf_counter() - t0)
-    out["fetch_wire_ms"] = med(reps) * 1e3
+    # Each rep fetches a FRESH process() output, completion-waited first,
+    # so the timing is the device->host transfer alone. (The original form
+    # re-fetched ONE materialized array — reps 2+ hit jax's host-side
+    # value cache and reported ~free fetches; review finding. True costs
+    # on this tunnel: ~35 ms per sync + ~40-50 MB/s download bandwidth.)
+    def timed_fetch(keys):
+        reps = []
+        for i in range(4):
+            o, _ = pipe.process(np.roll(x, i + 11, axis=-1), bypass=False)
+            for k in keys:
+                jax.block_until_ready(o[k])
+            t0 = time.perf_counter()
+            for k in keys:
+                np.asarray(o[k])
+            reps.append(time.perf_counter() - t0)
+        return med(reps) * 1e3
+
+    out["fetch_mag_ms"] = timed_fetch(("magnitude",))
+    out["fetch_wire_ms"] = timed_fetch(
+        ("spectrum_re_q15", "spectrum_im_q15")
+    )
 
     # --- end-to-end sequential (the r3 method: process + fetch mag) --------
     def seq_chunk(i):

@@ -317,3 +317,27 @@ def test_display_frame_packs_last_frame(setup):
     dispb = np.asarray(outb["display_frame"]).reshape(3, n)
     magb = np.asarray(outb["magnitude"]).reshape(-1, n)
     assert np.array_equal(dispb[2], magb[-1])
+
+
+def test_q15_stream_error_surfacing_and_reset(setup):
+    """Review finding: shape mistakes raise synchronously in push; a
+    worker failure surfaces as the original exception on the following
+    call, and reset() recovers the stream from the last good state."""
+    from tpu_sdr.runtime.q15 import Q15Stream
+
+    _, sos_q, x = setup
+    split = Q15Pipeline(PipelineConfig(channels=1), device_fft=True)
+    stream = Q15Stream(split)
+    # bad length: synchronous, does not poison the chain
+    with pytest.raises(ValueError, match="multiple of"):
+        stream.push(np.zeros(100, np.int16))
+    # worker failure (no coefficients uploaded): surfaces on the NEXT call
+    assert stream.push(x) is None
+    with pytest.raises(ValueError, match="upload_sos_q"):
+        stream.push(x)
+    stream.reset()
+    split.upload_sos_q(sos_q)
+    assert stream.push(x) is None
+    out = stream.flush()
+    assert out is not None and "magnitude" in out[0]
+    stream.close()

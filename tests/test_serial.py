@@ -179,3 +179,39 @@ def test_read_frames_stale_backlog_trim():
     tr3 = SerialTransport(ReplaySerial(b"".join(frames)))
     assert tr3.read_frames(n=1, max_stale=None) == frames
     assert tr3.frames_stale_dropped == 0
+
+
+def test_read_frames_live_stream_returns_at_n():
+    """Review finding: against a CONTINUOUS live streamer (reads never
+    empty, but short — below read_chunk), read_frames(n=1) must return as
+    soon as one frame completes plus one frameless poll, not spin until
+    max_stale frames arrive or the timeout expires."""
+
+    class LiveSerial:
+        """Endless wire at 'live rate': every read yields a small piece."""
+
+        def __init__(self, piece=1024):
+            self.frame = bytes(range(256)) * (FRAME_SIZE_BYTES // 256)
+            self.off = 0
+            self.piece = piece
+            self.reads = 0
+
+        def read(self, nbytes):
+            self.reads += 1
+            start = self.off % len(self.frame)
+            out = (self.frame * 2)[start : start + self.piece]
+            self.off += self.piece
+            return out
+
+        def write(self, data):
+            return len(data)
+
+        def close(self):
+            pass
+
+    tr = SerialTransport(LiveSerial(), read_chunk=4096)
+    got = tr.read_frames(n=1, timeout=5.0)
+    assert len(got) == 1
+    # one read per piece to finish the frame, plus at most a couple of
+    # frameless polls — NOT thousands of reads spinning to the deadline
+    assert tr.ser.reads <= FRAME_SIZE_BYTES // 1024 + 3

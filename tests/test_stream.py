@@ -195,3 +195,37 @@ def test_phase_output_matches_numpy(pipe):
                            outputs="phase")
     assert set(out2) == {"phase"}
     assert np.array_equal(np.asarray(out2["phase"]), np.asarray(out["phase"]))
+
+
+def test_bf16_io_complex_bypass_rounding_contract():
+    """Review finding: complex BYPASS must NOT cast the raw IQ input to
+    bf16 before the in-kernel window — bf16_io magnitudes are the plain
+    bf16 tier's f32 results rounded once on store, in every mode."""
+    rng = np.random.default_rng(3)
+    x = (rng.standard_normal(2 * 16384)
+         + 1j * rng.standard_normal(2 * 16384)).astype(np.complex64)
+    p_ref = SpectrumPipeline(PipelineConfig(dtype="bf16"))
+    p_io = SpectrumPipeline(PipelineConfig(dtype="bf16", bf16_io=True))
+    o_ref, _ = p_ref.process(
+        x, p_ref.initial_state(batch_shape=(2,)), FilterMode.BYPASS
+    )
+    o_io, _ = p_io.process(
+        x, p_io.initial_state(batch_shape=(2,)), FilterMode.BYPASS
+    )
+    assert o_io["magnitude"].dtype == jnp.bfloat16
+    ref_rounded = np.asarray(
+        jnp.asarray(np.asarray(o_ref["magnitude"])).astype(jnp.bfloat16)
+    )
+    assert np.array_equal(np.asarray(o_io["magnitude"]), ref_rounded)
+
+
+def test_bf16_io_fallback_path_dtype_contract():
+    """Review finding: the XLA fallback paths (outputs='all' etc.) must
+    honor the bf16_io magnitude dtype, not silently return f32 from one
+    execution path and bf16 from another."""
+    p = SpectrumPipeline(PipelineConfig(dtype="bf16", bf16_io=True))
+    x = np.random.default_rng(4).standard_normal(16384).astype(np.float32)
+    out, _ = p.process(x, p.initial_state(), FilterMode.BYPASS, outputs="all")
+    assert out["magnitude"].dtype == jnp.bfloat16
+    assert out["re"].dtype == jnp.float32  # other outputs stay f32
+    assert np.isfinite(np.asarray(out["magnitude"], np.float32)).all()

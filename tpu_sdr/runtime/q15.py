@@ -271,6 +271,16 @@ class Q15Stream:
 
     Steady-state rate = max(host stage, upload+dispatch+fetch) instead of
     their sum.
+
+    Error semantics (review finding): a chunk that fails in the worker
+    (bad length, device error) surfaces on the NEXT ``push``/``flush`` —
+    the call that would have returned its result — as the original
+    exception; the internal chain is then poisoned and every later call
+    re-raises until ``reset()`` is called, which discards the failed tail
+    and resumes from ``self.zf``, the state after the last chunk that
+    completed its host stage. The common shape mistake (length not a
+    multiple of fft_size) is validated synchronously in ``push`` so it
+    never poisons the chain.
     """
 
     def __init__(
@@ -285,7 +295,7 @@ class Q15Stream:
         self.display = bool(display)
         self._pool = concurrent.futures.ThreadPoolExecutor(max_workers=1)
         self._pending = None  # (future -> (out, zf)) of the newest chunk
-        self.zf = None  # state after the last FLUSHED chunk (resume point)
+        self.zf = None  # state after the newest successful host stage
 
     def _materialize(self, fut):
         out, zf = fut.result()
@@ -297,6 +307,12 @@ class Q15Stream:
     def push(self, x_q15):
         """Feed one frame-aligned chunk; returns the completed (out, zf) of
         the PREVIOUS chunk, or None while the pipeline fills."""
+        t = np.asarray(x_q15).shape[-1]
+        if t % self.pipe.cfg.fft_size:
+            raise ValueError(
+                f"chunk length {t} must be a multiple of "
+                f"fft_size={self.pipe.cfg.fft_size}"
+            )
         zi = self.zf
         # State must thread chunk-to-chunk: the host stage is sequential.
         # The single worker executes submissions in order, so chaining
@@ -308,7 +324,12 @@ class Q15Stream:
                 _, z = prev_fut.result()  # ordered: worker is single-thread
             else:
                 z = zi0
-            return self.pipe.process_async(x, z, display=self.display)
+            res = self.pipe.process_async(x, z, display=self.display)
+            # Continuously advance the resume point (worker thread; the
+            # GIL makes the attribute store atomic). reset() restarts
+            # from here after a poisoned chain.
+            self.zf = res[1]
+            return res
 
         self._pending = self._pool.submit(run)
         if prev is None:
@@ -321,8 +342,12 @@ class Q15Stream:
             return None
         res = self._materialize(self._pending)
         self._pending = None
-        self.zf = res[1]
         return res
+
+    def reset(self):
+        """Discard a failed in-flight tail; the next ``push`` resumes from
+        the state after the last successful host stage (``self.zf``)."""
+        self._pending = None
 
     def close(self):
         self._pool.shutdown(wait=True)

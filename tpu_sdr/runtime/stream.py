@@ -72,6 +72,18 @@ def _maybe_bf16_y(cfg: PipelineConfig, y):
     return y
 
 
+def _finalize_bf16_io(cfg: PipelineConfig, out: dict) -> dict:
+    """bf16_io dtype contract on the XLA fallback paths (non-128x128
+    shapes, use_pallas=False, multi-output requests): magnitudes come back
+    bfloat16 — the f32 results rounded once — exactly as the Pallas
+    kernel's ``out_dtype`` stores them, so one config never yields two
+    output dtypes depending on which execution path compiled (review
+    finding). Other outputs (complex/power/phase) stay f32."""
+    if cfg.dtype == "bf16" and cfg.bf16_io and "magnitude" in out:
+        out["magnitude"] = out["magnitude"].astype(jnp.bfloat16)
+    return out
+
+
 def _iir_precision(cfg: PipelineConfig):
     """XLA IIR precision in the hybrid structure (HIGH for the f32 tier)."""
     return Precision.HIGH if cfg.dtype == "f32" else _precision(cfg)
@@ -244,6 +256,7 @@ def process_stream(
             out["power"] = magnitude.power(fr, fi)
         if outputs in ("phase", "all"):
             out["phase"] = magnitude.phase(fr, fi)
+        out = _finalize_bf16_io(cfg, out)
 
     new_state = StreamState(
         sos_state=zf,
@@ -348,6 +361,7 @@ def _process_stream_hop(
             out["power"] = magnitude.power(fr, fi)
         if outputs in ("phase", "all"):
             out["phase"] = magnitude.phase(fr, fi)
+        out = _finalize_bf16_io(cfg, out)
 
     new_state = StreamState(
         sos_state=zf,
@@ -421,9 +435,17 @@ def process_stream_complex(
                 bank["op"], xw, state.sos_state, _iir_precision(cfg), time_axis
             )
             apply_window = False
+        # bf16_io: the y cast is only bitwise-free when y feeds the MXU
+        # dots directly (filtered branch, apply_window=False). In bypass
+        # the kernel windows first — casting the RAW input would round
+        # BEFORE the elementwise multiply, violating the "f32 results
+        # rounded once on store" contract (review finding) — so bypass
+        # keeps f32 input and relies on out_dtype alone.
+        yr, yi = y[0], y[1]
+        if not apply_window:
+            yr, yi = _maybe_bf16_y(cfg, yr), _maybe_bf16_y(cfg, yi)
         mag = iir_fft.spectrum_mag_complex(
-            _maybe_bf16_y(cfg, y[0]).reshape(-1, n),
-            _maybe_bf16_y(cfg, y[1]).reshape(-1, n), pp,
+            yr.reshape(-1, n), yi.reshape(-1, n), pp,
             interpret=pallas_interpret, precision=kprec,
             apply_window=apply_window, karatsuba=kara,
             out_dtype=_kernel_out_dtype(cfg),
@@ -452,6 +474,7 @@ def process_stream_complex(
         res["power"] = magnitude.power(fr, fi)
     if outputs in ("phase", "all"):
         res["phase"] = magnitude.phase(fr, fi)
+    res = _finalize_bf16_io(cfg, res)
     # Counters are scalars derived from T, so the stacked planes advance the
     # global stream exactly once — new_state is already correct.
     return res, new_state

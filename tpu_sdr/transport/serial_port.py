@@ -192,23 +192,23 @@ class SerialTransport:
                 # below could never see it
                 break
             if (
-                len(frames) >= keep
+                len(frames) >= n
                 and not got
                 and self._last_read_bytes < self.read_chunk
             ):
                 # Drain bound (review finding): against a peer that streams
                 # CONTINUOUSLY the wire never reads empty, so the drain
-                # condition above would spin to the full timeout. Once the
-                # trim window is already full (>= keep frames — the trim
-                # below returns only the newest ``keep`` anyway), stop at
-                # the first poll that completes no new frame AND read less
-                # than a full chunk: a backlog being drained fills every
-                # read_chunk, so a short, frameless read means we are at
-                # the wire's live rate and further draining only discards
-                # data the trim would drop.
+                # condition above would spin to the full timeout. Once n is
+                # satisfied, stop at the first poll that completes no new
+                # frame AND read less than a full chunk: a backlog being
+                # drained fills every read_chunk, so a short, frameless
+                # read means we are at the wire's live rate — there is no
+                # backlog for the max_stale trim to see, and further
+                # draining only adds latency (e.g. request_frame n=1
+                # against a live streamer must return at the first frame,
+                # not after ``keep`` of them).
                 break
         if max_stale is not None:
-            keep = max(n, max_stale)
             if len(frames) > keep:
                 self.frames_stale_dropped += len(frames) - keep
                 frames = frames[-keep:]
