@@ -22,8 +22,6 @@ tier: f32 (default) | bf16 | bf16io | f32max
 
 from __future__ import annotations
 
-import collections
-import glob
 import json
 import os
 import sys
@@ -55,56 +53,6 @@ def tier_cfg():
     return PipelineConfig(channels=C, dtype=TIER)
 
 
-def analyze() -> dict:
-    from tensorflow.tsl.profiler.protobuf import xplane_pb2
-
-    planes = glob.glob(f"{LOGDIR}/**/*.xplane.pb", recursive=True)
-    xs = xplane_pb2.XSpace()
-    xs.ParseFromString(open(planes[0], "rb").read())
-    tpu = [p for p in xs.planes if p.name == "/device:TPU:0"]
-    if not tpu:
-        return {"device_trace": False,
-                "planes": [p.name for p in xs.planes]}
-    tpu = tpu[0]
-    md = {k: v.name for k, v in tpu.event_metadata.items()}
-    lines = {ln.name: ln for ln in tpu.lines}
-    mods = sorted(
-        (e.offset_ps, e.duration_ps, md[e.metadata_id])
-        for e in lines["XLA Modules"].events
-    )
-    # the pipeline dispatch = the repeated longest module
-    durs = collections.Counter(n for _, _, n in mods)
-    pipe_name = max(durs, key=lambda n: durs[n])
-    pipe_mods = [m for m in mods if m[2] == pipe_name]
-    o0, d0, _ = pipe_mods[-1]
-    ops = sorted(
-        (e.offset_ps, e.duration_ps, md[e.metadata_id])
-        for e in lines["XLA Ops"].events
-    )
-    inside = [(o, d, n) for o, d, n in ops if o0 <= o < o0 + d0]
-    tot = collections.Counter()
-    for _, d, n in inside:
-        tot[n] += d
-    gap = 0
-    prev_end = o0
-    for o, d, _ in inside:
-        if o > prev_end:
-            gap += o - prev_end
-        prev_end = max(prev_end, o + d)
-    return {
-        "device_trace": True,
-        "tier": TIER,
-        "dispatch_ms": d0 / 1e9,
-        "dispatch_ms_all": [round(d / 1e9, 4) for _, d, _ in pipe_mods],
-        "n_ops": len(inside),
-        "op_sum_ms": sum(d for _, d, _ in inside) / 1e9,
-        "device_idle_ms": gap / 1e9,
-        "top_ops_ms": [
-            [n[:110], round(d / 1e9, 4)] for n, d in tot.most_common(30)
-        ],
-    }
-
-
 def main():
     from tpu_sdr.core.config import FilterMode
     from tpu_sdr.runtime import SpectrumPipeline
@@ -131,7 +79,11 @@ def main():
     float(np.asarray(out["magnitude"], np.float32).ravel()[0])
     jax.profiler.stop_trace()
     log("trace captured; parsing")
-    print(json.dumps(analyze()), flush=True)
+    from tpu_sdr.bench.trace import parse_xplane
+
+    res = parse_xplane(LOGDIR)
+    res["tier"] = TIER
+    print(json.dumps(res), flush=True)
 
 
 if __name__ == "__main__":

@@ -187,3 +187,24 @@ class TestFrequencyOffset:
 
         with pytest.raises(ValueError, match="2 samples"):
             frequency_offset(np.zeros(1), np.zeros(1), 1e3)
+
+
+def test_trace_capture_graceful_on_cpu():
+    """bench.trace: on a CPU backend the profiler emits host-only planes;
+    capture_op_table must report device_trace=False gracefully (the TPU
+    path is exercised by scripts/profile_pipe.py on the chip — artifacts
+    docs/measurements/trace_*_r4.json)."""
+    import jax.numpy as jnp
+
+    from tpu_sdr.bench.trace import capture_op_table
+
+    state = {"x": jnp.ones((64, 64))}
+
+    def step():
+        state["x"] = state["x"] @ state["x"] * 1e-3
+        return state["x"]
+
+    step()  # compile outside the trace
+    res = capture_op_table(step, reps=3)
+    assert res["device_trace"] is False
+    assert "reason" in res or "planes" in res

@@ -9,6 +9,7 @@ host-side chores (design a filter, sanity-check the link,
     tpu-sdr design butterworth lowpass 12 --cutoff 300e3
     tpu-sdr selftest                               end-to-end health check
     tpu-sdr bench [--frames 64] [--reps 3]         quick throughput probe
+    tpu-sdr trace [--quality f32]                  device-trace op attribution
     tpu-sdr scan [--input cap.npy] [--bw 25e3]     band-occupancy sweep
     tpu-sdr rx --center 150e3 --mode wbfm          demodulate to WAV
 
@@ -171,6 +172,39 @@ def _cmd_selftest(args) -> int:
     ok = ok_peaks and ok_supp and ok_det and ok_pfb and ok_ddc
     print("selftest:", "PASS" if ok else "FAIL")
     return 0 if ok else 1
+
+
+def _cmd_trace(args) -> int:
+    """Device-trace one production dispatch and print the op table.
+
+    Requires a TPU backend (a CPU trace has no device plane — the
+    command reports that gracefully). SURVEY §5.1: the on-device
+    observability the reference's debug LEDs could never provide.
+    """
+    import numpy as np
+    import scipy.signal as sps
+
+    from tpu_sdr import FilterMode, PipelineConfig
+    from tpu_sdr.bench.trace import capture_op_table
+    from tpu_sdr.runtime import SpectrumPipeline
+
+    cfg = PipelineConfig(channels=args.channels, dtype=args.quality)
+    pipe = SpectrumPipeline(cfg)
+    pipe.upload_sos(sps.butter(12, 0.25, output="sos"))
+    n = cfg.fft_size
+    x = np.random.default_rng(0).standard_normal(
+        (args.channels, args.frames * n)
+    ).astype(np.float32)
+    state = {"st": pipe.initial_state()}
+    out, state["st"] = pipe.process(x, state["st"], FilterMode.CUSTOM)
+    float(np.asarray(out["magnitude"], np.float32).ravel()[0])  # compile
+
+    def step():
+        o, state["st"] = pipe.process(x, state["st"], FilterMode.CUSTOM)
+        return o["magnitude"]
+
+    print(json.dumps(capture_op_table(step, reps=args.reps)))
+    return 0
 
 
 def _cmd_bench(args) -> int:
@@ -456,6 +490,16 @@ def build_parser() -> argparse.ArgumentParser:
     bu.add_argument("--snr", type=float, default=25.0,
                     help="demo-loopback SNR (dB)")
     bu.set_defaults(fn=_cmd_burst)
+
+    t = sub.add_parser(
+        "trace", help="device-trace one dispatch (op-level attribution)"
+    )
+    t.add_argument("--channels", type=int, default=8)
+    t.add_argument("--frames", type=int, default=64)
+    t.add_argument("--reps", type=int, default=10)
+    t.add_argument("--quality", default="f32",
+                   choices=["f32", "f32max", "bf16"])
+    t.set_defaults(fn=_cmd_trace)
 
     b = sub.add_parser("bench", help="quick throughput probe (slope-timed)")
     b.add_argument("--channels", type=int, default=8)
