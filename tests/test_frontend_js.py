@@ -232,3 +232,21 @@ def test_designer_payload_keys_match_backend(script):
     assert not missing, (
         f"designer payload keys the backend never reads: {missing}"
     )
+
+
+def test_sse_payload_fields_exist_in_backend(script):
+    """Every field the script reads off a parsed SSE payload (``d.xyz``)
+    must appear as a quoted key somewhere in the backend sources — a
+    renamed payload field breaks the page silently otherwise."""
+    backend = _backend_source()
+    fields = set(re.findall(r"\bd\.([A-Za-z_]\w*)", script))
+    assert fields, "expected d.<field> payload accesses"
+    # methods called on payload VALUES, not payload keys
+    fields -= {"length", "map", "slice", "forEach", "filter", "join"}
+    missing = sorted(
+        f for f in fields
+        if f'"{f}"' not in backend and f"'{f}'" not in backend
+    )
+    assert not missing, (
+        f"script reads payload fields the backend never emits: {missing}"
+    )
