@@ -229,3 +229,24 @@ def test_bf16_io_fallback_path_dtype_contract():
     assert out["magnitude"].dtype == jnp.bfloat16
     assert out["re"].dtype == jnp.float32  # other outputs stay f32
     assert np.isfinite(np.asarray(out["magnitude"], np.float32)).all()
+
+
+def test_bf16_io_hop_mode_contract():
+    """bf16_io in overlapped (hop < N) framing: bf16 magnitudes, and
+    chunked == one-shot stays bitwise with the carried history."""
+    p = SpectrumPipeline(
+        PipelineConfig(dtype="bf16", bf16_io=True, hop=8192)
+    )
+    p.upload_sos(sps.butter(12, 0.3, output="sos"))
+    x = np.random.default_rng(6).standard_normal(4 * 16384).astype(np.float32)
+    out, st = p.process(x, p.initial_state(), FilterMode.CUSTOM)
+    assert out["magnitude"].dtype == jnp.bfloat16
+    stc = p.initial_state()
+    mags = []
+    for chunk in np.split(x, 4):
+        o, stc = p.process(chunk, stc, FilterMode.CUSTOM)
+        mags.append(np.array(o["magnitude"])[0])
+    assert np.array_equal(
+        np.concatenate(mags, axis=0), np.array(out["magnitude"])[0]
+    )
+    assert np.array_equal(np.array(stc.history), np.array(st.history))
