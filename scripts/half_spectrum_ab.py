@@ -1,4 +1,8 @@
-"""On-chip A/B: half-spectrum kernel, re-measured after the cat3 landing.
+"""On-chip A/B: half-spectrum kernel — round 4: IN-KERNEL mirror.
+
+The r3 loss was the XLA mirror epilogue (an extra ~66 MB HBM pass); the
+mirror now rides two tiny permutation dots inside the kernel, so the
+~44% DFT saving faces no HBM penalty. Measured at f32 AND bf16 tiers.
 
 Round-2 measured half-spectrum neutral-to-slower "because the kernel is
 VPU/layout-bound at low precision". Round 3 overturned that diagnosis —
@@ -75,16 +79,20 @@ def main():
     x0 = jnp.asarray(rng.standard_normal((C, F * N)), jnp.float32)
     zi0 = jnp.zeros((C, cfg.n_sections, 2), jnp.float32)
 
-    def make_pipe(half):
+    def make_pipe(half, tier="f32"):
+        prec = Precision.HIGH if tier == "f32" else Precision.DEFAULT
+        kprec = "high3" if tier == "f32" else "default"
+        kara = tier == "f32"
+
         @jax.jit
         def step(x, zi):
             xw = (x.reshape(C, F, N) * hann).reshape(C, F * N)
             y, zf = biquad.sosfilt_blocked_composite(
-                op, xw, zi, precision=Precision.HIGH)
+                op, xw, zi, precision=prec)
             zs = jnp.zeros((C * F, m), jnp.float32)
             mag = iir_fft.spectrum_from_state(
-                y.reshape(-1, N), zs, pp, precision="high3", bypass=True,
-                apply_window=False, half_spectrum=half, karatsuba=True)
+                y.reshape(-1, N), zs, pp, precision=kprec, bypass=True,
+                apply_window=False, half_spectrum=half, karatsuba=kara)
             x1 = mag.reshape(C, F * N) * jnp.float32(1e-3) + zf[..., :1, 0]
             return x1, zf
         return step
@@ -95,6 +103,8 @@ def main():
 
     full = Chain("full", make_pipe(False), x0, zi0)
     half = Chain("half", make_pipe(True), x0, zi0)
+    full_b = Chain("full_bf16", make_pipe(False, "bf16"), x0, zi0)
+    half_b = Chain("half_bf16", make_pipe(True, "bf16"), x0, zi0)
     io = Chain("io", step_io, x0, jnp.float32(1.0))
 
     # numerics: half mirrors the conjugate-symmetric rows — compare
@@ -104,15 +114,16 @@ def main():
     rel = float(jnp.max(jnp.abs(x1f - x1h)) / jnp.max(jnp.abs(x1f)))
     log(f"half == full bitwise: {same}; max rel diff {rel:.3e}")
 
-    for ch in (full, half, io):
+    chains = (full, half, full_b, half_b, io)
+    for ch in chains:
         t0 = time.time()
         ch.run_k(1)
         log(f"{ch.name}: compile+first {time.time() - t0:.1f}s")
         ch.run_k(3)
 
-    slopes = {ch.name: [] for ch in (full, half, io)}
+    slopes = {ch.name: [] for ch in chains}
     for rep in range(7):
-        for ch in (full, half, io):
+        for ch in chains:
             slopes[ch.name].append(ch.slope())
         log("rep %d: %s" % (
             rep, {k: f"{v[-1] * 1e3:.3f} ms" for k, v in slopes.items()}))

@@ -346,13 +346,33 @@ def _spectrum_kernel(
     )
     mag = mag.astype(out_ref.dtype)  # optional bf16 output (HBM halving)
     if half:
-        # mag (G*HALF_K2, k1): rows k2 in [0, 64] per frame. Mosaic has no
-        # rev lowering, so the mirror + transpose to natural order happen in
-        # a fused XLA epilogue (see spectrum_from_state); the kernel just
-        # stores the computed half, (k2, k1)-ordered.
+        # mag (G*HALF_K2, k1): rows k2 in [0, 64] per frame (65..71 are
+        # zero padding). IN-KERNEL mirror (round 4): the r3 half-spectrum
+        # loss was its XLA mirror epilogue — an extra ~66 MB HBM pass —
+        # so the conjugate-symmetry rows are now assembled in VMEM:
+        # out[k1, k2] for k2 in [65,127] = |X[127-k1, 128-k2]|, a double
+        # flip. Mosaic cannot lower lax.rev, so both flips ride tiny
+        # permutation dots at HIGHEST precision — exact f32, so mirrored
+        # rows carry the computed rows' bits verbatim at every tier
+        # (~1.8 M logical MAC/frame, negligible next to the ~44% DFT
+        # saving).
         h = mag.shape[0] // G
+        hn = B // 2
+        i1 = jax.lax.broadcasted_iota(jnp.int32, (L, L), 0)
+        j1 = jax.lax.broadcasted_iota(jnp.int32, (L, L), 1)
+        jrow = (i1 + j1 == L - 1).astype(mag.dtype)  # k1 flip (L, L)
+        ik = jax.lax.broadcasted_iota(jnp.int32, (h, hn - 1), 0)
+        jk = jax.lax.broadcasted_iota(jnp.int32, (h, hn - 1), 1)
+        kcol = (ik == hn - 1 - jk).astype(mag.dtype)  # col pick (h, 63)
         for fi in range(G):
-            out_ref[fi] = mag[fi * h : fi * h + h]
+            m_t = mag[fi * h : fi * h + h, :].T  # (k1 = L, h)
+            top = m_t[:, : hn + 1]  # k2 = 0..64
+            bot = _dot(_dot(jrow, m_t, "highest"), kcol, "highest")
+            # _dot accumulates in f32; the permutation is exact, so the
+            # cast back (bf16 out_dtype) reproduces the input bits
+            out_ref[fi] = jnp.concatenate(
+                [top, bot.astype(out_ref.dtype)], axis=1
+            )
     else:
         # natural order: out[f, k1, k2] = mag[f*B + k2, k1]
         for fi in range(G):
@@ -532,11 +552,14 @@ def spectrum_from_state(
     so the bf16 tier opts in; see the round-4 traffic A/B).
 
     ``half_spectrum``: exploit the real input (conjugate symmetry) — compute
-    k2 in [0, 64] only and mirror magnitudes for the rest. Exact math and
-    ~44% less MXU work on paper, but measured NEUTRAL-to-slower on v5e (the
-    kernel is VPU/layout-bound at low precisions, and the 72-row tiles plus
-    the XLA mirror epilogue eat the matmul savings at high ones) — kept as a
-    measured-honest option, off by default.
+    k2 in [0, 64] only and mirror magnitudes for the rest (~44% less DFT
+    work on paper). Measured slower on v5e in BOTH mirror designs: the r3
+    XLA epilogue paid an extra HBM pass, and the round-4 IN-KERNEL mirror
+    (two exact permutation dots, natural-order output straight from the
+    kernel) still loses 7/7 paired reps at both tiers — the HIGHEST-
+    precision mirror dots plus the 72-row tile waste eat the saving
+    (docs/measurements/half_spectrum_ab_r4.json). Kept as a measured-
+    honest option, off by default.
     """
     F = x.shape[0]
     n2, n1 = plan.win.shape
@@ -551,7 +574,7 @@ def spectrum_from_state(
         w2r, w2i = plan.w2r, plan.w2i
         twr, twi = plan.twr, plan.twi
     k2 = w2r.shape[0]
-    out_rows = k2 if half_spectrum else n1
+    out_rows = n1  # half-spectrum mirrors in-kernel: natural order always
     zs_pad = jnp.pad(z_starts, ((0, 0), (0, 128 - m)))[:, None, :]
     out = pl.pallas_call(
         functools.partial(
@@ -589,15 +612,6 @@ def spectrum_from_state(
         twr[:, : G * n1], twi[:, : G * n1],
         plan.w1r, plan.w1i,
     )
-    if half_spectrum:
-        # Mirror the conjugate-symmetric half (real input) and emit natural
-        # order k = n2*k1 + k2: for k2 in [65, 127],
-        # |X[k1, k2]| = |X[127-k1, 128-k2]| — a double flip of rows 1..63.
-        # Pure layout ops; XLA fuses them into the output copy.
-        hn = n2 // 2
-        top = out[:, : hn + 1, :]  # (F, 65, n1) rows k2 = 0..64
-        bot = out[:, hn - 1 : 0 : -1, ::-1]  # (F, 63, n1) rows k2 = 65..127
-        out = jnp.concatenate([top, bot], axis=1).transpose(0, 2, 1)
     return out.reshape(F, n)
 
 
