@@ -134,10 +134,13 @@ def main():
     # so the device packs the whole display product into ONE (3, N)
     # array (`display=True`) and the consumer pays exactly one sync.
     display = {}
-    for f_chunk in (64, 256, 512, 1024):
+    for f_chunk, depth in ((64, 1), (64, 3), (256, 1), (256, 3), (512, 1)):
         xc = (rng.standard_normal((1, f_chunk * N)) * 8000).astype(np.int16)
-        stream = Q15Stream(pipe, fetch=("display_frame",), display=True)
-        stream.push(xc)
+        stream = Q15Stream(
+            pipe, fetch=("display_frame",), display=True, depth=depth
+        )
+        for j in range(depth):
+            stream.push(np.roll(xc, -j, axis=-1))  # fill the pipeline
         reps = []
         for i in range(8 if f_chunk == 64 else 5):
             t0 = time.perf_counter()
@@ -145,15 +148,17 @@ def main():
             assert r is not None
             assert r[0]["display_frame"].shape[-2:] == (3, N)
             reps.append(time.perf_counter() - t0)
-        stream.flush()
+        while stream.flush() is not None:
+            pass
         stream.close()
         ms = med(reps) * 1e3
-        display[f_chunk] = {
+        display[f"F{f_chunk}_d{depth}"] = {
             "ms_per_chunk": ms,
             "msps": f_chunk * N / (ms * 1e-3) / 1e6,
             "reps_ms": [round(t * 1e3, 2) for t in reps],
         }
-        log(f"streamed display-egress F={f_chunk}: {ms:.1f} ms/chunk "
+        log(f"streamed display-egress F={f_chunk} depth={depth}: "
+            f"{ms:.1f} ms/chunk "
             f"({f_chunk * N / (ms * 1e-3) / 1e6:.1f} MSPS)")
 
     best = max(streamed.values(), key=lambda d: d["msps"])

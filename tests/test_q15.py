@@ -341,3 +341,34 @@ def test_q15_stream_error_surfacing_and_reset(setup):
     out = stream.flush()
     assert out is not None and "magnitude" in out[0]
     stream.close()
+
+
+def test_q15_stream_depth_bitwise(setup):
+    """depth > 1 reorders execution further but never arithmetic: the
+    emitted stream stays bit-identical to sequential process() calls."""
+    from tpu_sdr.runtime.q15 import Q15Stream
+
+    _, sos_q, x = setup
+    split = Q15Pipeline(PipelineConfig(channels=1), device_fft=True)
+    split.upload_sos_q(sos_q)
+    rng = np.random.default_rng(9)
+    chunks = [
+        (rng.standard_normal(16384) * 6000).astype(np.int16)
+        for _ in range(5)
+    ]
+    zi, refs = None, []
+    for c in chunks:
+        o, zi = split.process(c, zi, bypass=False)
+        refs.append(np.asarray(o["magnitude"]))
+    stream = Q15Stream(split, fetch=("magnitude",), depth=3)
+    got = []
+    for c in chunks:
+        r = stream.push(c)
+        if r is not None:
+            got.append(r[0]["magnitude"])
+    while (r := stream.flush()) is not None:
+        got.append(r[0]["magnitude"])
+    stream.close()
+    assert len(got) == len(refs)
+    for a, b in zip(got, refs):
+        assert np.array_equal(a, b)

@@ -266,8 +266,12 @@ class Q15Stream:
         the output stream is bit-identical to sequential ``process()``
         calls (tested);
       * ``push(chunk)`` returns the COMPLETED result for the oldest
-        in-flight chunk (None until the pipeline fills); ``flush()``
-        drains the tail.
+        in-flight chunk (None until the pipeline holds ``depth`` chunks);
+        ``flush()`` drains one tail chunk per call, oldest first.
+      * ``depth`` (default 1): chunks in flight. Deeper pipelines give
+        the tunnel's transfer scheduler more slack — by fetch time the
+        result finished long ago, so the fetch pays transfer cost, not
+        completion wait — at the price of depth x chunk latency.
 
     Steady-state rate = max(host stage, upload+dispatch+fetch) instead of
     their sum.
@@ -284,17 +288,22 @@ class Q15Stream:
     """
 
     def __init__(
-        self, pipe: Q15Pipeline, fetch=("magnitude",), display: bool = False
+        self, pipe: Q15Pipeline, fetch=("magnitude",), display: bool = False,
+        depth: int = 1,
     ):
         if not pipe.device_fft:
             raise ValueError("Q15Stream requires Q15Pipeline(device_fft=True)")
+        if depth < 1:
+            raise ValueError("depth must be >= 1")
+        import collections
         import concurrent.futures
 
         self.pipe = pipe
         self.fetch = tuple(fetch)
         self.display = bool(display)
+        self.depth = int(depth)
         self._pool = concurrent.futures.ThreadPoolExecutor(max_workers=1)
-        self._pending = None  # (future -> (out, zf)) of the newest chunk
+        self._pending = collections.deque()  # futures, oldest first
         self.zf = None  # state after the newest successful host stage
 
     def _materialize(self, fut):
@@ -317,7 +326,7 @@ class Q15Stream:
         # State must thread chunk-to-chunk: the host stage is sequential.
         # The single worker executes submissions in order, so chaining
         # through the previous future costs nothing and never deadlocks.
-        prev = self._pending
+        prev = self._pending[-1] if self._pending else None
 
         def run(x=x_q15, prev_fut=prev, zi0=zi):
             if prev_fut is not None:
@@ -331,23 +340,22 @@ class Q15Stream:
             self.zf = res[1]
             return res
 
-        self._pending = self._pool.submit(run)
-        if prev is None:
+        self._pending.append(self._pool.submit(run))
+        if len(self._pending) <= self.depth:
             return None
-        return self._materialize(prev)
+        return self._materialize(self._pending.popleft())
 
     def flush(self):
-        """Drain the last in-flight chunk (or None if empty)."""
-        if self._pending is None:
+        """Drain ONE in-flight chunk, oldest first (None when empty) —
+        call repeatedly to empty a depth>1 pipeline."""
+        if not self._pending:
             return None
-        res = self._materialize(self._pending)
-        self._pending = None
-        return res
+        return self._materialize(self._pending.popleft())
 
     def reset(self):
         """Discard a failed in-flight tail; the next ``push`` resumes from
         the state after the last successful host stage (``self.zf``)."""
-        self._pending = None
+        self._pending.clear()
 
     def close(self):
         self._pool.shutdown(wait=True)
