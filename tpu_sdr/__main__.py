@@ -161,15 +161,41 @@ def _cmd_selftest(args) -> int:
     )
     fbins = est.frequencies(onesided=False)
     ok_ddc = abs(fbins[int(np.argmax(psd))]) <= ddc.output_rate / 1024
+    # faithful Q15 split path: the filtered wire words must equal the
+    # NumPy oracle bit for bit (the hardware-exact mode's core promise)
+    from tpu_sdr.control import golden
+    from tpu_sdr.core import qformat as qf
+    from tpu_sdr.kernels import fft_q15 as fq
+    from tpu_sdr.runtime.q15 import Q15Pipeline
+
+    qp = Q15Pipeline(PipelineConfig(channels=1), device_fft=True)
+    qp.upload_sos_q(qf.quantize_coeff_x64(sps.butter(4, 0.25, output="sos")))
+    xq = np.clip(np.rint(x[:n] * 32767), -32768, 32767).astype(np.int16)
+    qo, _ = qp.process(xq, bypass=False)
+    xw0 = golden.rtl_window_q15(xq)
+    y0, _ = golden.sosfilt_q15_intended(
+        np.asarray(qp.sos_q, np.int64), xw0,
+        np.zeros((qp.cfg.n_sections, 2), np.int64),
+    )
+    rr, ri = fq.fft_q15_np(y0[None])
+    ok_q15 = bool(
+        np.array_equal(
+            np.asarray(qo["spectrum_re_q15"]).reshape(-1, n)[0], rr[0]
+        )
+        and np.array_equal(
+            np.asarray(qo["spectrum_im_q15"]).reshape(-1, n)[0], ri[0]
+        )
+    )
     for name, ok in [
         (f"tone peaks at bins {sorted(peaks)}", ok_peaks),
         (f"400 kHz suppression {supp:.1f} dB", ok_supp),
         ("chunked == one-shot (bitwise)", ok_det),
         ("channelizer: 250 kHz -> subchannel 32", ok_pfb),
         ("DDC @400 kHz + Welch PSD: tone at baseband DC", ok_ddc),
+        ("faithful Q15 wire words == integer oracle (bitwise)", ok_q15),
     ]:
         print(f"  [{'PASS' if ok else 'FAIL'}] {name}")
-    ok = ok_peaks and ok_supp and ok_det and ok_pfb and ok_ddc
+    ok = ok_peaks and ok_supp and ok_det and ok_pfb and ok_ddc and ok_q15
     print("selftest:", "PASS" if ok else "FAIL")
     return 0 if ok else 1
 
