@@ -58,6 +58,10 @@ def main():
 
     # 3: streamed == sequential, bitwise, while overlapping
     chunks = [x[i * n : (i + 1) * n] for i in range(4)]
+    # warm the filtered-mode jit OUTSIDE the timed loops — otherwise the
+    # sequential loop absorbs the one-time compile and the comparison
+    # reports a phantom streaming win (measurement-discipline 101)
+    pipe.process(chunks[0], None, bypass=False)
     zi, seq = None, []
     t0 = time.perf_counter()
     for c in chunks:

@@ -234,19 +234,54 @@ def test_designer_payload_keys_match_backend(script):
     )
 
 
+def _handler_bodies(script: str) -> list[str]:
+    """Extract each ``addEventListener("evt", e => { ... })`` callback body
+    by brace matching, so payload-field scans never touch unrelated code
+    that happens to use a variable named ``d``."""
+    bodies = []
+    for m in re.finditer(r'addEventListener\("\w+",\s*e\s*=>\s*\{', script):
+        i = m.end()
+        depth = 1
+        start = i
+        while i < len(script) and depth:
+            c = script[i]
+            if c == "{":
+                depth += 1
+            elif c == "}":
+                depth -= 1
+            elif c in "'\"`":
+                q = c
+                i += 1
+                while i < len(script) and script[i] != q:
+                    i += 2 if script[i] == "\\" else 1
+            i += 1
+        bodies.append(script[start : i - 1])
+    return bodies
+
+
 def test_sse_payload_fields_exist_in_backend(script):
-    """Every field the script reads off a parsed SSE payload (``d.xyz``)
-    must appear as a quoted key somewhere in the backend sources — a
-    renamed payload field breaks the page silently otherwise."""
+    """Every field an SSE handler reads off its parsed payload (``d.xyz``
+    inside an addEventListener callback, plus the helpers those bodies
+    call by convention on the same payload names) must appear as a quoted
+    key in the backend sources — a renamed payload field breaks the page
+    silently otherwise. Scoped to handler bodies so unrelated variables
+    named ``d`` can never produce false failures (review finding)."""
     backend = _backend_source()
-    fields = set(re.findall(r"\bd\.([A-Za-z_]\w*)", script))
-    assert fields, "expected d.<field> payload accesses"
-    # methods called on payload VALUES, not payload keys
-    fields -= {"length", "map", "slice", "forEach", "filter", "join"}
+    bodies = _handler_bodies(script)
+    assert bodies, "expected addEventListener handler bodies"
+    fields = set()
+    for b in bodies:
+        fields |= set(re.findall(r"\bd\.([A-Za-z_]\w*)", b))
+    assert fields, "expected d.<field> payload accesses in handlers"
+    # methods invoked on payload VALUES (arrays/numbers), not payload keys
+    fields -= {
+        "length", "map", "slice", "forEach", "filter", "join", "toFixed",
+        "toExponential",
+    }
     missing = sorted(
         f for f in fields
         if f'"{f}"' not in backend and f"'{f}'" not in backend
     )
     assert not missing, (
-        f"script reads payload fields the backend never emits: {missing}"
+        f"handlers read payload fields the backend never emits: {missing}"
     )

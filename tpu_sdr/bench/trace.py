@@ -97,13 +97,21 @@ def capture_op_table(step, reps: int = 10, logdir: str | None = None) -> dict:
     one steady-state dispatch. The caller is responsible for the
     chain-validity discipline (CLAUDE.md): ``step`` must evolve real
     state so the relay cannot replay a memoized dispatch.
+
+    ``logdir``: optional directory to KEEP the raw trace in — the capture
+    lands in a fresh unique subdirectory (pre-existing contents are never
+    touched). Default: a temp dir, removed after parsing.
     """
     import jax
 
-    tmp = logdir or tempfile.mkdtemp(prefix="tpu_sdr_trace_")
     if logdir:
-        shutil.rmtree(logdir, ignore_errors=True)
+        # never delete caller-owned contents: trace into a fresh unique
+        # subdirectory of the requested dir (parse_xplane below reads THIS
+        # capture, not older ones that may live alongside)
         os.makedirs(logdir, exist_ok=True)
+        tmp = tempfile.mkdtemp(prefix="capture_", dir=logdir)
+    else:
+        tmp = tempfile.mkdtemp(prefix="tpu_sdr_trace_")
     jax.profiler.start_trace(tmp)
     try:
         out = None
