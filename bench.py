@@ -325,12 +325,17 @@ def main():
                         round(s * 1e3, 4) for s in tier_slopes[r.dtype]
                     ]
             if rounds_done >= 2:
-                # Enough rounds for a real median: promote the interleaved
-                # f32 median to the headline.
+                # Enough rounds for a real median: promote the f32 median to
+                # the headline. The label only claims interleaving when more
+                # than one tier actually alternated in these rounds — if the
+                # optional tiers failed to build, these are solo f32 reps and
+                # the label must say so (advisor finding r4).
                 rate_f32 = extras["tiers"]["f32"]
                 RESULT["value"] = rate_f32
                 RESULT["vs_baseline"] = rate_f32 / 1_000_000.0
-                extras["headline_mode"] = "interleaved_median"
+                extras["headline_mode"] = (
+                    "interleaved_median" if len(runners) > 1 else "solo_median"
+                )
                 extras["headline_spread"] = spread_fields(tier_slopes["f32"])
             RESULT.update(extras)
     except Exception as e:

@@ -353,9 +353,24 @@ class Q15Stream:
         return self._materialize(self._pending.popleft())
 
     def reset(self):
-        """Discard a failed in-flight tail; the next ``push`` resumes from
-        the state after the last successful host stage (``self.zf``)."""
-        self._pending.clear()
+        """Discard the in-flight tail and resynchronize deterministically.
+
+        Not-yet-started chunks are cancelled (newest first, so the single
+        ordered worker never reaches them); a chunk already running is
+        waited out — its host stage still advances ``self.zf`` before we
+        return. Without the wait, a reset() racing a still-in-flight
+        SUCCESSFUL chunk left the resume point dependent on whether the
+        abandoned chunk's host stage finished before or after the next
+        push captured ``self.zf`` (advisor finding r4). After reset() the
+        next ``push`` always resumes from the state after the last chunk
+        whose host stage actually ran."""
+        while self._pending:
+            fut = self._pending.pop()  # newest first: cancel before started
+            if not fut.cancel():
+                try:
+                    fut.result()
+                except Exception:
+                    pass  # the failed tail is exactly what reset() discards
 
     def close(self):
         self._pool.shutdown(wait=True)

@@ -180,6 +180,8 @@ class SerialTransport:
         frames: list[bytes] = []
         keep = n if max_stale is None else max(n, max_stale)
         deadline = time.monotonic() + timeout
+        short_cap = min(self.read_chunk, FRAME_SIZE_BYTES)
+        short_frameless = 0
         while time.monotonic() < deadline:
             got = self.poll()
             frames.extend(got)
@@ -194,20 +196,32 @@ class SerialTransport:
             if (
                 len(frames) >= n
                 and not got
-                and self._last_read_bytes < self.read_chunk
+                and self._last_read_bytes < short_cap
             ):
                 # Drain bound (review finding): against a peer that streams
                 # CONTINUOUSLY the wire never reads empty, so the drain
                 # condition above would spin to the full timeout. Once n is
-                # satisfied, stop at the first poll that completes no new
-                # frame AND read less than a full chunk: a backlog being
-                # drained fills every read_chunk, so a short, frameless
-                # read means we are at the wire's live rate — there is no
-                # backlog for the max_stale trim to see, and further
-                # draining only adds latency (e.g. request_frame n=1
-                # against a live streamer must return at the first frame,
-                # not after ``keep`` of them).
-                break
+                # satisfied, stop on TWO CONSECUTIVE polls that complete no
+                # new frame AND each read less than min(read_chunk, one
+                # frame) bytes (advisor r4: a single short read is not
+                # evidence — port layers like pyserial commonly deliver an
+                # OS-buffered backlog in sub-chunk pieces, and one such
+                # piece must not be mistaken for live rate). Two short
+                # frameless polls in a row mean we are at the wire's live
+                # trickle: there is no backlog for the max_stale trim to
+                # see, and further draining only adds latency (e.g.
+                # request_frame n=1 against a live streamer must return
+                # near the first frame, not after ``keep`` of them). A
+                # backlog mid-drain instead completes a frame every few
+                # polls, resetting the counter. Residual ambiguity (a
+                # backlog arriving in alternating tiny pieces) is bounded
+                # by the next call's trim: stale frames left behind are
+                # still counted and dropped when that call drains them.
+                short_frameless += 1
+                if short_frameless >= 2:
+                    break
+            else:
+                short_frameless = 0
         if max_stale is not None:
             if len(frames) > keep:
                 self.frames_stale_dropped += len(frames) - keep
