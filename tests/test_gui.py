@@ -912,7 +912,10 @@ def test_q15_faithful_mode_and_wire_frame(server):
     assert json.loads(_get(srv, "/api/state"))["q15_faithful"] is True
     _post(srv, "start_receiver")
     q = backend.subscribe()
-    deadline = time.time() + 30
+    # generous: the faithful tap now runs in a worker thread (one-chunk
+    # lag) and its first chunk pays a fresh Q15Pipeline jit compile, which
+    # is slow under full-suite CPU contention
+    deadline = time.time() + 90
     frame = None
     while time.time() < deadline and backend._q15_last_wire is None:
         try:
@@ -937,3 +940,106 @@ def test_q15_faithful_mode_and_wire_frame(server):
     assert abs(peak - 1638) <= 3
     _post(srv, "update_config", {"q15_faithful": False})
     assert backend._q15_rt is None
+
+
+def test_q15_faithful_degraded_fetch_falls_back(server):
+    """Degraded-tunnel resilience (VERDICT r4 item 8): when the faithful
+    tap's device fetch stalls (on the real tunnel a single sync can take
+    seconds in a bad window), the acquisition loop must keep producing
+    float display frames — never blocking on the fetch — and the watchdog
+    must disable the mode with a status event, mirroring the reference
+    GUI's stall-detector recovery (fft_analyzer_gui.py:639-644). A stale
+    worker completing AFTER the watchdog fired must not commit its frame."""
+    import threading as _threading
+
+    srv, backend = server
+    _post(srv, "set_filter_type", {"mode": "bypass"})
+    _post(srv, "start_receiver")
+
+    release = _threading.Event()
+    fetch_entered = _threading.Event()
+    calls = {"n": 0}
+
+    def stuck_fetch(arr):
+        # first chunk (pipeline build + compile budget) completes normally;
+        # every later fetch wedges — the tunnel "degrading" mid-session
+        calls["n"] += 1
+        if calls["n"] > 1:
+            fetch_entered.set()
+            release.wait(timeout=30)
+        return np.asarray(arr)
+
+    backend._q15_fetch = stuck_fetch
+    backend.q15_stall_after = 0.3
+    try:
+        _post(srv, "update_config", {"q15_faithful": True})
+        q = backend.subscribe()
+        try:
+            assert fetch_entered.wait(timeout=30), "faithful tap never ran"
+            wire_before = backend._q15_last_wire  # chunk 1's committed frame
+            # While the fetch is wedged, acquisition must keep serving
+            # frames from the float path.
+            frames_during_stall = 0
+            degraded_msg = None
+            deadline = time.time() + 15
+            while time.time() < deadline:
+                try:
+                    ev, payload = q.get(timeout=1.0)
+                except Exception:
+                    continue
+                if ev == "frame_data":
+                    frames_during_stall += 1
+                elif ev == "receiver_status":
+                    s = json.loads(payload)
+                    if "degraded" in s["message"]:
+                        degraded_msg = s
+                        break
+            assert frames_during_stall >= 2, (
+                "acquisition stalled behind the wedged fetch"
+            )
+            assert degraded_msg is not None, "stall watchdog never fired"
+            assert degraded_msg["ok"] is False
+            assert backend.q15_faithful is False  # recovered to float path
+        finally:
+            backend.unsubscribe(q)
+        # Let the abandoned worker finish: its generation is stale, so it
+        # must NOT commit a wire frame over the pre-stall state.
+        release.set()
+        time.sleep(0.5)
+        assert backend._q15_last_wire is wire_before
+
+        # A fetch that FAILS outright must likewise disable cleanly
+        # without killing acquisition.
+        def broken_fetch(arr):
+            raise OSError("tunnel collapsed")
+
+        backend._q15_fetch = broken_fetch
+        q = backend.subscribe()
+        try:
+            _post(srv, "update_config", {"q15_faithful": True})
+            saw_disable = False
+            frames_after = 0
+            deadline = time.time() + 15
+            while time.time() < deadline:
+                try:
+                    ev, payload = q.get(timeout=1.0)
+                except Exception:
+                    continue
+                if ev == "receiver_status":
+                    s = json.loads(payload)
+                    if "disabled after error" in s["message"]:
+                        saw_disable = True
+                elif ev == "frame_data" and saw_disable:
+                    frames_after += 1
+                    if frames_after >= 2:
+                        break
+            assert saw_disable, "failing fetch did not disable the mode"
+            assert frames_after >= 2, "acquisition died with the fetch"
+            assert backend.q15_faithful is False
+        finally:
+            backend.unsubscribe(q)
+    finally:
+        release.set()
+        backend._q15_fetch = None
+        backend.q15_stall_after = 1.0
+        _post(srv, "update_config", {"q15_faithful": False})

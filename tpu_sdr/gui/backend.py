@@ -106,8 +106,18 @@ class GuiBackend(CaptureMixin, DisplayMixin, ZoomMixin, AudioScanMixin):
         # all. Opt-in via update_config({"q15_faithful": true}); the last
         # wire frame is served byte-exact at /api/q15_frame.
         self.q15_faithful = False
+        self.q15_stall_after = 1.0  # degraded-tunnel watchdog, seconds
+        # the FIRST chunk of a generation pays pipeline build + jit compile
+        # (minutes on a cold remote-compile tunnel) — it gets its own budget
+        self.q15_first_stall_after = 120.0
         self._q15_rt = None  # dict: pipe / zi (carried) / sig
         self._q15_last_wire = None  # (re, im int16, mode_name) of the last frame
+        self._q15_pool = None  # lazy single-worker executor for the tap
+        self._q15_future = None  # (future, submit monotonic time)
+        self._q15_disp = None  # newest completed faithful display vector
+        self._q15_ready = False  # one chunk of this generation completed
+        self._q15_gen = 0  # generation: stale abandoned workers must not commit
+        self._q15_fetch = None  # injectable fetch callable (tests/tools)
         # Live audio demod (runtime/receiver): a Receiver tees every raw
         # chunk; the demodulated audio accumulates in a bounded ring the
         # save_audio route writes to WAV.
@@ -311,16 +321,9 @@ class GuiBackend(CaptureMixin, DisplayMixin, ZoomMixin, AudioScanMixin):
             # decode of the actual int16 wire words (already wire-LSB
             # units — the float-path calibration above is bypassed)
             if self.q15_faithful and mode == "magnitude" and not self._iq:
-                try:
-                    q15_disp = self._q15_step(x)
-                    if q15_disp is not None:
-                        disp = wf_mag = q15_disp
-                except Exception as e:  # never kill acquisition
-                    self.q15_faithful = False
-                    self._q15_rt = None
-                    self.status(
-                        f"q15 faithful mode disabled after error: "
-                        f"{type(e).__name__}: {e}", ok=False)
+                q15_disp = self._q15_tap(x)  # non-blocking (worker thread)
+                if q15_disp is not None:
+                    disp = wf_mag = q15_disp
             now = time.monotonic()
             self._fps_window = [t for t in self._fps_window + [now] if now - t < 1.0]
             # zoom taps EVERY raw chunk (it accumulates subchannel samples
@@ -403,7 +406,88 @@ class GuiBackend(CaptureMixin, DisplayMixin, ZoomMixin, AudioScanMixin):
 
     # -------------------------------------------- faithful wire (Q15) tap
 
-    def _q15_step(self, x) -> np.ndarray | None:
+    def _q15_tap(self, x) -> np.ndarray | None:
+        """Non-blocking faithful overlay with a degraded-tunnel watchdog.
+
+        The integer pipeline (host stage + device dispatch + the ONE
+        packed fetch) runs in a single worker thread, so a degraded
+        tunnel — where even a 32 KB fetch can take seconds — can never
+        stall the acquisition loop (VERDICT r4 item 8). Per chunk:
+
+        - a completed worker result becomes the newest overlay (and the
+          next chunk is submitted);
+        - while a chunk is in flight, the loop serves the newest
+          COMPLETED overlay (or the float display if none yet) — display
+          decimation, not backpressure: in-between chunks skip the tap;
+        - a fetch stuck longer than ``q15_stall_after`` disables the mode
+          with a status event and falls back to the float display — the
+          reference GUI's stall-detector recovery semantics
+          (``fft_analyzer_gui.py:639-644``), applied to the export path.
+          The abandoned chunk drains in the background; a generation
+          counter keeps it from committing stale wire frames.
+        """
+        import concurrent.futures
+
+        if self._q15_pool is None:
+            self._q15_pool = concurrent.futures.ThreadPoolExecutor(
+                max_workers=1, thread_name_prefix="q15tap")
+        pending = self._q15_future
+        if pending is not None:
+            fut, t0 = pending
+            stall_budget = (
+                self.q15_stall_after if self._q15_ready
+                else self.q15_first_stall_after  # build + jit compile
+            )
+            if fut.done():
+                self._q15_future = None
+                try:
+                    got = fut.result()
+                except Exception as e:  # never kill acquisition
+                    self._q15_disable(
+                        f"q15 faithful mode disabled after error: "
+                        f"{type(e).__name__}: {e}")
+                    return None
+                self._q15_ready = True
+                if got is not None:
+                    self._q15_disp = got
+            elif time.monotonic() - t0 > stall_budget:
+                self._q15_disable(
+                    f"q15 faithful mode degraded: device fetch stalled "
+                    f">{self.q15_stall_after:.1f}s; serving float display")
+                return None
+            else:
+                return self._q15_disp  # in flight: newest completed overlay
+        if self._q15_future is None:
+            gen = self._q15_gen
+            xs = np.array(x, copy=True)  # loop may reuse its chunk buffer
+            self._q15_future = (
+                self._q15_pool.submit(self._q15_step, xs, gen),
+                time.monotonic(),
+            )
+        return self._q15_disp
+
+    def _q15_disable(self, message: str):
+        """Tear down the faithful tap (error/stall/config-off): bump the
+        generation so an abandoned in-flight worker cannot commit stale
+        state, and let the next enable start fresh."""
+        self.q15_faithful = False
+        self._q15_teardown()
+        self.status(message, ok=False)
+
+    def _q15_teardown(self):
+        self._q15_gen += 1
+        self._q15_rt = None
+        self._q15_future = None
+        self._q15_disp = None
+        self._q15_ready = False
+        if self._q15_pool is not None:
+            # a worker stuck in a degraded fetch must not block the next
+            # enable: orphan this pool (shutdown without waiting) and let
+            # a fresh one spin up lazily
+            self._q15_pool.shutdown(wait=False)
+            self._q15_pool = None
+
+    def _q15_step(self, x, gen: int | None = None) -> np.ndarray | None:
         """One chunk through the split integer pipeline; returns the last
         frame's wire-word magnitudes (or None while unlockable, e.g. a
         CUSTOM mode with no uploaded design)."""
@@ -446,7 +530,8 @@ class GuiBackend(CaptureMixin, DisplayMixin, ZoomMixin, AudioScanMixin):
             if sos_q is not None:
                 pipe.upload_sos_q(sos_q)
             rt = {"pipe": pipe, "zi": None, "sig": sig}
-            self._q15_rt = rt
+            if gen is None or gen == self._q15_gen:
+                self._q15_rt = rt
         xr = np.asarray(x[0] if getattr(x, "ndim", 1) > 1 else x)
         # full-scale float -> Q15 (the synthetic/file sources are float in
         # [-1, 1]; an integer ADC source arrives already q15/q16-scaled)
@@ -462,9 +547,15 @@ class GuiBackend(CaptureMixin, DisplayMixin, ZoomMixin, AudioScanMixin):
         # costs ~35 ms on the tunnel and the download link ~40-50 MB/s;
         # the display only needs the last frame). re/im are int16-exact
         # in f32, so the wire words survive the roundtrip bit-exactly.
-        disp = np.asarray(out["display_frame"]).reshape(3, n)
+        fetch = self._q15_fetch or np.asarray  # injectable: stall tests
+        disp = np.asarray(fetch(out["display_frame"])).reshape(3, n)
         re_q = disp[0].astype(np.int16)
         im_q = disp[1].astype(np.int16)
+        if gen is not None and gen != self._q15_gen:
+            # abandoned chunk from a degraded/disabled generation: its
+            # fetch completed long after the watchdog fired — do not
+            # commit a stale wire frame over whatever came since
+            return None
         # the mode is captured WITH the frame: get_q15_frame must label
         # the frame with the mode that produced it, not whatever the
         # analyzer switched to afterwards (review finding)
@@ -721,7 +812,9 @@ class GuiBackend(CaptureMixin, DisplayMixin, ZoomMixin, AudioScanMixin):
         if updates.get("iq_correction") is False:
             self._iqcorr_rt = None  # re-converge fresh on re-enable
         if updates.get("q15_faithful") is False:
-            self._q15_rt = None  # fresh integer state on re-enable
+            # fresh integer state on re-enable; the generation bump keeps
+            # an abandoned in-flight worker from committing stale frames
+            self._q15_teardown()
         if unknown:
             self.status(f"ignored unknown config fields: {unknown}", ok=False)
         else:
