@@ -75,6 +75,34 @@ def run_verify(pid: int, port: str, nprocs: int, data_path: str) -> int:
     return 0
 
 
+def _patch_no_exchange():
+    """Measurement-only (scripts/dist_scaling.py exchange A/B): replace
+    ``jax.lax.all_gather`` with a shape-identical LOCAL tile, so a program
+    traced under the patch does the same per-device compute on the same
+    shapes but never exchanges the summaries — mathematically inert (wrong
+    results by design), used solely to difference out the measured
+    exchange cost per step (VERDICT r4 item 3). Returns the real
+    all_gather for restoration; the patch only matters at trace time."""
+    import jax
+    import jax.numpy as jnp
+
+    real = jax.lax.all_gather
+
+    def fake_all_gather(x, axis_name, *, axis=0, tiled=False, **kw):
+        d = jax.lax.psum(1, axis_name)  # static axis size
+        if not tiled:
+            return jnp.broadcast_to(
+                jnp.expand_dims(x, axis),
+                x.shape[:axis] + (d,) + x.shape[axis:],
+            )
+        reps = [1] * x.ndim
+        reps[axis] = d
+        return jnp.tile(x, reps)
+
+    jax.lax.all_gather = fake_all_gather
+    return real
+
+
 def run_bench(pid: int, port: str, nprocs: int, knobs_json: str) -> int:
     """Weak scaling: frames per TIME SHARD fixed, time axis grows with the
     device count, so per-device compute is constant and any step-time growth
@@ -115,42 +143,97 @@ def run_bench(pid: int, port: str, nprocs: int, knobs_json: str) -> int:
     out, st = pipe.process(x, st, FilterMode.CUSTOM)  # compile
     float(np.asarray(out["magnitude"].addressable_shards[0].data).ravel()[0])
 
-    def run_k(k):
-        nonlocal st
-        z = st
-        t0 = time.perf_counter()
-        for _ in range(k):
-            out, z = pipe.process(x, z, FilterMode.CUSTOM)
-        float(
-            np.asarray(out["magnitude"].addressable_shards[0].data).ravel()[0]
-        )
-        st = z
-        return time.perf_counter() - t0
+    def make_runner(p):
+        box = {"st": p.initial_state()}
 
-    run_k(2)  # warm
-    slopes = []
-    for _ in range(int(knobs.get("reps", 5))):
+        def run_k(k):
+            z = box["st"]
+            t0 = time.perf_counter()
+            for _ in range(k):
+                out, z = p.process(x, z, FilterMode.CUSTOM)
+            float(
+                np.asarray(
+                    out["magnitude"].addressable_shards[0].data
+                ).ravel()[0]
+            )
+            box["st"] = z
+            return time.perf_counter() - t0
+
+        return run_k
+
+    def slope_of(run_k):
         ts = min(run_k(1) for _ in range(2))
         tl = min(run_k(7) for _ in range(2))
-        slopes.append((tl - ts) / 6)
+        return (tl - ts) / 6
+
+    run_a = make_runner(pipe)
+    run_a(2)  # warm
+
+    ab = None
+    if knobs.get("exchange_ab"):
+        # Paired exchange-cost measurement: a second pipeline traced with
+        # all_gather replaced by an inert local tile (same local compute,
+        # summaries not exchanged), slope-timed INTERLEAVED with the real
+        # one in the same process (CLAUDE.md pairing discipline).
+        real_ag = _patch_no_exchange()
+        try:
+            pipe_b = ShardedSpectrumPipeline(cfg, mesh)
+            pipe_b.upload_sos(sps.butter(12, 0.25, output="sos"))
+            st_b = pipe_b.initial_state()
+            out_b, st_b = pipe_b.process(x, st_b, FilterMode.CUSTOM)  # trace
+            mag_b = np.concatenate([
+                np.asarray(s.data).ravel()
+                for s in out_b["magnitude"].addressable_shards
+            ])
+        finally:
+            jax.lax.all_gather = real_ag
+        if dict(mesh.shape)["time"] > 1:
+            # the patch must actually have removed the exchange: the inert
+            # variant's magnitudes must DIFFER from the real ones on SOME
+            # addressable shard (time shard 0's entry state is the global
+            # head either way, so shard 0 alone is identical by design)
+            out_a1, _ = pipe.process(x, pipe.initial_state(), FilterMode.CUSTOM)
+            mag_a1 = np.concatenate([
+                np.asarray(s.data).ravel()
+                for s in out_a1["magnitude"].addressable_shards
+            ])
+            assert not np.array_equal(mag_a1, mag_b), (
+                "no-exchange variant produced identical output — the "
+                "all_gather patch did not take; the A/B would measure zero"
+            )
+        run_b = make_runner(pipe_b)
+        run_b(2)  # warm
+        s_a, s_b = [], []
+        for _ in range(int(knobs.get("reps", 5))):
+            s_a.append(slope_of(run_a))  # interleaved A,B per round
+            s_b.append(slope_of(run_b))
+        deltas = sorted(a - b for a, b in zip(s_a, s_b))
+        ab = {
+            "slopes_ms_exchange": [round(s * 1e3, 3) for s in s_a],
+            "slopes_ms_no_exchange": [round(s * 1e3, 3) for s in s_b],
+            "paired_delta_ms": [round(d * 1e3, 3) for d in deltas],
+            "exchange_cost_ms_median": round(
+                deltas[len(deltas) // 2] * 1e3, 3
+            ),
+        }
+        slopes = s_a
+    else:
+        slopes = [slope_of(run_a) for _ in range(int(knobs.get("reps", 5)))]
     med = sorted(slopes)[len(slopes) // 2]
     if pid == 0:
-        print(
-            "BENCH_JSON "
-            + json.dumps(
-                {
-                    "nprocs": nprocs,
-                    "devices": len(jax.devices()),
-                    "mesh": dict(mesh.shape),
-                    "channels": channels,
-                    "frames_per_shard": f_loc,
-                    "samples_per_step": channels * T,
-                    "step_ms_median": med * 1e3,
-                    "step_ms_slopes": [round(s * 1e3, 3) for s in slopes],
-                }
-            ),
-            flush=True,
-        )
+        rec = {
+            "nprocs": nprocs,
+            "devices": len(jax.devices()),
+            "mesh": dict(mesh.shape),
+            "channels": channels,
+            "frames_per_shard": f_loc,
+            "samples_per_step": channels * T,
+            "step_ms_median": med * 1e3,
+            "step_ms_slopes": [round(s * 1e3, 3) for s in slopes],
+        }
+        if ab is not None:
+            rec["exchange_ab"] = ab
+        print("BENCH_JSON " + json.dumps(rec), flush=True)
     return 0
 
 

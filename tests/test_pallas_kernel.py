@@ -137,3 +137,68 @@ def test_atan2_poly_matches_ieee_atan2():
         got = float(_atan2_poly(jnp.float32(yy), jnp.float32(xx)))
         want = float(jnp.arctan2(jnp.float32(yy), jnp.float32(xx)))
         assert got == want or abs(got - want) < 1e-6, (yy, xx, got, want)
+
+
+@pytest.mark.parametrize("precision", ["high3", "default", "highest"])
+def test_flat_emit_and_blocked_output_bitwise(setup, precision):
+    """The round-5 layout options are pure placement: flat_emit (kernel
+    writes flattened (n,)-lane rows) and blocked_output (kernel-native
+    (F, n1, n2)) must reproduce the default path's bits exactly at every
+    precision tier."""
+    pp, x, zs = setup
+    base = np.array(
+        iir_fft.spectrum_from_state(
+            x, zs, pp, interpret=True, precision=precision
+        )
+    )
+    flat = np.array(
+        iir_fft.spectrum_from_state(
+            x, zs, pp, interpret=True, precision=precision, flat_emit=True
+        )
+    )
+    blocked = np.array(
+        iir_fft.spectrum_from_state(
+            x, zs, pp, interpret=True, precision=precision,
+            blocked_output=True,
+        )
+    )
+    np.testing.assert_array_equal(flat, base)
+    assert blocked.shape == (x.shape[0], 128, 128)
+    np.testing.assert_array_equal(blocked.reshape(base.shape), base)
+    with pytest.raises(ValueError, match="half_spectrum"):
+        iir_fft.spectrum_from_state(
+            x, zs, pp, interpret=True, half_spectrum=True, flat_emit=True
+        )
+    with pytest.raises(ValueError, match="exclusive"):
+        iir_fft.spectrum_from_state(
+            x, zs, pp, interpret=True, flat_emit=True, blocked_output=True
+        )
+
+
+def test_flat_emit_pipeline_bitwise(setup):
+    """pallas_flat_emit=True through the full streaming engine (hybrid +
+    fused paths, chunked with carried state) == the default layout,
+    bitwise."""
+    import scipy.signal as sps
+
+    from tpu_sdr.core.config import FilterMode, PipelineConfig
+    from tpu_sdr.runtime import SpectrumPipeline
+
+    rng = np.random.default_rng(11)
+    x = rng.standard_normal((2, 3 * 16384)).astype(np.float32)
+    sos = sps.ellip(12, 0.5, 70, 0.3, output="sos")
+    outs = {}
+    for flat in (False, True):
+        pipe = SpectrumPipeline(
+            PipelineConfig(channels=2, pallas_flat_emit=flat)
+        )
+        pipe.upload_sos(sos)
+        st = pipe.initial_state()
+        mags = []
+        for c in range(3):  # chunked, carried state
+            out, st = pipe.process(
+                x[:, c * 16384 : (c + 1) * 16384], st, FilterMode.CUSTOM
+            )
+            mags.append(np.asarray(out["magnitude"]))
+        outs[flat] = np.concatenate(mags, axis=1)
+    np.testing.assert_array_equal(outs[True], outs[False])

@@ -101,6 +101,14 @@ class PipelineConfig:
     # invariance contracts (chunked==one-shot, sharded==single-device,
     # bitwise) hold within the mode. Ignored by other tiers.
     bf16_io: bool = False
+    # Pallas magnitude store layout: True = the kernel writes each frame's
+    # magnitudes as one flattened (n,)-lane row, so the (..., F, n) consumer
+    # view of the output is a free bitcast instead of an XLA relayout copy
+    # (the r4 device traces showed that copy at 0.052 ms, 10-17% of the
+    # production dispatch — trace_bf16_r4.json %reshape.19). Bits are
+    # identical either way; measured per tier in
+    # docs/measurements/layout_ab_r5.json.
+    pallas_flat_emit: bool = False
 
     def __post_init__(self):
         if self.fft_n1 * self.fft_n2 != self.fft_size:

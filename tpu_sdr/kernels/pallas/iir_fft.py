@@ -318,6 +318,7 @@ def _spectrum_kernel(
     x_ref, zs_ref, win_ref, t_ref, pt_ref, mt_ref, al1t_ref, alpows_ref,
     u_ref, w2r_ref, w2i_ref, twr_ref, twi_ref, w1r_ref, w1i_ref, out_ref,
     *, G, B, m, precision, bypass, apply_window, half, karatsuba,
+    flat=False,
 ):
     L = x_ref.shape[2]
     if apply_window:
@@ -373,6 +374,17 @@ def _spectrum_kernel(
             out_ref[fi] = jnp.concatenate(
                 [top, bot.astype(out_ref.dtype)], axis=1
             )
+    elif flat:
+        # flat-row emit (round 5, the layout-tax fix): write each frame's
+        # natural-order magnitudes as ONE flattened (B*L,)-lane row, so the
+        # kernel's HBM output is ALREADY in the (F, n) consumer layout —
+        # the XLA epilogue reshape to (..., F, n) becomes a free
+        # leading-dim split instead of a full relayout copy (measured
+        # 0.052 ms, ~17% of the bf16 dispatch, trace_bf16_r4.json). The
+        # in-kernel relayout (per-frame transpose + minor-pair merge)
+        # rides VMEM bandwidth instead of HBM.
+        t3 = mag.reshape(G, B, L).transpose(0, 2, 1)  # (G, k1, k2)
+        out_ref[:] = t3.reshape(G, B * L)
     else:
         # natural order: out[f, k1, k2] = mag[f*B + k2, k1]
         for fi in range(G):
@@ -526,7 +538,7 @@ def iir_summaries(
     jax.jit,
     static_argnames=(
         "interpret", "precision", "bypass", "apply_window", "half_spectrum",
-        "karatsuba", "out_dtype",
+        "karatsuba", "out_dtype", "flat_emit", "blocked_output",
     ),
 )
 def spectrum_from_state(
@@ -540,6 +552,8 @@ def spectrum_from_state(
     half_spectrum: bool = False,
     karatsuba: bool = False,
     out_dtype: str = "float32",
+    flat_emit: bool = False,
+    blocked_output: bool = False,
 ):
     """x (F, N) frames + per-frame entry states (F, m) -> magnitudes (F, N).
 
@@ -560,6 +574,14 @@ def spectrum_from_state(
     precision mirror dots plus the 72-row tile waste eat the saving
     (docs/measurements/half_spectrum_ab_r4.json). Kept as a measured-
     honest option, off by default.
+
+    ``flat_emit``: the kernel writes each frame's magnitudes as one
+    flattened (n,)-lane row (in-kernel relayout), so the HBM output is
+    already (F, n) and the consumer's (..., F, n) view is a free bitcast
+    instead of a relayout copy (round-5 layout-tax fix; same bits).
+
+    ``blocked_output``: return the kernel-native (F, n1, n2) array with NO
+    flatten at all — for consumers that index (k1, k2) directly.
     """
     F = x.shape[0]
     n2, n1 = plan.win.shape
@@ -570,19 +592,35 @@ def spectrum_from_state(
     if half_spectrum:
         w2r, w2i = plan.w2r_h, plan.w2i_h
         twr, twi = plan.twr_h, plan.twi_h
+        if flat_emit:
+            raise ValueError("flat_emit is not supported with half_spectrum")
     else:
         w2r, w2i = plan.w2r, plan.w2i
         twr, twi = plan.twr, plan.twi
+    if flat_emit and blocked_output:
+        raise ValueError("flat_emit and blocked_output are exclusive")
     k2 = w2r.shape[0]
     out_rows = n1  # half-spectrum mirrors in-kernel: natural order always
+    if flat_emit:
+        out_shape = jax.ShapeDtypeStruct((F, n), jnp.dtype(out_dtype))
+        out_spec = pl.BlockSpec(
+            (G, n), lambda i: (i, 0), memory_space=pltpu.VMEM
+        )
+    else:
+        out_shape = jax.ShapeDtypeStruct(
+            (F, out_rows, n2), jnp.dtype(out_dtype)
+        )
+        out_spec = pl.BlockSpec(
+            (G, out_rows, n2), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+        )
     zs_pad = jnp.pad(z_starts, ((0, 0), (0, 128 - m)))[:, None, :]
     out = pl.pallas_call(
         functools.partial(
             _spectrum_kernel, G=G, B=B, m=m, precision=precision,
             bypass=bypass, apply_window=apply_window, half=half_spectrum,
-            karatsuba=karatsuba,
+            karatsuba=karatsuba, flat=flat_emit,
         ),
-        out_shape=jax.ShapeDtypeStruct((F, out_rows, n2), jnp.dtype(out_dtype)),
+        out_shape=out_shape,
         grid=(F // G,),
         in_specs=[
             pl.BlockSpec((G, n2, n1), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
@@ -601,9 +639,7 @@ def spectrum_from_state(
             _vspec(plan.w1r.shape),
             _vspec(plan.w1i.shape),
         ],
-        out_specs=pl.BlockSpec(
-            (G, out_rows, n2), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
-        ),
+        out_specs=out_spec,
         interpret=interpret,
     )(
         x.reshape(F, n2, n1), zs_pad, plan.win, plan.T, plan.PT, plan.MT,
@@ -612,6 +648,10 @@ def spectrum_from_state(
         twr[:, : G * n1], twi[:, : G * n1],
         plan.w1r, plan.w1i,
     )
+    if blocked_output:
+        return out  # (F, n1, n2) kernel-native
+    if flat_emit:
+        return out  # already (F, n)
     return out.reshape(F, n)
 
 

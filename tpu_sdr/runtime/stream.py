@@ -174,6 +174,7 @@ def process_stream(
                 flat, zs, pp, interpret=pallas_interpret, precision=kprec,
                 bypass=True, karatsuba=_kernel_karatsuba(cfg),
                 out_dtype=_kernel_out_dtype(cfg),
+                flat_emit=cfg.pallas_flat_emit,
             )
             zf = state.sos_state
         elif banked or not (
@@ -195,6 +196,7 @@ def process_stream(
                 precision=kprec, bypass=True, apply_window=False,
                 karatsuba=_kernel_karatsuba(cfg),
                 out_dtype=_kernel_out_dtype(cfg),
+                flat_emit=cfg.pallas_flat_emit,
             )
         else:
             # fused_two_pass (f32max exact, or f32 high3 since the
@@ -229,6 +231,7 @@ def process_stream(
                 interpret=pallas_interpret,
                 precision=kprec,
                 karatsuba=_kernel_karatsuba(cfg),
+                flat_emit=cfg.pallas_flat_emit,
             )
             zf = z_final.reshape(*lead, m // 2, 2)
         out["magnitude"] = mag.reshape(*lead, n_frames, n)
@@ -348,6 +351,7 @@ def _process_stream_hop(
             flat, zs, pp, interpret=pallas_interpret, precision=kprec,
             bypass=True, apply_window=True, karatsuba=_kernel_karatsuba(cfg),
             out_dtype=_kernel_out_dtype(cfg),
+            flat_emit=cfg.pallas_flat_emit,
         )
         out["magnitude"] = mag.reshape(*lead, n_frames, n)
     else:
