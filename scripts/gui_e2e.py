@@ -1,0 +1,169 @@
+"""Full-stack sustained-rate artifact on the real chip (round 5,
+VERDICT r4 item 7): source -> TPU pipeline -> 64x1025-byte UDP ->
+assembler -> SSE display, with the q15-faithful wire tap ENABLED.
+
+This is the whole host product running at once — the GuiBackend
+acquisition loop (device dispatch + display fetch), the FPGA-format UDP
+leg (every frame packetized by the C++ sendmmsg path and reassembled by
+the reference-policy assembler), the SSE event fan-out, and the integer
+wire pipeline committing byte-exact frames — sustained for a fixed
+window, with the tunnel's health probed and RECORDED per the CLAUDE.md
+discipline (same-code end-to-end rates swing >2x with window health).
+
+Writes docs/measurements/gui_e2e_r5.json. Reference bar: the FPGA GUI's
+30 FPS Ethernet display (/root/reference/README.md:168) at 1 MSPS input.
+
+Run (TPU, ONE process): timeout 590 python scripts/gui_e2e.py
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, "/root/repo")
+
+import jax.numpy as jnp  # noqa: E402
+
+T0 = time.time()
+DURATION_S = float(os.environ.get("GUI_E2E_SECONDS", "25"))
+FRAMES_PER_DISPATCH = int(os.environ.get("GUI_E2E_FPD", "16"))
+
+
+def log(msg):
+    print(f"[{time.time() - T0:6.1f}s] {msg}", file=sys.stderr, flush=True)
+
+
+def probe_health():
+    t0 = time.time()
+    a = jnp.asarray(np.zeros((256, 2048), np.float32))
+    a.block_until_ready()
+    up = (time.time() - t0) * 1e3
+    t0 = time.time()
+    _ = np.asarray(a[:8, :2048])  # one isolated small fetch (sync cost)
+    down = (time.time() - t0) * 1e3
+    return {"upload_2MB_ms": round(up, 1), "isolated_64KB_fetch_ms": round(down, 1)}
+
+
+def main():
+    import jax
+
+    from tpu_sdr.control import SpectrumAnalyzer
+    from tpu_sdr.core.config import PipelineConfig
+    from tpu_sdr.gui.backend import GuiBackend
+    from tpu_sdr.runtime.source import SyntheticSource
+    from tpu_sdr.transport.udp_stream import (
+        UdpSpectrumReceiver, UdpSpectrumSender,
+    )
+
+    log(f"devices: {jax.devices()}")
+    health0 = probe_health()
+    log(f"health before: {health0}")
+
+    assembled = {"n": 0}
+    rx = UdpSpectrumReceiver(
+        port=0, bind_ip="127.0.0.1", fps_cap=1e9,
+        on_frame=lambda re, im, mag: assembled.__setitem__(
+            "n", assembled["n"] + 1),
+    )
+    rx.start()
+    tx = UdpSpectrumSender("127.0.0.1", rx.port)
+
+    sa = SpectrumAnalyzer(
+        PipelineConfig(channels=1),
+        on_spectrum=lambda mag, idx: tx.send_spectrum(
+            mag, np.zeros_like(mag), scale=1.0),
+    )
+    backend = GuiBackend(
+        analyzer=sa,
+        source=SyntheticSource(tones_hz=((100_000.0, 0.5),), noise=0.005),
+        frames_per_dispatch=FRAMES_PER_DISPATCH,
+        display_fps=60.0,
+    )
+    backend.update_config({"q15_faithful": True})
+    q = backend.subscribe()
+    backend.start_receiver()
+
+    # warmup: wait for the first q15-faithful commit (compile budget)
+    t0 = time.time()
+    while time.time() - t0 < 120 and backend._q15_last_wire is None:
+        time.sleep(0.2)
+        if not backend.q15_faithful:
+            break
+    log(f"warmup {time.time() - t0:.1f}s; q15_faithful={backend.q15_faithful} "
+        f"first_wire={'yes' if backend._q15_last_wire is not None else 'no'}")
+
+    # measurement window
+    s0 = sa.stats.samples_consumed
+    f0 = sa.stats.frames_produced
+    tx0 = tx.frames_sent
+    as0 = assembled["n"]
+    sse_frames = 0
+    sse_status = 0
+    q15_commits = 0
+    last_wire = backend._q15_last_wire
+    t_start = time.time()
+    while time.time() - t_start < DURATION_S:
+        try:
+            ev, payload = q.get(timeout=0.5)
+        except Exception:
+            continue
+        if ev == "frame_data":
+            sse_frames += 1
+        elif ev == "receiver_status":
+            sse_status += 1
+        w = backend._q15_last_wire
+        if w is not last_wire:
+            q15_commits += 1
+            last_wire = w
+    dt = time.time() - t_start
+    samples = sa.stats.samples_consumed - s0
+    frames = sa.stats.frames_produced - f0
+    sent = tx.frames_sent - tx0
+    asm = assembled["n"] - as0
+
+    backend.unsubscribe(q)
+    backend.stop_receiver()
+    rx.stop()
+    tx.close()
+    health1 = probe_health()
+    log(f"health after: {health1}")
+
+    rec = {
+        "duration_s": round(dt, 1),
+        "frames_per_dispatch": FRAMES_PER_DISPATCH,
+        "q15_faithful_enabled_at_end": bool(backend.q15_faithful),
+        "input_msps": round(samples / dt / 1e6, 2),
+        "frames_produced_per_s": round(frames / dt, 1),
+        "sse_display_fps": round(sse_frames / dt, 1),
+        "udp_frames_sent_per_s": round(sent / dt, 1),
+        "udp_frames_assembled_per_s": round(asm / dt, 1),
+        "udp_loss_fraction": round(1 - asm / max(sent, 1), 4),
+        "q15_wire_commits_per_s": round(q15_commits / dt, 2),
+        "window_health": {"before": health0, "after": health1},
+        "reference_bar": "FPGA: 1 MSPS input, 30 FPS Ethernet display "
+                         "(reference README.md:168)",
+        "chain": "SyntheticSource -> GuiBackend loop (TPU dispatch + "
+                 "display fetch + async q15 tap) -> on_spectrum -> "
+                 "C++ sendmmsg 64x1025 UDP -> assembler -> SSE",
+        "note": (
+            "every produced frame rides the UDP leg (65,536 B each); "
+            "input rate is bounded by the per-dispatch display fetch "
+            "(~35 ms/sync on this tunnel) at the GUI's chunk size, not "
+            "by the device pipeline (see bench.py for the compute rate)"
+        ),
+    }
+    path = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "docs", "measurements",
+        "gui_e2e_r5.json")
+    with open(path, "w") as f:
+        json.dump(rec, f, indent=1)
+    print(json.dumps(rec), flush=True)
+
+
+if __name__ == "__main__":
+    main()

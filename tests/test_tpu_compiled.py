@@ -87,6 +87,30 @@ def test_compiled_variants_vs_compiled_highest(setup, kw, tol):
     assert rel < tol, f"{kw}: rel err vs compiled highest {rel}"
 
 
+@pytest.mark.parametrize("precision", ["high3", "default", "highest"])
+def test_compiled_flat_emit_bitwise(setup, precision):
+    """The round-5 flat-emit store (in-kernel relayout to (F, n) lane
+    rows) must reproduce the default layout's bits exactly ON the chip —
+    Mosaic lowers the transpose+merge differently from interpret mode, so
+    the CPU bitwise test alone is not evidence."""
+    iir_fft, pp, win, x, zs = setup
+    base = np.array(
+        iir_fft.spectrum_from_state(x, zs, pp, precision=precision)
+    )
+    flat = np.array(
+        iir_fft.spectrum_from_state(
+            x, zs, pp, precision=precision, flat_emit=True
+        )
+    )
+    np.testing.assert_array_equal(flat, base)
+    blocked = np.array(
+        iir_fft.spectrum_from_state(
+            x, zs, pp, precision=precision, blocked_output=True
+        )
+    )
+    np.testing.assert_array_equal(blocked.reshape(base.shape), base)
+
+
 def test_compiled_complex_kernel_vs_numpy(setup):
     iir_fft, pp, win, x, zs = setup
     xi = x[::-1]

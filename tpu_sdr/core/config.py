@@ -101,14 +101,18 @@ class PipelineConfig:
     # invariance contracts (chunked==one-shot, sharded==single-device,
     # bitwise) hold within the mode. Ignored by other tiers.
     bf16_io: bool = False
-    # Pallas magnitude store layout: True = the kernel writes each frame's
-    # magnitudes as one flattened (n,)-lane row, so the (..., F, n) consumer
-    # view of the output is a free bitcast instead of an XLA relayout copy
-    # (the r4 device traces showed that copy at 0.052 ms, 10-17% of the
-    # production dispatch — trace_bf16_r4.json %reshape.19). Bits are
-    # identical either way; measured per tier in
-    # docs/measurements/layout_ab_r5.json.
-    pallas_flat_emit: bool = False
+    # Pallas magnitude store layout: True (default) = the kernel writes each
+    # frame's magnitudes as one flattened (n,)-lane row, so the (..., F, n)
+    # consumer view of the output is a free bitcast instead of an XLA
+    # relayout copy (the r4 device traces showed that copy at 0.052 ms,
+    # 10-17% of the production dispatch — trace_bf16_r4.json %reshape.19).
+    # Bits are identical either way (tested at every precision tier).
+    # Measured on-chip, paired/interleaved (layout_ab_r5.json): flat wins
+    # at both tiers — bf16 0.471 -> 0.332 ms/dispatch median, f32 0.525 ->
+    # 0.488 — and captures most of the no-flatten ceiling (0.274 / 0.474,
+    # the `blocked_output` variant, which would need a (F, n1, n2) consumer
+    # contract). False = kernel-native (F, n1, n2) store + XLA reshape.
+    pallas_flat_emit: bool = True
 
     def __post_init__(self):
         if self.fft_n1 * self.fft_n2 != self.fft_size:
