@@ -160,8 +160,18 @@ def main():
     path = os.path.join(os.path.dirname(os.path.dirname(
         os.path.abspath(__file__))), "docs", "measurements",
         "gui_e2e_r5.json")
+    # merge: one artifact keyed by frames_per_dispatch (throughput-leaning
+    # big chunks vs display-leaning small chunks are both product configs)
+    try:
+        with open(path) as f:
+            all_rec = json.load(f)
+        if "runs" not in all_rec:
+            all_rec = {"runs": {}}
+    except (OSError, ValueError):
+        all_rec = {"runs": {}}
+    all_rec["runs"][str(FRAMES_PER_DISPATCH)] = rec
     with open(path, "w") as f:
-        json.dump(rec, f, indent=1)
+        json.dump(all_rec, f, indent=1)
     print(json.dumps(rec), flush=True)
 
 

@@ -236,6 +236,12 @@ class SpectrumAnalyzer:
         self.stats.samples_consumed += int(np.prod(x.shape))
         if "magnitude" in out:
             mags = np.asarray(out["magnitude"])  # (C, F, N)
+            # hand the materialized host array back to the caller: the GUI
+            # loop (and any other consumer) would otherwise re-fetch the
+            # same device buffer — a second full device->host transfer per
+            # chunk on the ~35 ms/sync tunnel (measured in gui_e2e_r5)
+            out = dict(out)
+            out["magnitude"] = mags
             first = self.stats.frames_produced
             self.stats.frames_produced += n_frames
             # real input: peak over the non-redundant half; IQ: full spectrum
