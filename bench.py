@@ -388,6 +388,49 @@ def main():
             )
     RESULT.update(extras)
 
+    # Device-trace ground truth per tier (round 5), budget permitting: the
+    # slope numbers above include relay round-trip + co-tenancy queueing
+    # (headline_spread shows up to 2x per-rep swings); the xplane trace of
+    # one steady dispatch measures DEVICE time only — the co-tenancy-immune
+    # per-dispatch figure the roofline fractions should be judged against
+    # (flat-emit measured bf16 at 0.257 ms device time = 0.32 of its
+    # ceiling while the same day's slope medians swung 0.33-0.98 ms).
+    if remaining() > 60:
+        try:
+            from tpu_sdr.bench.trace import capture_op_table
+            from tpu_sdr.bench.roofline import roofline_report as _rr2
+
+            dt: dict[str, dict] = {}
+            for r in runners:
+                def step(r=r):
+                    out, r.st = r.pipe.process(r.x0, r.st, r.mode)
+                    return out["magnitude"]
+
+                res = capture_op_table(step, reps=6)
+                if not res.get("device_trace"):
+                    continue
+                ms = res["dispatch_ms"]
+                rate = r.samples_per_dispatch / (ms * 1e-3)
+                ceil = _rr2(
+                    tier_config(r.dtype, C), measured_samples_per_sec=rate
+                )
+                dt[r.dtype] = {
+                    "dispatch_ms": round(ms, 4),
+                    "device_idle_ms": round(res["device_idle_ms"], 4),
+                    "gsps": round(rate / 1e9, 2),
+                    "fraction_of_roofline": round(
+                        ceil.get("fraction_of_ceiling") or 0.0, 4
+                    ),
+                }
+                log(f"bench: device trace {r.dtype}: {dt[r.dtype]}")
+            if dt:
+                extras["device_trace_per_tier"] = dt
+        except Exception as e:
+            log(f"bench: device-trace block failed: {type(e).__name__}: {e}")
+    else:
+        log("bench: skipping device-trace block (budget)")
+    RESULT.update(extras)
+
     # Latency mode, budget permitting.
     if remaining() > 90:
         try:
