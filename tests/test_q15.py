@@ -372,3 +372,57 @@ def test_q15_stream_depth_bitwise(setup):
     assert len(got) == len(refs)
     for a, b in zip(got, refs):
         assert np.array_equal(a, b)
+
+
+def test_q15_stream_reset_midflight_deterministic(setup):
+    """Advisor r4: reset() racing a still-in-flight SUCCESSFUL chunk must
+    leave a deterministic resume point. The running chunk is waited out
+    (its host stage advances ``zf``); queued chunks are cancelled newest
+    first, so after reset() the next push always resumes from the state
+    after the last chunk whose host stage actually ran — proven bitwise
+    against the sequential oracle."""
+    import threading
+
+    from tpu_sdr.runtime.q15 import Q15Stream
+
+    _, sos_q, _ = setup
+    split = Q15Pipeline(PipelineConfig(channels=1), device_fft=True)
+    split.upload_sos_q(sos_q)
+    rng = np.random.default_rng(11)
+    mk = lambda: (rng.standard_normal(16384) * 6000).astype(np.int16)
+    a, b, c, d = mk(), mk(), mk(), mk()
+
+    started = threading.Event()
+    gate = threading.Event()
+
+    class GatedPipe:
+        """Delegating proxy: the worker blocks inside the host stage until
+        the gate opens — a reproducible 'chunk still running' window."""
+
+        def __getattr__(self, name):
+            return getattr(split, name)
+
+        def process_async(self, x, zi, display=False):
+            started.set()
+            assert gate.wait(30), "gate never opened"
+            return split.process_async(x, zi, display=display)
+
+    stream = Q15Stream(GatedPipe(), fetch=("magnitude",), depth=3)
+    assert stream.push(a) is None  # worker picks this up and blocks
+    assert stream.push(b) is None  # queued behind the gate
+    assert stream.push(c) is None  # queued behind the gate
+    assert started.wait(30)
+    # reset() must wait out A (releasing the gate shortly) and cancel B, C
+    threading.Timer(0.2, gate.set).start()
+    stream.reset()
+    # pipeline is empty; D resumes from the state AFTER A — deterministic,
+    # regardless of how the reset raced the worker
+    assert stream.push(d) is None
+    out = stream.flush()
+    assert out is not None and stream.flush() is None
+    stream.close()
+
+    # sequential oracle: A then D (B, C never ran)
+    _, z_a = split.process(a, None, bypass=False)
+    ref, _ = split.process(d, z_a, bypass=False)
+    assert np.array_equal(out[0]["magnitude"], np.asarray(ref["magnitude"]))
