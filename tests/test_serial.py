@@ -215,3 +215,75 @@ def test_read_frames_live_stream_returns_at_n():
     # one read per piece to finish the frame, plus at most a couple of
     # frameless polls — NOT thousands of reads spinning to the deadline
     assert tr.ser.reads <= FRAME_SIZE_BYTES // 1024 + 3
+
+
+def test_read_frames_isolated_short_read_is_not_live_rate():
+    """Advisor r4: pyserial-style ports return only ``in_waiting`` bytes,
+    so an OS-buffered backlog can arrive in sub-chunk pieces. ONE short
+    frameless read mid-backlog must not be mistaken for the wire's live
+    rate — the drain only ends on TWO consecutive short frameless polls
+    (or an empty read), so the max_stale trim still sees the whole
+    backlog. Fully scripted port: deterministic, no pty timing."""
+
+    class ScriptedPort:
+        """read(n) serves the next scripted piece (each <= n by design)."""
+
+        def __init__(self, pieces):
+            self.pieces = list(pieces)
+
+        def read(self, n=1):
+            if not self.pieces:
+                return b""  # drained: triggers the empty-read break
+            piece = self.pieces.pop(0)
+            assert len(piece) <= n
+            return piece
+
+        def write(self, data):
+            return len(data)
+
+        def close(self):
+            pass
+
+    F = FRAME_SIZE_BYTES
+    frames = [bytes([40 + i]) * F for i in range(4)]
+    stream = b"".join(frames)
+    chunk = 16384
+    # frame 0 in four full-chunk reads; then ONE isolated 8 KB short piece
+    # (completes no frame — the advisor's misclassification trigger); then
+    # the rest of the backlog in full chunks again
+    cut = 4 * chunk + 8192
+    pieces = [stream[i : i + chunk] for i in range(0, 4 * chunk, chunk)]
+    pieces.append(stream[4 * chunk : cut])
+    pieces += [stream[i : i + chunk] for i in range(cut, len(stream), chunk)]
+
+    tr = SerialTransport(ScriptedPort(pieces), read_chunk=chunk)
+    got = tr.read_frames(n=1, timeout=5.0, max_stale=4)
+    # pre-fix behavior: the short read broke the drain after frame 0 and
+    # returned [frames[0]] with the backlog unseen
+    assert got == frames
+    assert tr.frames_stale_dropped == 0
+
+    # the same backlog with n=1, max_stale=2 must be fully drained AND
+    # trimmed to the newest 2, with the dropped ones counted
+    tr2 = SerialTransport(
+        ScriptedPort(
+            [stream[i : i + chunk] for i in range(0, 4 * chunk, chunk)]
+            + [stream[4 * chunk : cut]]
+            + [stream[i : i + chunk] for i in range(cut, len(stream), chunk)]
+        ),
+        read_chunk=chunk,
+    )
+    got2 = tr2.read_frames(n=1, timeout=5.0, max_stale=2)
+    assert got2 == frames[-2:]
+    assert tr2.frames_stale_dropped == 2
+
+    # two consecutive short frameless reads DO end the drain (live trickle)
+    tr3 = SerialTransport(
+        ScriptedPort(
+            [stream[i : i + chunk] for i in range(0, 4 * chunk, chunk)]
+            + [b"\x01" * 100, b"\x02" * 100, stream[4 * chunk :]]
+        ),
+        read_chunk=chunk,
+    )
+    got3 = tr3.read_frames(n=1, timeout=5.0, max_stale=4)
+    assert got3 == frames[:1]  # broke at the live-rate boundary
