@@ -205,7 +205,7 @@ def main():
             "exchange-vs-no-exchange slopes inside the same 4-process gloo "
             "run), replacing the r4 analytic-only claim: whatever the "
             "few-KB summary exchange costs, it is too small to resolve "
-            "against localhost-gloo scheduling jitter — the >=90%%-at-4-"
+            "against localhost-gloo scheduling jitter — the >=90%-at-4-"
             "hosts BASELINE row now rests on a measured bound, not a model."
         ),
         "method": (

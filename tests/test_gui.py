@@ -926,6 +926,14 @@ def test_q15_faithful_mode_and_wire_frame(server):
             frame = json.loads(payload)
     backend.unsubscribe(q)
     assert backend._q15_last_wire is not None, "no faithful frame produced"
+    # freeze the tap BEFORE comparing: the worker thread keeps committing
+    # newer wire frames while the receiver runs, so reading /api/q15_frame
+    # and then backend._q15_last_wire unfenced can straddle a commit and
+    # compare two different frames (observed flake). Disabling bumps the
+    # generation (no further commits); the last frame stays served.
+    _post(srv, "update_config", {"q15_faithful": False})
+    assert backend._q15_rt is None
+    time.sleep(0.3)  # let a worker mid-commit at the bump finish
     r = json.loads(_get(srv, "/api/q15_frame"))
     raw = base64.b64decode(r["frame_b64"])
     assert len(raw) == 65536
@@ -938,8 +946,6 @@ def test_q15_faithful_mode_and_wire_frame(server):
     # sidebands; the faithful peak must sit within ~2 bins of the tone
     peak = int(np.argmax(mag[:8192]))
     assert abs(peak - 1638) <= 3
-    _post(srv, "update_config", {"q15_faithful": False})
-    assert backend._q15_rt is None
 
 
 def test_q15_faithful_degraded_fetch_falls_back(server):
@@ -976,6 +982,15 @@ def test_q15_faithful_degraded_fetch_falls_back(server):
         q = backend.subscribe()
         try:
             assert fetch_entered.wait(timeout=30), "faithful tap never ran"
+            # tap workers must be daemon threads: an orphaned worker wedged
+            # in a degraded fetch must never block interpreter exit (a
+            # ThreadPoolExecutor's non-daemon workers would be joined by
+            # concurrent.futures' atexit hook — review finding)
+            taps = [
+                t for t in _threading.enumerate()
+                if t.name.startswith("q15tap")
+            ]
+            assert taps and all(t.daemon for t in taps)
             wire_before = backend._q15_last_wire  # chunk 1's committed frame
             # While the fetch is wedged, acquisition must keep serving
             # frames from the float path.

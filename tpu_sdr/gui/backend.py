@@ -25,6 +25,45 @@ from tpu_sdr.gui.backend_display import DisplayMixin
 from tpu_sdr.gui.backend_zoom import ZoomMixin
 
 
+class _DaemonTask:
+    """Single-shot worker on a daemon thread with a tiny future surface.
+
+    Replaces ``ThreadPoolExecutor`` for the faithful tap: executor workers
+    are non-daemon and ``concurrent.futures`` joins every one of them at
+    interpreter exit, so an orphaned worker wedged in a degraded-tunnel
+    fetch would block GUI shutdown indefinitely (and each stall/re-enable
+    cycle would strand another). A daemon thread just dies with the
+    process; the tap's generation guard already keeps abandoned commits
+    out, and the tap is depth-1 (one in-flight chunk), so per-chunk thread
+    creation is noise next to the chunk's device dispatch.
+    """
+
+    def __init__(self, fn, *args):
+        self._ev = threading.Event()
+        self._result = None
+        self._exc: BaseException | None = None
+        threading.Thread(
+            target=self._run, args=(fn, args), daemon=True, name="q15tap"
+        ).start()
+
+    def _run(self, fn, args):
+        try:
+            self._result = fn(*args)
+        except BaseException as e:
+            self._exc = e
+        finally:
+            self._ev.set()
+
+    def done(self) -> bool:
+        return self._ev.is_set()
+
+    def result(self):
+        self._ev.wait()
+        if self._exc is not None:
+            raise self._exc
+        return self._result
+
+
 class GuiBackend(CaptureMixin, DisplayMixin, ZoomMixin, AudioScanMixin):
     def __init__(
         self,
@@ -112,11 +151,10 @@ class GuiBackend(CaptureMixin, DisplayMixin, ZoomMixin, AudioScanMixin):
         self.q15_first_stall_after = 120.0
         self._q15_rt = None  # dict: pipe / zi (carried) / sig
         self._q15_last_wire = None  # (re, im int16, mode_name) of the last frame
-        self._q15_pool = None  # lazy single-worker executor for the tap
-        self._q15_future = None  # (future, submit monotonic time)
+        self._q15_future = None  # (task, submit monotonic time, stall budget)
         self._q15_disp = None  # newest completed faithful display vector
-        self._q15_ready = False  # one chunk of this generation completed
         self._q15_gen = 0  # generation: stale abandoned workers must not commit
+        self._q15_lock = threading.Lock()  # submit vs teardown (HTTP thread)
         self._q15_fetch = None  # injectable fetch callable (tests/tools)
         # Live audio demod (runtime/receiver): a Receiver tees every raw
         # chunk; the demodulated audio accumulates in a bounded ring the
@@ -426,45 +464,52 @@ class GuiBackend(CaptureMixin, DisplayMixin, ZoomMixin, AudioScanMixin):
           The abandoned chunk drains in the background; a generation
           counter keeps it from committing stale wire frames.
         """
-        import concurrent.futures
-
-        if self._q15_pool is None:
-            self._q15_pool = concurrent.futures.ThreadPoolExecutor(
-                max_workers=1, thread_name_prefix="q15tap")
-        pending = self._q15_future
-        if pending is not None:
-            fut, t0 = pending
-            stall_budget = (
-                self.q15_stall_after if self._q15_ready
-                else self.q15_first_stall_after  # build + jit compile
-            )
-            if fut.done():
-                self._q15_future = None
-                try:
-                    got = fut.result()
-                except Exception as e:  # never kill acquisition
+        try:
+            pending = self._q15_future
+            if pending is not None:
+                task, t0, budget = pending
+                if task.done():
+                    self._q15_future = None
+                    got = task.result()  # re-raises the worker's exception
+                    if got is not None:
+                        self._q15_disp = got
+                elif time.monotonic() - t0 > budget:
                     self._q15_disable(
-                        f"q15 faithful mode disabled after error: "
-                        f"{type(e).__name__}: {e}")
+                        f"q15 faithful mode degraded: device fetch stalled "
+                        f">{budget:.1f}s; serving float display")
                     return None
-                self._q15_ready = True
-                if got is not None:
-                    self._q15_disp = got
-            elif time.monotonic() - t0 > stall_budget:
-                self._q15_disable(
-                    f"q15 faithful mode degraded: device fetch stalled "
-                    f">{self.q15_stall_after:.1f}s; serving float display")
-                return None
-            else:
-                return self._q15_disp  # in flight: newest completed overlay
-        if self._q15_future is None:
-            gen = self._q15_gen
-            xs = np.array(x, copy=True)  # loop may reuse its chunk buffer
-            self._q15_future = (
-                self._q15_pool.submit(self._q15_step, xs, gen),
-                time.monotonic(),
+                else:
+                    return self._q15_disp  # in flight: newest completed
+            # submit the next chunk. Budget: a chunk that will (re)build
+            # the pipeline — a fresh generation OR a mid-session filter
+            # change (review finding: not just the generation's first
+            # chunk) — pays pipeline build + jit compile, minutes on a
+            # cold remote-compile tunnel, so it gets the compile-sized
+            # budget; steady chunks get the tight stall watchdog.
+            rt = self._q15_rt
+            budget = (
+                self.q15_stall_after
+                if rt is not None and rt["sig"] == self._q15_sig()
+                else self.q15_first_stall_after
             )
-        return self._q15_disp
+            xs = np.array(x, copy=True)  # loop may reuse its chunk buffer
+            with self._q15_lock:
+                # a config-off/teardown may have landed between the loop's
+                # q15_faithful check and here: do not resurrect the tap
+                # with a post-bump generation (review finding)
+                if not self.q15_faithful:
+                    return None
+                self._q15_future = (
+                    _DaemonTask(self._q15_step, xs, self._q15_gen),
+                    time.monotonic(),
+                    budget,
+                )
+            return self._q15_disp
+        except Exception as e:  # never kill acquisition
+            self._q15_disable(
+                f"q15 faithful mode disabled after error: "
+                f"{type(e).__name__}: {e}")
+            return None
 
     def _q15_disable(self, message: str):
         """Tear down the faithful tap (error/stall/config-off): bump the
@@ -475,17 +520,34 @@ class GuiBackend(CaptureMixin, DisplayMixin, ZoomMixin, AudioScanMixin):
         self.status(message, ok=False)
 
     def _q15_teardown(self):
-        self._q15_gen += 1
-        self._q15_rt = None
-        self._q15_future = None
-        self._q15_disp = None
-        self._q15_ready = False
-        if self._q15_pool is not None:
-            # a worker stuck in a degraded fetch must not block the next
-            # enable: orphan this pool (shutdown without waiting) and let
-            # a fresh one spin up lazily
-            self._q15_pool.shutdown(wait=False)
-            self._q15_pool = None
+        # Serialized against the tap's submit block: a teardown landing
+        # mid-submit still wins — the generation bump makes the just-
+        # submitted worker's commits no-ops, and its daemon thread dies
+        # with the process (never joined at exit, so a wedged degraded
+        # fetch can never block shutdown — review finding).
+        with self._q15_lock:
+            self._q15_gen += 1
+            self._q15_rt = None
+            self._q15_future = None
+            self._q15_disp = None
+
+    def _q15_sig(self) -> tuple:
+        """Cheap pipeline-rebuild signature — changes exactly when the
+        analyzer's filter routing/coefficients (or the analyzer itself)
+        change. id() of custom_sos suffices: upload_sos REPLACES the array
+        (the hot loop must not re-quantize SciPy coefficients ~30x/s just
+        to compare bytes — review finding). Every mode's signature carries
+        the analyzer identity + fft_size (review finding): if self.sa (or
+        its fft_size) is ever replaced at runtime, a cached Q15Pipeline
+        with the stale size would silently mis-frame any chunk length that
+        happens to divide the old size."""
+        mode = self.sa.filter_mode
+        base = (id(self.sa), self.sa.cfg.fft_size)
+        if mode == FilterMode.CUSTOM:
+            return ("custom", id(self.sa.custom_sos), *base)
+        if mode == FilterMode.FIXED:
+            return ("fixed", *base)
+        return ("bypass", *base)
 
     def _q15_step(self, x, gen: int | None = None) -> np.ndarray | None:
         """One chunk through the split integer pipeline; returns the last
@@ -497,22 +559,7 @@ class GuiBackend(CaptureMixin, DisplayMixin, ZoomMixin, AudioScanMixin):
         mode = self.sa.filter_mode
         if mode == FilterMode.CUSTOM and self.sa.custom_sos is None:
             return None
-        # cheap signature — rebuild the pipeline + reset its carried state
-        # only when the analyzer's filter routing/coefficients change.
-        # id() of custom_sos suffices: upload_sos REPLACES the array (the
-        # hot loop must not re-quantize SciPy coefficients ~30x/s just to
-        # compare bytes — review finding)
-        # Every mode's signature carries the analyzer identity + fft_size
-        # (review finding): if self.sa (or its fft_size) is ever replaced at
-        # runtime, a cached Q15Pipeline with the stale size would silently
-        # mis-frame any chunk length that happens to divide the old size.
-        base = (id(self.sa), self.sa.cfg.fft_size)
-        if mode == FilterMode.CUSTOM:
-            sig = ("custom", id(self.sa.custom_sos), *base)
-        elif mode == FilterMode.FIXED:
-            sig = ("fixed", *base)
-        else:
-            sig = ("bypass", *base)
+        sig = self._q15_sig()
         rt = self._q15_rt  # dict: pipe / zi (carried) / sig
         if rt is None or rt["sig"] != sig:
             if mode == FilterMode.CUSTOM:
