@@ -1058,3 +1058,50 @@ def test_q15_faithful_degraded_fetch_falls_back(server):
         backend._q15_fetch = None
         backend.q15_stall_after = 1.0
         _post(srv, "update_config", {"q15_faithful": False})
+
+
+def test_q15_rebuild_budget_tracks_pipeline_signature():
+    """Review finding: the stall watchdog must grant the compile-sized
+    budget to ANY chunk that will (re)build the integer pipeline — the
+    generation's first chunk AND a mid-session filter change (both pay
+    pipeline build + jit compile) — and the tight steady budget only when
+    the cached pipeline's signature still matches. Driven directly through
+    _q15_tap, no acquisition loop: fully deterministic."""
+    backend = GuiBackend(
+        analyzer=SpectrumAnalyzer(PipelineConfig(channels=1)),
+        source=SyntheticSource(tones_hz=((100_000.0, 0.5),), noise=0.005),
+    )
+    backend.q15_faithful = True
+    backend.set_filter_type("bypass")
+    x = np.zeros(backend.sa.cfg.fft_size, np.float32)
+
+    def wait_done(timeout=60.0):
+        deadline = time.time() + timeout
+        while time.time() < deadline:
+            f = backend._q15_future
+            if f is None or f[0].done():
+                return
+            time.sleep(0.02)
+        raise AssertionError("tap worker never completed")
+
+    # chunk 1: fresh generation -> compile budget
+    backend._q15_tap(x)
+    assert backend._q15_future[2] == backend.q15_first_stall_after
+    wait_done()
+    # chunk 2: cached pipeline, signature unchanged -> steady budget
+    backend._q15_tap(x)
+    assert backend._q15_future[2] == backend.q15_stall_after
+    wait_done()
+    # filter change: signature mismatch -> the rebuild chunk gets the
+    # compile budget again (the pre-fix code used the tight budget here
+    # and could declare a healthy tunnel degraded mid-jit)
+    backend.set_filter_type("fixed")
+    backend._q15_tap(x)
+    assert backend._q15_future[2] == backend.q15_first_stall_after
+    wait_done()
+    backend._q15_tap(x)
+    assert backend._q15_future[2] == backend.q15_stall_after
+    wait_done()
+    # teardown leaves no non-daemon machinery behind
+    backend._q15_teardown()
+    assert backend._q15_future is None and backend._q15_rt is None
