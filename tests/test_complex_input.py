@@ -178,3 +178,15 @@ def test_iq_with_hop_and_time_sharding():
         )
     assert np.array_equal(np.array(st_s.history), np.array(st_1.history))
     assert int(st_s.frame_count) == int(st_1.frame_count) == 16
+
+
+def test_process_planes_rejects_misaligned_chunk():
+    """Review finding: process_planes used to skip the frame-alignment
+    validation process() performs and died in an opaque reshape error
+    inside jit."""
+    import jax.numpy as jnp
+
+    pipe = SpectrumPipeline(PipelineConfig(channels=1))
+    st = pipe.initial_state(batch_shape=(2,))
+    with pytest.raises(ValueError, match="multiple of"):
+        pipe.process_planes(jnp.zeros((2, 1, 100), jnp.float32), st)

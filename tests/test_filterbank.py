@@ -166,3 +166,23 @@ def test_upload_rejects_a0_zero():
         pipe.upload_sos(np.array([[1.0, 0, 0, 0.0, 1.0, 0.25]]))
     with pytest.raises(ValueError, match="a0"):
         pipe.upload_sos_bank([np.array([[1.0, 0, 0, 0.0, 1.0, 0.25]])])
+
+
+def test_bank_precompute_promotes_2d_design():
+    """Review finding: np.atleast_3d APPENDS the new axis, so a single
+    (S, 6) design used to be mangled into length-1 pseudo-cascades. A 2D
+    design must build the identical 1-channel bank as the explicit
+    (1, S, 6) form, and prepare_bank must normalize it the same way."""
+    from tpu_sdr.kernels import biquad
+    from tpu_sdr.runtime import banks
+
+    sos = sps.butter(6, 0.3, output="sos")
+    op2d = biquad.precompute_composite_bank(sos)
+    op3d = biquad.precompute_composite_bank(np.asarray(sos)[None])
+    for leaf in ("T", "M", "P", "APow", "W", "ALB"):
+        np.testing.assert_array_equal(
+            np.asarray(getattr(op2d, leaf)), np.asarray(getattr(op3d, leaf))
+        )
+    b = banks.prepare_bank(sos, channels=1, n_sections=6)
+    assert b.shape == (1, 6, 6)  # padded with identity sections
+    np.testing.assert_array_equal(b[0, :3], np.asarray(sos, np.float64))

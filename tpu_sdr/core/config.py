@@ -135,6 +135,26 @@ class PipelineConfig:
     def effective_hop(self) -> int:
         return self.fft_size if self.hop is None else self.hop
 
+    def pallas_geometry_ok(self) -> bool:
+        """Whether the fused Pallas kernels apply to this configuration.
+
+        The kernels hard-code the 128x128 four-step geometry (128-lane
+        tiling, LOG2B state doublings, the HALF_K2 mirror table); every
+        other legal factorization — e.g. fft_n1=64/fft_n2=256 — takes the
+        XLA path. This single predicate is THE eligibility gate: bank
+        construction (``runtime/banks.build_bank``) and all three dispatch
+        sites in ``runtime/stream.py`` must agree, or a config builds a
+        plan it never uses — or worse, crashes building a plan the
+        dispatch gate would have skipped (review finding: fft_n1=64/
+        fft_n2=256 crashed in ``build_plan`` because the bank gate
+        omitted the n1/n2 checks the dispatch gates had)."""
+        return (
+            self.use_pallas
+            and self.fft_n1 == 128
+            and self.fft_n2 == 128
+            and self.iir_block == 128
+        )
+
     @property
     def bins_per_hz(self) -> float:
         return self.fft_size / self.sample_rate

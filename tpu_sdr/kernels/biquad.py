@@ -423,18 +423,45 @@ def _composite_frame_terms(op: BlockedSOSComposite, v, precision, canonical=True
     return y_zs, zhat_flat.reshape(*lead, B, m)
 
 
-def _composite_emit(op, y_zs, zhat, z_starts, precision):
+def alb_step(op, z, w):
+    """One frame-chain step: z' = ALB z + w (broadcasts over any leading
+    axes, including the per-channel bank's C axis in ALB (C, m, m)).
+    ``op`` is anything with an ``ALB`` leaf — ``BlockedSOSComposite`` or
+    the Pallas plan (``kernels/pallas/iir_fft.PallasSOSPlan``).
+
+    Deliberately written as elementwise mul + sum on the VPU, NOT as an
+    einsum/dot: at DEFAULT precision the (m, m) @ (m,) GEMV lowers to a
+    bf16 MXU pass on TPU whose rounding breaks the bitwise
+    chunked==one-shot / sharded==single-device contracts; the explicit
+    form stays exact f32 on the VPU at every precision (measured). Every
+    frame chain — composite, banked, time-sharded, and the hybrid scan in
+    ``runtime/stream.py`` — must use THIS helper so the contract cannot be
+    broken by one copy being 'cleaned up' into an einsum (review finding:
+    the expression used to be copy-pasted at four sites with the rationale
+    documented at only one of them)."""
+    return jnp.sum(op.ALB * z[..., None, :], axis=-1) + w
+
+
+def _composite_emit(op, y_zs, zhat, z_starts, precision, ch: str = ""):
     """Assemble outputs given per-frame start states.
 
-    z_starts: (..., F, m). Returns y (..., F, B, L).
+    z_starts: (..., F, m) — or (..., C, F, m) with ``ch="c"``, where the
+    operator leaves carry a leading per-channel axis (the banked cascade;
+    review finding: the bank path used to re-implement this assembly).
+    Returns y (..., [C,] F, B, L).
     """
     # z_end[j] = APow[j] z_start + zhat[j]; z_in[0] = z_start, else z_end[j-1].
     z_end = (
-        jnp.einsum("jab,...b->...ja", op.APow, z_starts, precision=precision)
+        jnp.einsum(
+            f"{ch}jab,...{ch}fb->...{ch}fja", op.APow, z_starts,
+            precision=precision,
+        )
         + zhat
     )
     z_in = jnp.concatenate([z_starts[..., None, :], z_end[..., :-1, :]], axis=-2)
-    return y_zs + jnp.einsum("nm,...bm->...bn", op.M, z_in, precision=precision)
+    return y_zs + jnp.einsum(
+        f"{ch}nm,...{ch}fbm->...{ch}fbn", op.M, z_in, precision=precision
+    )
 
 
 def sosfilt_blocked_composite(
@@ -460,7 +487,7 @@ def sosfilt_blocked_composite(
 
     # Sequential chain across frames: z_{f+1} = ALB z_f + zhat[f, -1].
     def step(z, w):
-        return jnp.sum(op.ALB * z[..., None, :], axis=-1) + w, z
+        return alb_step(op, z, w), z
 
     w_frames = jnp.moveaxis(zhat[..., -1, :], len(lead), 0)  # (F, ..., m)
     z_final, z_starts = jax.lax.scan(step, z0, w_frames)
@@ -483,7 +510,12 @@ def precompute_composite_bank(
     default shape), so unique-per-channel banks suit O(100) channels; larger
     channel counts should share filters (``precompute_composite``).
     """
-    sos_bank = np.atleast_3d(np.asarray(sos_bank, np.float64))
+    sos_bank = np.asarray(sos_bank, np.float64)
+    if sos_bank.ndim == 2:
+        # one (S, 6) design -> a 1-channel bank. NOT np.atleast_3d, which
+        # APPENDS the new axis ((S, 6) -> (S, 6, 1)) and mangles the rows
+        # into length-1 pseudo-cascades (review finding).
+        sos_bank = sos_bank[None]
     parts = [
         _composite_host_parts(sos_bank[c], block, frame_blocks)
         for c in range(sos_bank.shape[0])
@@ -559,7 +591,7 @@ def sosfilt_blocked_composite_bank(
     y_zs, zhat = _bank_frame_terms(op, v, precision)
 
     def step(z, w):
-        return jnp.sum(op.ALB * z[..., None, :], axis=-1) + w, z
+        return alb_step(op, z, w), z
 
     w_local = zhat[..., -1, :]  # (..., C, F, m)
     if time_axis is not None:
@@ -575,14 +607,7 @@ def sosfilt_blocked_composite_bank(
             z_starts, t_idx * F, F, axis=frame_ax
         )
 
-    z_end = (
-        jnp.einsum("cjab,...cfb->...cfja", op.APow, z_starts, precision=precision)
-        + zhat
-    )
-    z_in = jnp.concatenate(
-        [z_starts[..., None, :], z_end[..., :-1, :]], axis=-2
-    )
-    y = y_zs + jnp.einsum("cnm,...cfbm->...cfbn", op.M, z_in, precision=precision)
+    y = _composite_emit(op, y_zs, zhat, z_starts, precision, ch="c")
     return (
         y.reshape(*lead, C, F * B * L),
         z_final.reshape(*lead, C, m // 2, 2),
@@ -616,7 +641,7 @@ def sosfilt_blocked_composite_timesharded(
     w_all = jax.lax.all_gather(w_local, time_axis, axis=frame_ax, tiled=True)
 
     def step(z, w):
-        return jnp.sum(op.ALB * z[..., None, :], axis=-1) + w, z
+        return alb_step(op, z, w), z
 
     wF = jnp.moveaxis(w_all, frame_ax, 0)
     z_final, z_starts_all = jax.lax.scan(step, z0, wF)

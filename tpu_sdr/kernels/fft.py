@@ -106,9 +106,12 @@ def fft_4step(
 
 
 def ifft_4step(xr, xi, plan, precision=Precision.HIGHEST):
-    """Inverse DFT via conjugation: ifft(x) = conj(fft(conj(x))) / N."""
+    """Inverse DFT via conjugation: ifft(x) = conj(fft(conj(x))) / N.
+
+    ``xi=None`` means a real input, matching ``fft_4step``'s convention
+    (review finding: the unary ``-xi`` used to raise a bare TypeError)."""
     n = xr.shape[-1]
-    yr, yi = fft_4step(xr, -xi, plan, precision)
+    yr, yi = fft_4step(xr, None if xi is None else -xi, plan, precision)
     return yr / n, -yi / n
 
 

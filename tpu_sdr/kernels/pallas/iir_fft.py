@@ -103,36 +103,36 @@ def build_plan(
     if block != 128 or frame_blocks != 128:
         # The kernels hard-code the 128x128 geometry (LOG2B doublings, the
         # frame scatter/gather, lane tiling); other factorizations take the
-        # XLA path (see stream.py's pallas_ok gate).
+        # XLA path (see PipelineConfig.pallas_geometry_ok, the single gate
+        # banks.build_bank and stream.py share).
         raise ValueError(
             f"Pallas plan requires block=frame_blocks=128, got "
             f"{block}x{frame_blocks}"
         )
-    A, Bv, C, D = biquad.sos_to_composite_statespace(sos)
-    m = A.shape[0]
+    n1_plan = fft_plan["w1r"].shape[0]
+    n2_plan = fft_plan["w2r"].shape[0]
+    if n1_plan != 128 or n2_plan != 128:
+        # Same geometry constraint for the FFT factorization: the lane
+        # tiling and the HALF_K2 mirror table assume 128x128 (review
+        # finding: fft_n1=64/fft_n2=256 used to crash below in half_rows
+        # with a negative-pad ValueError instead of this clear message).
+        raise ValueError(
+            f"Pallas plan requires the 128x128 four-step FFT, got "
+            f"fft_n1={n1_plan}, fft_n2={n2_plan}"
+        )
+    # Host-side f64 IIR constants: ONE implementation, shared with the XLA
+    # composite operator (biquad._composite_host_parts) so the two paths
+    # can never drift (review finding: ~20 lines of this math used to be
+    # duplicated here). The kernel's in-kernel Hillis-Steele doublings
+    # need AL^(2^j) and AL^B — rows of the same alpows stack.
+    T, M, P, alpows = biquad._composite_host_parts(sos, block, frame_blocks)
+    m = M.shape[-1]
     L = block
     B = frame_blocks
     G = MAX_GROUP
-
-    pows = np.empty((L + 1, m, m))
-    pows[0] = np.eye(m)
-    for k in range(1, L + 1):
-        pows[k] = A @ pows[k - 1]
-
-    h = np.empty(L)
-    h[0] = D
-    h[1:] = np.einsum("i,kij,j->k", C, pows[: L - 1], Bv)
-    delta = np.arange(L)[:, None] - np.arange(L)[None, :]
-    T = np.where(delta >= 0, h[np.clip(delta, 0, L - 1)], 0.0)
-
-    M = np.einsum("i,nij->nj", C, pows[:L])  # (L, m)
-    P = np.einsum("kij,j->ik", pows[L - 1 :: -1], Bv)  # (m, L)
-
-    AL = pows[L]
-    alpow = [AL]
-    for _ in range(LOG2B - 1):
-        alpow.append(alpow[-1] @ alpow[-1])
-    ALB = alpow[-1] @ alpow[-1]
+    AL = alpows[1]
+    alpow = [alpows[2 ** j] for j in range(LOG2B)]
+    ALB = alpows[B]
 
     # Frame-start scatter / frame-end gather for a group of G frames.
     U = np.zeros((G * B, G))
@@ -169,8 +169,13 @@ def build_plan(
         V=as_j(V),
         EYE=as_j(np.eye(m, 128)),
         win=jnp.asarray(win, dtype).reshape(n2, n1),
-        w1r=fft_plan["w1r"], w1i=fft_plan["w1i"],
-        w2r=fft_plan["w2r"], w2i=fft_plan["w2i"],
+        # cast like every other leaf (review finding: these four used to
+        # pass through at the fft_plan's dtype, so a non-default ``dtype``
+        # produced a mixed-precision plan); a no-op for the default f32.
+        w1r=jnp.asarray(fft_plan["w1r"], dtype),
+        w1i=jnp.asarray(fft_plan["w1i"], dtype),
+        w2r=jnp.asarray(fft_plan["w2r"], dtype),
+        w2i=jnp.asarray(fft_plan["w2i"], dtype),
         twr=twr, twi=twi,
         w2r_h=half_rows(fft_plan["w2r"]),
         w2i_h=half_rows(fft_plan["w2i"]),

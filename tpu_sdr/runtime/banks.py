@@ -46,7 +46,12 @@ def prepare_bank(sos_bank, channels: int, n_sections: int) -> np.ndarray:
     if isinstance(sos_bank, (list, tuple)):
         bank_list = [np.atleast_2d(np.asarray(s, np.float64)) for s in sos_bank]
     else:
-        arr = np.atleast_3d(np.asarray(sos_bank, np.float64))
+        arr = np.asarray(sos_bank, np.float64)
+        if arr.ndim == 2:
+            # one (S, 6) design -> a 1-channel bank. NOT np.atleast_3d,
+            # which APPENDS the axis ((S, 6) -> (S, 6, 1)) and mangles the
+            # rows into length-1 pseudo-cascades (review finding).
+            arr = arr[None]
         bank_list = [arr[c] for c in range(arr.shape[0])]
     if len(bank_list) != channels:
         raise ValueError(
@@ -65,7 +70,11 @@ def build_bank(cfg: PipelineConfig, hann_w, fft_plan, sos) -> dict:
     """Build one {op, pp} filter bank for a shared (non-per-channel) cascade."""
     fb = cfg.fft_size // cfg.iir_block
     bank = {"op": biquad.precompute_composite(sos, cfg.iir_block, fb)}
-    if cfg.use_pallas and cfg.iir_block == 128 and fb == 128:
+    # THE eligibility predicate — must match stream.py's dispatch gates
+    # (review finding: this gate used to omit the fft_n1/fft_n2 checks, so
+    # a legal fft_n1=64/fft_n2=256 config crashed in build_plan instead of
+    # falling back to the XLA path the dispatch would have taken).
+    if cfg.pallas_geometry_ok():
         from tpu_sdr.kernels.pallas import iir_fft
 
         bank["pp"] = iir_fft.build_plan(sos, hann_w, fft_plan, cfg.iir_block, fb)

@@ -84,6 +84,25 @@ def _finalize_bf16_io(cfg: PipelineConfig, out: dict) -> dict:
     return out
 
 
+def _decode_outputs(cfg: PipelineConfig, fr, fi, outputs: str) -> dict:
+    """Spectrum decode shared by every XLA path (non-hop, hop, complex).
+
+    One place owns the outputs vocabulary AND the bf16_io finalize, so the
+    output dict can never become execution-path-dependent — exactly the
+    class of bug ``_finalize_bf16_io`` exists to prevent (review finding:
+    this block used to be copy-pasted at three dispatch sites)."""
+    out = {}
+    if outputs in ("magnitude", "all"):
+        out["magnitude"] = magnitude.magnitude(fr, fi)
+    if outputs in ("complex", "all"):
+        out["re"], out["im"] = fr, fi
+    if outputs in ("power", "all"):
+        out["power"] = magnitude.power(fr, fi)
+    if outputs in ("phase", "all"):
+        out["phase"] = magnitude.phase(fr, fi)
+    return _finalize_bf16_io(cfg, out)
+
+
 def _iir_precision(cfg: PipelineConfig):
     """XLA IIR precision in the hybrid structure (HIGH for the f32 tier)."""
     return Precision.HIGH if cfg.dtype == "f32" else _precision(cfg)
@@ -150,13 +169,7 @@ def process_stream(
     t_global = t if time_axis is None else t * jax.lax.psum(1, time_axis)
     n_frames_global = t_global // n
 
-    pallas_ok = (
-        cfg.use_pallas
-        and outputs == "magnitude"
-        and cfg.fft_n1 == 128
-        and cfg.fft_n2 == 128
-        and cfg.iir_block == 128
-    )
+    pallas_ok = cfg.pallas_geometry_ok() and outputs == "magnitude"
 
     out = {}
     if pallas_ok:
@@ -212,9 +225,9 @@ def process_stream(
             z0 = state.sos_state.reshape(*lead, m)
 
             def step(z, wf):
-                # elementwise matvec: exact f32 on the VPU (a bare einsum
-                # would lower to bf16 MXU passes on TPU)
-                return jnp.sum(pp.ALB * z[..., None, :], axis=-1) + wf, z
+                # biquad.alb_step: exact f32 VPU matvec (a bare einsum
+                # would lower to bf16 MXU passes on TPU — see the helper)
+                return biquad.alb_step(pp, z, wf), z
 
             wF = jnp.moveaxis(w, len(lead), 0)
             z_final, z_starts = jax.lax.scan(step, z0, wF)
@@ -251,15 +264,7 @@ def process_stream(
         #    src/command_control.vhd:123) + output decode.
         frames = y.reshape(*lead, n_frames, n)
         fr, fi = fft.fft_4step(frames, None, plan, precision=prec)
-        if outputs in ("magnitude", "all"):
-            out["magnitude"] = magnitude.magnitude(fr, fi)
-        if outputs in ("complex", "all"):
-            out["re"], out["im"] = fr, fi
-        if outputs in ("power", "all"):
-            out["power"] = magnitude.power(fr, fi)
-        if outputs in ("phase", "all"):
-            out["phase"] = magnitude.phase(fr, fi)
-        out = _finalize_bf16_io(cfg, out)
+        out = _decode_outputs(cfg, fr, fi, outputs)
 
     new_state = StreamState(
         sos_state=zf,
@@ -333,13 +338,7 @@ def _process_stream_hop(
 
     # 3. Window + FFT + decode.
     out = {}
-    pallas_ok = (
-        cfg.use_pallas
-        and outputs == "magnitude"
-        and cfg.fft_n1 == 128
-        and cfg.fft_n2 == 128
-        and cfg.iir_block == 128
-    )
+    pallas_ok = cfg.pallas_geometry_ok() and outputs == "magnitude"
     if pallas_ok:
         from tpu_sdr.kernels.pallas import iir_fft
 
@@ -357,15 +356,7 @@ def _process_stream_hop(
     else:
         xw = frames * hann_w
         fr, fi = fft.fft_4step(xw, None, plan, precision=prec)
-        if outputs in ("magnitude", "all"):
-            out["magnitude"] = magnitude.magnitude(fr, fi)
-        if outputs in ("complex", "all"):
-            out["re"], out["im"] = fr, fi
-        if outputs in ("power", "all"):
-            out["power"] = magnitude.power(fr, fi)
-        if outputs in ("phase", "all"):
-            out["phase"] = magnitude.phase(fr, fi)
-        out = _finalize_bf16_io(cfg, out)
+        out = _decode_outputs(cfg, fr, fi, outputs)
 
     new_state = StreamState(
         sos_state=zf,
@@ -409,12 +400,9 @@ def process_stream_complex(
     """
     n = cfg.fft_size
     pallas_ok = (
-        cfg.use_pallas
+        cfg.pallas_geometry_ok()
         and outputs == "magnitude"
         and cfg.effective_hop == n
-        and cfg.fft_n1 == 128
-        and cfg.fft_n2 == 128
-        and cfg.iir_block == 128
     )
     if pallas_ok:
         from tpu_sdr.kernels.pallas import iir_fft
@@ -469,16 +457,7 @@ def process_stream_complex(
     )
     fr = out["re"][0] - out["im"][1]
     fi = out["im"][0] + out["re"][1]
-    res = {}
-    if outputs in ("magnitude", "all"):
-        res["magnitude"] = magnitude.magnitude(fr, fi)
-    if outputs in ("complex", "all"):
-        res["re"], res["im"] = fr, fi
-    if outputs in ("power", "all"):
-        res["power"] = magnitude.power(fr, fi)
-    if outputs in ("phase", "all"):
-        res["phase"] = magnitude.phase(fr, fi)
-    res = _finalize_bf16_io(cfg, res)
+    res = _decode_outputs(cfg, fr, fi, outputs)
     # Counters are scalars derived from T, so the stacked planes advance the
     # global stream exactly once — new_state is already correct.
     return res, new_state
@@ -631,6 +610,14 @@ class SpectrumPipeline:
             raise ValueError(
                 "plane-stacked input needs the re/im-stacked state: create "
                 "it with initial_state(batch_shape=(2,))"
+            )
+        if xs.shape[-1] % self.cfg.fft_size:
+            # same frame-aligned contract process() enforces (review
+            # finding: without it a misaligned chunk died in an opaque
+            # reshape error deep inside jit)
+            raise ValueError(
+                f"stream chunk length {xs.shape[-1]} must be a multiple of "
+                f"fft_size={self.cfg.fft_size} (frame-aligned dispatch)"
             )
         fn = self._fn(_MODE_TO_INDEX[FilterMode(mode)], outputs, True)
         return fn(
