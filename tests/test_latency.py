@@ -57,3 +57,14 @@ def test_latency_fixed_mode_and_validation(pipes):
     assert mag.shape == (N,) and np.all(np.array(mag) == 0.0)
     with pytest.raises(ValueError, match="single-stream"):
         LatencyPipeline(PipelineConfig(channels=2))
+
+
+def test_latency_rejects_iir_block_fft_n1_mismatch():
+    """Review finding: the latency engine's IIR blocks are the (n2, n1)
+    view's rows, so iir_block must equal fft_n1 — a legal throughput
+    config violating it used to die in a cryptic einsum error at the
+    first filtered frame; now the constructor says why."""
+    with pytest.raises(ValueError, match="iir_block == fft_n1"):
+        LatencyPipeline(
+            PipelineConfig(fft_n1=64, fft_n2=256, iir_block=128)
+        )

@@ -250,3 +250,30 @@ def test_sharded_equals_single_device_bf16_io(mesh_shape):
     assert np.array_equal(
         np.array(st_s.sos_state), np.array(st_1.sos_state)
     )
+
+
+def test_friendly_channel_divisibility_error():
+    """Review finding: a channels count that doesn't divide the mesh's
+    channel axis used to pay the full mesh transfer and die as a cryptic
+    GSPMD error; now it's a friendly ValueError BEFORE the put."""
+    mesh = make_sdr_mesh(channel=4, time=2)
+    pipe = ShardedSpectrumPipeline(PipelineConfig(channels=6), mesh)
+    x = np.zeros((6, 2 * 16384), np.float32)
+    with pytest.raises(ValueError, match="channel axis"):
+        pipe.process(x, pipe.initial_state())
+
+    from tpu_sdr.kernels.fastconv import FastFIR
+    from tpu_sdr.shard import ShardedFastFIR
+
+    sff = ShardedFastFIR(
+        FastFIR(sps.firwin(65, 0.3), nfft=1024, block=512), mesh
+    )
+    with pytest.raises(ValueError, match="channel axis"):
+        sff.process(
+            np.zeros((6, 2 * 512), np.float32), sff.initial_state((6,))
+        )
+    # and the per-shard block message names both quantities coherently
+    with pytest.raises(ValueError, match="chunk_granularity=1024"):
+        sff.process(
+            np.zeros((4, 2 * 256), np.float32), sff.initial_state((4,))
+        )

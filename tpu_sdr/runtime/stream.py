@@ -315,18 +315,17 @@ def _process_stream_hop(
         new_history = jnp.concatenate([state.history, y], axis=-1)[..., t:]
         n_shards = 1
     else:
+        # the canonical one-ppermute exchange (shard/halo.py — review
+        # finding: this used to be an inline copy of that pattern); the
+        # carried history comes back replicated, keeping the state
+        # replication contract bit-identical on every shard.
+        from tpu_sdr.shard.halo import left_halo
+
         n_shards = jax.lax.psum(1, time_axis)
         tail = y[..., t - hist :]  # (..., hist)
-        left = jax.lax.ppermute(
-            tail, time_axis, [(i, i + 1) for i in range(n_shards - 1)]
+        left, new_history = left_halo(
+            tail, state.history, n_shards, axis_name=time_axis
         )
-        left = jnp.where(
-            jax.lax.axis_index(time_axis) == 0, state.history, left
-        )
-        # Global stream tail -> replicated carried history (bit-identical on
-        # every shard, keeping the state replication contract).
-        tails = jax.lax.all_gather(tail, time_axis, axis=0)
-        new_history = tails[n_shards - 1]
     ext = jnp.concatenate([left, y], axis=-1)  # (..., hist + t)
     frames = jnp.stack(
         [

@@ -19,6 +19,7 @@ import functools
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.sharding import NamedSharding, PartitionSpec as P
 
 from tpu_sdr.kernels.pfb import Channelizer, _forward
@@ -91,9 +92,15 @@ class ShardedChannelizer:
 
     def shard_input(self, x, iq: bool) -> jax.Array:
         lead = (None,) if iq else ()
+        # host input: ONE device_put with the target sharding (no default-
+        # device hop); device input: reshard (see pipeline.shard_input)
+        if isinstance(x, jax.Array):
+            if x.dtype != jnp.float32:
+                x = x.astype(jnp.float32)
+        else:
+            x = np.asarray(x, np.float32)
         return jax.device_put(
-            jnp.asarray(x, jnp.float32),
-            NamedSharding(self.mesh, P(*lead, "channel", "time")),
+            x, NamedSharding(self.mesh, P(*lead, "channel", "time")),
         )
 
     def _check(self, xs, state, iq: bool):
@@ -102,6 +109,12 @@ class ShardedChannelizer:
             raise ValueError(
                 f"T={xs.shape[-1]} must divide over {self.mesh.shape['time']} "
                 "time shards"
+            )
+        cd = self.mesh.shape["channel"]
+        if xs.shape[-2] % cd:
+            raise ValueError(
+                f"channels ({xs.shape[-2]}) must be a multiple of the mesh "
+                f"channel axis ({cd})"
             )
         if t_loc % self.ch.m:
             raise ValueError(
@@ -118,7 +131,8 @@ class ShardedChannelizer:
 
     def process(self, x, state, outputs: str = "complex"):
         """Real-input sharded channelization: x (C, T)."""
-        x = jnp.asarray(x, jnp.float32)
+        if not isinstance(x, jax.Array):
+            x = np.asarray(x, np.float32)
         self._check(x, state, iq=False)  # friendly errors BEFORE the put
         x = self.shard_input(x, iq=False)
         return self._fn(False, outputs)(
@@ -127,7 +141,8 @@ class ShardedChannelizer:
 
     def process_planes(self, xs, state_planes, outputs: str = "complex"):
         """IQ-input sharded channelization: xs (2, C, T) re/im planes."""
-        xs = jnp.asarray(xs, jnp.float32)
+        if not isinstance(xs, jax.Array):
+            xs = np.asarray(xs, np.float32)
         self._check(xs, state_planes, iq=True)
         xs = self.shard_input(xs, iq=True)
         return self._fn(True, outputs)(

@@ -5,7 +5,7 @@ collective boundary-state exchange. On a real pod slice:
 
     import tpu_sdr.shard.distributed as dist
     dist.initialize()                       # jax.distributed under the hood
-    mesh = dist.pod_mesh(channel_per_host=...)  # DCN-aware axis layout
+    mesh = dist.pod_mesh(channel=...)       # DCN-aware axis layout
     pipe = ShardedSpectrumPipeline(cfg, mesh)
 
 Axis placement: the ``channel`` axis never communicates, so it maps to the
@@ -31,14 +31,33 @@ def initialize(
     coordinator_address: str | None = None,
     num_processes: int | None = None,
     process_id: int | None = None,
+    auto: bool = False,
 ):
     """Bring up jax.distributed (no-op when single-process).
 
-    Arguments default to the standard env (TPU pod metadata or
-    JAX_COORDINATOR_ADDRESS / JAX_NUM_PROCESSES / JAX_PROCESS_ID).
+    Three ways in (review finding: the previous defaults implemented
+    none of its documented ones correctly):
+
+    - explicit arguments (what ``tests/dist_worker.py`` uses);
+    - the ``JAX_COORDINATOR_ADDRESS`` / ``JAX_NUM_PROCESSES`` /
+      ``JAX_PROCESS_ID`` env triple — read HERE and forwarded, because
+      jax's own initialize() does not read ``JAX_PROCESS_ID`` (verified
+      against jax 0.9.0's ``jax._src.distributed``: only cluster
+      auto-detect or explicit args supply the process id);
+    - ``auto=True`` on a real TPU pod slice: defer entirely to
+      ``jax.distributed.initialize()``'s cluster auto-detection (TPU
+      metadata service), which needs NO env and discovers
+      coordinator/process-count/process-id itself.
     """
+    if auto:
+        jax.distributed.initialize()
+        return True
+    if coordinator_address is None:
+        coordinator_address = os.environ.get("JAX_COORDINATOR_ADDRESS")
     if num_processes is None:
         num_processes = int(os.environ.get("JAX_NUM_PROCESSES", "1"))
+    if process_id is None and "JAX_PROCESS_ID" in os.environ:
+        process_id = int(os.environ["JAX_PROCESS_ID"])
     if num_processes <= 1 and coordinator_address is None:
         return False  # single process: nothing to do
     if os.environ.get("JAX_PLATFORMS", "").strip().lower() == "cpu":

@@ -15,6 +15,7 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.sharding import NamedSharding, PartitionSpec as P
 
 from tpu_sdr.kernels.fastconv import FastFIR, FastFIRState, _fastfir_forward
@@ -26,7 +27,8 @@ class ShardedFastFIR:
 
     Input: real ``(C, T)`` or IQ planes ``(2, C, T)``; C must divide
     over the mesh's channel axis, and each time shard's slice must be a
-    multiple of ``chunk_granularity`` and at least ``history`` long.
+    multiple of ``block`` — i.e. T a multiple of ``chunk_granularity``
+    (= block x time_shards) — and at least ``history`` long.
     """
 
     def __init__(self, f: FastFIR, mesh: jax.sharding.Mesh):
@@ -97,9 +99,18 @@ class ShardedFastFIR:
                 f"T={t} must divide over {t_shards} time shards")
         t_loc = t // t_shards
         if t_loc % self.f.block:
+            # message names the same quantity chunk_granularity reports
+            # (review finding: it used to call the per-shard block size
+            # 'chunk_granularity', contradicting the property)
             raise ValueError(
-                f"per-shard slice {t_loc} not a multiple of "
-                f"chunk_granularity={self.f.block}")
+                f"per-shard slice {t_loc} not a multiple of block="
+                f"{self.f.block}; chunk T must be a multiple of "
+                f"chunk_granularity={self.chunk_granularity}")
+        cd = self.mesh.shape["channel"]
+        if shape[-2] % cd:
+            raise ValueError(
+                f"channels ({shape[-2]}) must be a multiple of the mesh "
+                f"channel axis ({cd})")
         if t_loc < self.f.history:
             raise ValueError(
                 f"per-shard slice {t_loc} shorter than the halo "
@@ -111,16 +122,23 @@ class ShardedFastFIR:
 
     def _shard_input(self, x, iq: bool):
         lead = (None,) if iq else ()
+        # host input: ONE device_put with the target sharding (no default-
+        # device hop); device input: reshard (see pipeline.shard_input)
+        if isinstance(x, jax.Array):
+            if x.dtype != jnp.float32:
+                x = x.astype(jnp.float32)
+        else:
+            x = np.asarray(x, np.float32)
         return jax.device_put(
-            jnp.asarray(x, jnp.float32),
-            NamedSharding(self.mesh, P(*lead, "channel", "time")))
+            x, NamedSharding(self.mesh, P(*lead, "channel", "time")))
 
     def process(self, x, state: FastFIRState):
         """Real sharded filtering: x (C, T) -> (out (C, T), new state)."""
         if self.f.complex_taps:
             raise ValueError(
                 "complex taps produce IQ output; use process_planes")
-        x = jnp.asarray(x, jnp.float32)
+        if not isinstance(x, jax.Array):
+            x = np.asarray(x, np.float32)
         self._check(x.shape, state, iq=False)
         out, tail = self._fn(False)(
             self._shard_input(x, False), state.tail,
@@ -129,7 +147,8 @@ class ShardedFastFIR:
 
     def process_planes(self, planes, state: FastFIRState):
         """IQ sharded filtering: planes (2, C, T) -> (planes, state)."""
-        planes = jnp.asarray(planes, jnp.float32)
+        if not isinstance(planes, jax.Array):
+            planes = np.asarray(planes, np.float32)
         if planes.shape[0] != 2:
             raise ValueError(
                 f"planes must be (2, C, T); got {tuple(planes.shape)}")

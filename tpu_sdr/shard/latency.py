@@ -62,6 +62,17 @@ class LatencyPipeline:
             raise ValueError(
                 f"mesh size {self.D} must divide n1={n1} and n2={n2}"
             )
+        if self.cfg.iir_block != n1:
+            # The latency engine's IIR blocks are the rows of the (n2, n1)
+            # view, so the composite operator's block length must equal
+            # fft_n1 (review finding: a legal fft_n1=64/iir_block=128
+            # config used to die in a cryptic einsum shape error deep
+            # inside shard_map at the first filtered frame).
+            raise ValueError(
+                f"latency mode requires iir_block == fft_n1 (the IIR "
+                f"blocks are the frame's rows); got iir_block="
+                f"{self.cfg.iir_block}, fft_n1={n1}"
+            )
         self.b_loc = n2 // self.D  # contiguous blocks per device
         self.hann2d = window.hann_coefficients(
             self.cfg.fft_size, self.cfg.rtl_faithful_window
@@ -109,7 +120,8 @@ class LatencyPipeline:
             w_all = jax.lax.all_gather(w_dev, ax)  # (D, m) replicated
 
             def step(z, w):
-                return jnp.sum(op.ALB * z[None, :], axis=-1) + w, z
+                # biquad.alb_step: the one exact-f32 VPU frame-chain step
+                return biquad.alb_step(op, z, w), z
 
             z0 = zi.reshape(m)
             zf, z_starts = jax.lax.scan(step, z0, w_all)

@@ -124,7 +124,8 @@ class ShardedSpectrumPipeline:
         }[outputs]
 
         # With a single time shard there is nothing to exchange; skip the
-        # collectives entirely (also what per-channel banks require).
+        # collectives entirely. (Per-channel banks fully support time
+        # sharding too — test_banked_time_sharded_equals_single.)
         time_axis = "time" if self.mesh.shape["time"] > 1 else None
         body = functools.partial(
             process_stream_complex if complex_input else process_stream,
@@ -180,7 +181,18 @@ class ShardedSpectrumPipeline:
             return jax.device_put(
                 xs, NamedSharding(self.mesh, P(None, "channel", "time"))
             )
-        x = jnp.asarray(x, jnp.float32)
+        # Host input goes up in ONE device_put with the target sharding,
+        # like the complex branch above (review finding: jnp.asarray-then-
+        # device_put first committed the whole chunk to the default device
+        # and paid a second placement hop; per CLAUDE.md transfer
+        # discipline, host<->device ops are priced per-OPERATION on this
+        # tunnel). Already-device-resident arrays keep the reshard path —
+        # np.asarray would drag them back through the host.
+        if isinstance(x, jax.Array):
+            if x.dtype != jnp.float32:
+                x = x.astype(jnp.float32)
+        else:
+            x = np.asarray(x, np.float32)
         if x.ndim == 1:
             x = x[None, :]
         return jax.device_put(
@@ -212,6 +224,14 @@ class ShardedSpectrumPipeline:
             raise ValueError(
                 f"stream chunk length {np.shape(x)[-1]} must be a multiple "
                 f"of time_shards*fft_size = {tpd}"
+            )
+        cd = self.mesh.shape["channel"]
+        if self.cfg.channels % cd:
+            # same friendly-error rule for the channel axis (review
+            # finding: this one used to fall through to the GSPMD error)
+            raise ValueError(
+                f"channels ({self.cfg.channels}) must be a multiple of the "
+                f"mesh channel axis ({cd})"
             )
         x = self.shard_input(x)
         fn = self._fn(
