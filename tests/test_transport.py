@@ -336,3 +336,70 @@ def test_packets_to_frame_rejects_invalid_count_byte():
     pkts[3] = bytes([200]) + pkts[3][1:]
     with pytest.raises(ValueError, match="invalid count byte"):
         packets_to_frame(pkts)
+
+
+def test_native_f64_quantization_matches_fallback_oracle():
+    """Review finding: the native path coerced float64 spectra to f32
+    before quantizing while the NumPy fallback rounds in f64 — a 1-LSB
+    wire difference between hosts with and without a C++ toolchain. Now
+    non-f32 input routes through the f64 oracle on both."""
+    from tpu_sdr.transport import framing
+
+    rng = np.random.default_rng(7)
+    re = rng.standard_normal(framing.N_BINS) * 3000.0  # float64
+    im = rng.standard_normal(framing.N_BINS) * 3000.0
+    assert native.spectrum_to_frame_bytes(re, im, 1.0) == \
+        framing.spectrum_to_frame_bytes(re, im, 1.0)
+    # f32 input keeps native/fallback parity too
+    re32, im32 = re.astype(np.float32), im.astype(np.float32)
+    assert native.spectrum_to_frame_bytes(re32, im32, 1.0) == \
+        framing.spectrum_to_frame_bytes(re32, im32, 1.0)
+
+
+def test_native_assemble_rejects_mixed_length_payloads():
+    """Review finding: a 1024+1026-byte pair sums to 2*1025 and passed the
+    native path's total-length check, then was misparsed at fixed strides.
+    Both paths now validate per-payload."""
+    good = bytes([0]) + bytes(1024)
+    with pytest.raises(ValueError, match="1025"):
+        native.assemble_payloads([good[:1024], good + b"\x00"])
+
+
+def test_wrong_size_datagram_counts_in_stats():
+    """Review finding: the receiver's early size pre-check bypassed the
+    assembler's packets_dropped accounting, freezing every stat at zero
+    for a mis-sized sender."""
+    from tpu_sdr.transport.udp_stream import UdpSpectrumReceiver
+
+    rx = UdpSpectrumReceiver(port=0, expected_src=None, on_frame=lambda *a: None)
+    try:
+        before = rx.assembler.packets_dropped
+        rx._handle_packet(b"\x00" * 1024, ("127.0.0.1", 5005))  # short
+        assert rx.assembler.packets_dropped == before + 1
+    finally:
+        rx.stop()
+
+
+def test_native_sender_survives_port_unreachable():
+    """Review finding: the connected native UDP socket surfaced the
+    receiver's ICMP port-unreachable as ECONNREFUSED on the next send,
+    crashing the fire-and-forget streaming loop the moment the GUI
+    detached; the sendto fallback never sees this. Both paths must keep
+    streaming with nobody listening."""
+    import time as _time
+
+    if not native.udp_available():
+        pytest.skip("native UDP not built")
+    from tpu_sdr.transport.udp_stream import UdpSpectrumSender
+
+    # a localhost port with no receiver bound
+    tx = UdpSpectrumSender("127.0.0.1", 49999, use_native=True)
+    try:
+        assert tx._native is not None
+        frame = bytes(64 * 1024)
+        for _ in range(4):  # ICMP error lands after the first send
+            tx.send_frame_bytes(frame)
+            _time.sleep(0.05)
+        assert tx.frames_sent == 4
+    finally:
+        tx.close()

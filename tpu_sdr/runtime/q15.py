@@ -79,10 +79,22 @@ class Q15Pipeline:
     def upload_sos_q(self, sos_x64: np.ndarray):
         """Quantized coefficients, int8 x64 (the wire format's payload)."""
         sos_x64 = np.atleast_2d(np.asarray(sos_x64))
-        self.sos_q = biquad.pad_sos(
+        sos_q = biquad.pad_sos(
             sos_x64.astype(np.float64) / qf.COEFF_SCALE, self.cfg.n_sections
         ) * qf.COEFF_SCALE
-        self.sos_q = np.rint(self.sos_q).astype(np.int32)
+        sos_q = np.rint(sos_q).astype(np.int32)
+        if np.any(sos_q[:, 3] != qf.COEFF_SCALE):
+            # The integer recurrence assumes a0 == 64 (the designer always
+            # emits it; golden.sosfilt_q15_intended, the native C++ filter,
+            # and the split path all reject anything else). Validate HERE
+            # so the all-jit path can't silently produce non-faithful bits
+            # for the same coefficients the split path raises on (review
+            # finding).
+            raise ValueError(
+                f"a0 must be {qf.COEFF_SCALE} (x64 normalized) in every "
+                f"section; got {sos_q[:, 3].tolist()}"
+            )
+        self.sos_q = sos_q
 
     def _process(self, x_q15, zi, sos_q):
         n = self.cfg.fft_size
@@ -155,22 +167,10 @@ class Q15Pipeline:
                 display=display,
             )
             return out, np.asarray(zi)
-        if self.sos_q is None:
-            raise ValueError("upload_sos_q first")
-        ys, xw, zflat = self._host_stage(x, zi)
-        out = self._fft_jit(
-            jnp.asarray(ys.reshape(*lead, -1, n)), bypass=False,
-            display=display,
-        )
-        out = dict(out)
-        # FRAMED (*lead, F, n), matching the all-jit path's output contract.
-        # These are HOST-side products — returned as NumPy, never shipped
-        # to the device (each needless upload costs one tunnel round trip
-        # per chunk; measured 100s of ms in degraded windows, which took
-        # the filtered live mode from ~12 MSPS to 1.7)
-        out["windowed_q15"] = xw.reshape(*lead, -1, n)
-        out["filtered_q15"] = ys.reshape(*lead, -1, n)
-        return out, zflat.reshape(*lead, self.cfg.n_sections, 2)
+        # identical to process_async from here (review finding: this used
+        # to be a line-for-line copy of it, incl. the transfer-discipline
+        # rationale for returning the host products as NumPy)
+        return self.process_async(x, zi, display=display)
 
     def _host_stage(self, x, zi):
         """The per-sample host half of the filtered split path: fused
@@ -322,6 +322,12 @@ class Q15Stream:
                 f"chunk length {t} must be a multiple of "
                 f"fft_size={self.pipe.cfg.fft_size}"
             )
+        # Defensive copy: the host stage runs LATER on the worker thread
+        # over this buffer, and np.asarray is no-copy for contiguous int16
+        # — a caller that refills one chunk buffer in place would race the
+        # worker and tear samples, silently breaking the bit-identical
+        # contract (review finding).
+        x_q15 = np.array(x_q15, copy=True)
         zi = self.zf
         # State must thread chunk-to-chunk: the host stage is sequential.
         # The single worker executes submissions in order, so chaining

@@ -84,14 +84,11 @@ def frame_bytes_from_q15(re_q: np.ndarray, im_q: np.ndarray) -> bytes:
 def spectrum_to_frame_bytes(
     re: np.ndarray, im: np.ndarray, scale: float | None = None
 ) -> bytes:
-    """One complex spectrum (N bins) -> the 65,536-byte wire frame."""
-    re_q, im_q = quantize_spectrum_q15(re, im, scale)
-    if re_q.shape[-1] != N_BINS:
-        raise ValueError(f"expected {N_BINS} bins, got {re_q.shape[-1]}")
-    inter = np.empty(2 * N_BINS, dtype="<i2")
-    inter[0::2] = re_q
-    inter[1::2] = im_q
-    return inter.tobytes()
+    """One complex spectrum (N bins) -> the 65,536-byte wire frame.
+
+    Composes the two primitives so the wire interleave (the byte-
+    compatibility invariant) lives in exactly one place (review finding)."""
+    return frame_bytes_from_q15(*quantize_spectrum_q15(re, im, scale))
 
 
 def decode_frame(frame: bytes):

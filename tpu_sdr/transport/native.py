@@ -8,6 +8,7 @@ which double as the correctness oracle in tests/test_native.py.
 from __future__ import annotations
 
 import ctypes
+import errno
 import os
 import subprocess
 import threading
@@ -149,12 +150,18 @@ def spectrum_to_frame_bytes(re, im, scale: float | None = None) -> bytes:
 
         scale = XFFT_WIRE_SCALE
     lib = _load()
-    if lib is None:
+    re_a = np.asarray(re)
+    im_a = np.asarray(im)
+    if lib is None or re_a.dtype != np.float32 or im_a.dtype != np.float32:
+        # No native lib — or a non-f32 input: float64 spectra must round
+        # in f64 exactly like the NumPy path, not be coerced to f32 first
+        # (review finding: the coercion produced 1-LSB wire differences
+        # between hosts with and without a C++ toolchain).
         from tpu_sdr.transport.framing import spectrum_to_frame_bytes as py
 
-        return py(re, im, scale)
-    re = np.ascontiguousarray(re, dtype=np.float32)
-    im = np.ascontiguousarray(im, dtype=np.float32)
+        return py(re_a, im_a, scale)
+    re = np.ascontiguousarray(re_a, dtype=np.float32)
+    im = np.ascontiguousarray(im_a, dtype=np.float32)
     if re.shape != im.shape or re.ndim != 1:
         raise ValueError(f"re/im must be equal-length 1-D, got {re.shape}/{im.shape}")
     from tpu_sdr.transport.framing import N_BINS
@@ -228,9 +235,13 @@ def assemble_payloads(payloads, data_size: int = 1024):
             b"".join(s if s is not None else b"\0" * data_size for s in slots),
             filled,
         )
+    for p in payloads:
+        # per-payload, like the NumPy fallback: a 1024+1026 pair sums to
+        # 2*1025 and would pass a total-length check, then be misparsed at
+        # fixed strides by the C++ assembler (review finding)
+        if len(p) != step:
+            raise ValueError(f"every payload must be {step} bytes")
     buf = b"".join(payloads)
-    if len(buf) != step * len(payloads):
-        raise ValueError(f"every payload must be {step} bytes")
     out = np.zeros(n * data_size, dtype=np.uint8)
     filled = lib.assemble(
         buf,
@@ -272,10 +283,17 @@ class NativeUdpSender:
             raise ValueError(
                 f"frame must be {packets * data_size} bytes, got {len(frame)}"
             )
-        return _check(
-            self._lib.udp_send_frame(self.fd, frame, packets, data_size),
-            "udp_send_frame",
-        )
+        ret = self._lib.udp_send_frame(self.fd, frame, packets, data_size)
+        if ret == -errno.ECONNREFUSED:
+            # Fire-and-forget contract (no retransmit, like the FPGA's
+            # wire): a connected UDP socket surfaces the receiver's ICMP
+            # port-unreachable as ECONNREFUSED on the NEXT send, which
+            # would crash a streaming loop the moment the GUI detaches —
+            # the unconnected sendto fallback never sees this, so the
+            # native path must not either (review finding). The error is
+            # consumed by this send; subsequent sends proceed normally.
+            return 0
+        return _check(ret, "udp_send_frame")
 
     def close(self):
         if self.fd >= 0:

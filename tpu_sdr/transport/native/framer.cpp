@@ -32,7 +32,6 @@ int framer_abi_version() { return 2; }
 // ---------------------------------------------------------------------------
 
 static uint32_t crc_tab[8][256];
-static bool crc_init_done = false;
 
 static void crc_init() {
     for (int i = 0; i < 256; ++i) {
@@ -45,12 +44,19 @@ static void crc_init() {
         for (int t = 1; t < 8; ++t)
             crc_tab[t][i] =
                 (crc_tab[t - 1][i] >> 8) ^ crc_tab[0][crc_tab[t - 1][i] & 0xFF];
-    crc_init_done = true;
+}
+
+static void crc_ensure_init() {
+    // C++11 magic static: thread-safe one-time init. ctypes releases the
+    // GIL, so two threads CAN make their first CRC call concurrently; the
+    // previous plain-bool lazy flag was a formal data race.
+    static const bool once = (crc_init(), true);
+    (void)once;
 }
 
 // Raw (non-inverted) running CRC — the checker form (crc32_checker.vhd:27).
 uint32_t crc32_raw(const uint8_t* data, uint64_t n, uint32_t crc) {
-    if (!crc_init_done) crc_init();
+    crc_ensure_init();
     uint32_t c = crc;
     while (n >= 8) {
         uint32_t lo, hi;

@@ -166,8 +166,10 @@ class UdpSpectrumReceiver:
         if self.expected_src is not None and src != self.expected_src:
             self.packets_filtered += 1
             return
-        if len(data) != ETHERNET_PAYLOAD_SIZE:
-            return
+        # no size pre-check here: the assembler rejects wrong-size
+        # datagrams itself AND counts them in packets_dropped — an early
+        # return froze every stat at zero for a mis-sized sender (review
+        # finding)
         frame = self.assembler.add(data)
         if frame is None:
             return
