@@ -195,3 +195,15 @@ def test_bank_checkpoint_roundtrip(tmp_path):
     assert sa2.stats.frames_produced == sa.stats.frames_produced
     out = sa2.process(x)
     assert np.isfinite(np.asarray(out["magnitude"])).all()
+
+
+def test_designer_band_cutoff_validation():
+    """Review finding: a scalar cutoff for bandpass (or a tuple for
+    lowpass) crashed with a raw unpack/float TypeError instead of the
+    validation-style ValueError every other bad input gets."""
+    from tpu_sdr.control import design_iir_filter
+
+    with pytest.raises(ValueError, match="two cutoff"):
+        design_iir_filter(btype="bandpass", cutoff_hz=100e3)
+    with pytest.raises(ValueError, match="single cutoff"):
+        design_iir_filter(btype="lowpass", cutoff_hz=(1e3, 2e3))

@@ -111,3 +111,45 @@ def test_checkpoint_roundtrips_uart_streaming():
     sb.restore(sa.checkpoint())
     assert sb.uart_streaming
     assert sb.comm_mode == sa.comm_mode and sb.running
+
+
+def test_failed_first_chunk_does_not_poison_stream_kind():
+    """Review finding: the stream-kind latch (and IQ state swap) committed
+    BEFORE pipe.process validated the chunk, so a rejected first chunk
+    permanently fixed the kind and forced a spurious reset."""
+    sa = SpectrumAnalyzer(PipelineConfig(channels=1))
+    sa.start()
+    with pytest.raises(ValueError, match="multiple of"):
+        sa.process(np.zeros(100, np.float32))  # bad length, rejected
+    # the kind is still undetermined: a valid IQ first chunk must work
+    iq = np.zeros(16384, np.complex64)
+    out = sa.process(iq)
+    assert out is not None and sa._complex_stream is True
+
+
+def test_checkpoint_preserves_undetermined_stream_kind():
+    """Review finding: restore() inferred the stream kind from the state
+    shape, collapsing 'not yet fixed' (None) to real — a restored
+    not-yet-streaming analyzer then rejected IQ input the original would
+    have accepted."""
+    sa = SpectrumAnalyzer(PipelineConfig(channels=1))
+    sa.start()
+    ck = sa.checkpoint()
+    sb = SpectrumAnalyzer(PipelineConfig(channels=1))
+    sb.restore(ck)
+    out = sb.process(np.zeros(16384, np.complex64))  # IQ first chunk: OK
+    assert out is not None and sb._complex_stream is True
+
+
+def test_successful_upload_clears_stale_rejection():
+    """Review finding: last_upload_error persisted after a later
+    successful upload, reporting the working filter as rejected."""
+    import scipy.signal as sps
+
+    sa = SpectrumAnalyzer(PipelineConfig(channels=1))
+    # wire path: 0xF1 + 12 bytes decoding to poles outside the unit circle
+    sa.handle_bytes(bytes([0xF1]) + bytes([64, 0, 0, 64, 127, 127]) * 2)
+    assert sa.stats.uploads_rejected >= 1
+    assert sa.last_upload_error is not None
+    sa.upload_filter(sps.butter(4, 0.2, output="sos"))
+    assert sa.last_upload_error is None

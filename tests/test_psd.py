@@ -226,3 +226,15 @@ def test_median_bias_matches_scipy():
         pytest.skip("scipy private median bias not importable")
     for n in (1, 2, 3, 5, 16, 31):
         assert _median_bias(n) == pytest.approx(ref(n))
+
+
+def test_psd_rejects_complex_input():
+    """Review finding: complex input was silently cast to float (negative-
+    frequency content folded onto positive bins) instead of raising
+    toward compute_iq."""
+    psd = WelchPSD(fs=1e6, nperseg=512)
+    iq = np.zeros(4096, np.complex64)
+    with pytest.raises(ValueError, match="compute_iq"):
+        psd.compute(iq)
+    with pytest.raises(ValueError, match="re/im"):
+        psd.spectrogram(iq)

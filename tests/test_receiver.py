@@ -179,3 +179,13 @@ def test_write_wav_roundtrip(tmp_path):
         pcm = np.frombuffer(w.readframes(w.getnframes()), "<i2")
     assert pcm.size == 1600
     assert np.max(np.abs(pcm)) == pytest.approx(0.9 * 32767, rel=0.01)
+
+
+def test_receiver_rejects_complex_input():
+    """Review finding: complex input was silently cast to float (only a
+    ComplexWarning), demodulating the real plane alone — no image
+    rejection, wrong audio, no error."""
+    rx = Receiver(fs=1e6, center_hz=200e3, mode="am", audio_rate=25e3)
+    iq = np.zeros(rx.chunk_granularity, np.complex64)
+    with pytest.raises(ValueError, match="process_planes"):
+        rx.process(iq, rx.initial_state())

@@ -121,3 +121,16 @@ def test_scanner_last_batch_padding():
     x = _tones([(462.5e3, 0.5)], 131072)  # the LAST channel
     res = sc.scan(x)
     assert list(np.flatnonzero(res.occupied)) == [18]
+
+
+def test_scanner_rejects_complex_and_zero_decimation():
+    """Review findings: complex input was silently truncated to its real
+    plane (phantom mirror channels, 3 dB-low powers); decimation=0 was
+    silently replaced by the default instead of reaching DDCBank's own
+    validation."""
+    sc = SpectrumScanner(fs=1e6, f_start=0, f_stop=200e3, channel_bw=25e3)
+    with pytest.raises(ValueError, match="scan_planes"):
+        sc.scan(np.zeros(65536, np.complex64))
+    with pytest.raises(ValueError):
+        SpectrumScanner(fs=1e6, f_start=0, f_stop=200e3,
+                        channel_bw=25e3, decimation=0)

@@ -139,6 +139,10 @@ class SpectrumAnalyzer:
         self.pipe.upload_sos(sos)
         self.custom_sos = np.atleast_2d(np.asarray(sos, np.float64))
         self.stats.coefficient_uploads += 1
+        # a successful upload supersedes any earlier rejection — stale
+        # rejection text must not outlive the filter it rejected (review
+        # finding)
+        self.last_upload_error = None
 
     def upload_filter_bank(self, sos_bank: np.ndarray):
         """Per-channel coefficient reload (channels, sections, 6) — the
@@ -152,6 +156,7 @@ class SpectrumAnalyzer:
             sos_bank, self.cfg.channels, self.cfg.n_sections
         ).astype(np.float64)
         self.stats.coefficient_uploads += 1
+        self.last_upload_error = None  # see upload_filter
 
     # ------------------------------------------------------------------
     # wire protocol
@@ -216,20 +221,24 @@ class SpectrumAnalyzer:
         if not self.running:
             return None
         is_complex = bool(np.iscomplexobj(samples))
-        if self._complex_stream is None:
-            # first chunk after reset fixes the stream kind; IQ input needs
-            # the re/im-stacked state
-            self._complex_stream = is_complex
-            if is_complex:
-                self.state = self.pipe.initial_state(batch_shape=(2,))
-        elif is_complex != self._complex_stream:
+        if self._complex_stream is not None and is_complex != self._complex_stream:
             raise ValueError(
                 "cannot switch between real and complex (IQ) input "
                 "mid-stream; send reset (0xFF) first"
             )
-        out, self.state = self.pipe.process(
-            samples, self.state, self.filter_mode, outputs
+        # first chunk after reset fixes the stream kind; IQ input needs the
+        # re/im-stacked state. The latch (and the state swap) only commit
+        # AFTER pipe.process succeeds — a rejected first chunk (bad length)
+        # must not poison the stream kind and force a spurious reset
+        # (review finding).
+        state = self.state
+        if self._complex_stream is None and is_complex:
+            state = self.pipe.initial_state(batch_shape=(2,))
+        out, new_state = self.pipe.process(
+            samples, state, self.filter_mode, outputs
         )
+        self.state = new_state
+        self._complex_stream = is_complex
         x = np.asarray(samples)
         t = x.shape[-1]
         n_frames = t // self.cfg.effective_hop  # frames per chunk (hop-aware)
@@ -280,13 +289,27 @@ class SpectrumAnalyzer:
             # an armed 0xA5 DATA_REQ stream must survive resume like every
             # other piece of command-plane state
             "uart_streaming": self.uart_streaming,
+            # tri-state: None = kind not yet fixed by a first chunk. Must
+            # be persisted explicitly — inferring it from the state shape
+            # collapsed None to real, so a restored not-yet-streaming
+            # analyzer rejected IQ input the original would have accepted
+            # (review finding)
+            "complex_stream": self._complex_stream,
             "stats": self.stats.as_dict(),
         }
 
     def restore(self, ckpt: dict):
         self.state = StreamState.from_numpy(ckpt["state"])
-        # stream kind is encoded in the state shape: (2, C, S, 2) = IQ
-        self._complex_stream = bool(self.state.sos_state.ndim == 4)
+        if "complex_stream" in ckpt:
+            self._complex_stream = ckpt["complex_stream"]
+        else:
+            # legacy checkpoints: the kind is encoded in the state shape
+            # ((2, C, S, 2) = IQ) — except an untouched fresh state, which
+            # means the kind was never fixed
+            self._complex_stream = (
+                True if self.state.sos_state.ndim == 4
+                else (False if int(self.state.frame_count) > 0 else None)
+            )
         self.filter_mode = FilterMode(ckpt["filter_mode"])
         self.comm_mode = CommMode(ckpt["comm_mode"])
         self.running = bool(ckpt["running"])

@@ -94,13 +94,25 @@ def design_iir_filter(
     if btype not in BTYPES:
         raise ValueError(f"unknown btype {btype!r}; one of {BTYPES}")
     nyq = fs / 2.0
+    edges = np.atleast_1d(np.asarray(cutoff_hz, np.float64))
     if btype in ("bandpass", "bandstop"):
-        lo, hi = cutoff_hz  # type: ignore[misc]
+        if edges.size != 2:
+            # validation-style error, not a raw unpack TypeError (review
+            # finding: a scalar cutoff is the common GUI mistake here)
+            raise ValueError(
+                f"{btype} needs two cutoff frequencies (lo_hz, hi_hz); "
+                f"got {cutoff_hz!r}"
+            )
+        lo, hi = float(edges[0]), float(edges[1])
         if not (0 < lo < hi < nyq):
             raise ValueError(f"band edges must satisfy 0 < {lo} < {hi} < {nyq}")
         Wn = (lo / nyq, hi / nyq)
     else:
-        c = float(cutoff_hz)  # type: ignore[arg-type]
+        if edges.size != 1:
+            raise ValueError(
+                f"{btype} takes a single cutoff frequency; got {cutoff_hz!r}"
+            )
+        c = float(edges[0])
         if not (0 < c < nyq):
             raise ValueError(f"cutoff must be in (0, {nyq}) Hz")
         Wn = c / nyq

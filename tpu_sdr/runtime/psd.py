@@ -168,7 +168,7 @@ class WelchPSD:
             return np.fft.rfftfreq(self.nperseg, 1.0 / self.fs)
         return np.fft.fftfreq(self.nperseg, 1.0 / self.fs)
 
-    def _run(self, xr, xi, onesided: bool):
+    def _run(self, xr, xi, onesided: bool, average: str | None = None):
         nseg = self.segment_count(xr.shape[-1])
         return _welch(
             xr,
@@ -181,12 +181,18 @@ class WelchPSD:
             nseg=nseg,
             detrend=self.detrend,
             onesided=onesided,
-            average=self.average,
+            average=self.average if average is None else average,
             precision=self._precision,
         )
 
     def compute(self, x) -> jnp.ndarray:
         """Real input (..., T) -> one-sided PSD (..., nperseg//2 + 1)."""
+        if np.iscomplexobj(x):
+            # a silent complex->float cast would fold negative-frequency
+            # content onto the positive bins (review finding)
+            raise ValueError(
+                "complex (IQ) input: split re/im and use compute_iq"
+            )
         return self._run(jnp.asarray(x, jnp.float32), None, onesided=True)
 
     def compute_iq(self, xr, xi) -> jnp.ndarray:
@@ -209,20 +215,14 @@ class WelchPSD:
         before time, like SciPy. Pair with ``frequencies()`` and
         ``segment_times()`` for the axes. ``xi`` switches to IQ planes
         (two-sided, unshifted)."""
-        xr = jnp.asarray(x, jnp.float32)
-        nseg = self.segment_count(xr.shape[-1])
-        sxx = _welch(
-            xr,
+        if np.iscomplexobj(x):
+            raise ValueError(
+                "complex (IQ) input: split re/im and pass them as (x, xi)"
+            )
+        sxx = self._run(
+            jnp.asarray(x, jnp.float32),
             None if xi is None else jnp.asarray(xi, jnp.float32),
-            self._w,
-            self._plan,
-            jnp.float32(self._scale),
-            nperseg=self.nperseg,
-            step=self.step,
-            nseg=nseg,
-            detrend=self.detrend,
             onesided=xi is None,
             average="none",
-            precision=self._precision,
         )
         return jnp.swapaxes(sxx, -1, -2)

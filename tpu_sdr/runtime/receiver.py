@@ -227,6 +227,12 @@ class Receiver:
 
     def process(self, x, state: ReceiverState):
         """Real wideband input (..., T) -> (audio (..., T'), state)."""
+        if np.iscomplexobj(x):
+            # a silent complex->float cast would demodulate the real plane
+            # alone: no image rejection, wrong audio (review finding)
+            raise ValueError(
+                "complex (IQ) input: split re/im and use process_planes"
+            )
         self._check(x.shape[-1])
         bb, ds = self.ddc.process(jnp.asarray(x, jnp.float32), state.ddc)
         return self._run(bb, state, ds)

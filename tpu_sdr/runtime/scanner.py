@@ -27,6 +27,7 @@ from __future__ import annotations
 
 import dataclasses
 
+import jax.numpy as jnp
 import numpy as np
 
 from tpu_sdr.kernels.ddc import DDCBank
@@ -89,7 +90,13 @@ class SpectrumScanner:
         if n < 1:
             raise ValueError("span narrower than one channel")
         self.centers_hz = f_start + channel_bw * (0.5 + np.arange(n))
-        r = int(decimation) if decimation else max(1, int(self.fs // channel_bw))
+        # `is not None`, not truthiness: decimation=0 must reach DDCBank's
+        # own decimation >= 1 validation, not silently become the default
+        # (review finding)
+        r = (
+            int(decimation) if decimation is not None
+            else max(1, int(self.fs // channel_bw))
+        )
         self.k = min(int(k_per_dispatch), n)
         self.bank = DDCBank(
             fs=self.fs,
@@ -129,14 +136,21 @@ class SpectrumScanner:
             state = self._exec.initial_state()
         out, _ = (self._exec.process_planes if iq else self._exec.process)(
             x, state)
-        re = np.asarray(out["re"], np.float64)
-        im = np.asarray(out["im"], np.float64)
+        # Reduce ON DEVICE and pull ONE packed (K,) array (CLAUDE.md
+        # transfer discipline: every host sync costs ~35 ms flat and the
+        # download link runs ~40-50 MB/s — this was two full decimated-
+        # baseband downloads reduced on the host; review finding).
         # Discard the FIR transient: the first P-1 decimated outputs ramp
         # from zero history.
+        re = jnp.asarray(out["re"])
+        im = jnp.asarray(out["im"])
         skip = min(self.bank._template.p - 1, re.shape[-1] - 1)
-        p2 = re[..., skip:] ** 2 + im[..., skip:] ** 2
+        rr = re[..., skip:]
+        ii = im[..., skip:]
+        p2 = rr * rr + ii * ii
         # Average over time and any input batch dims; keep the carrier axis.
-        return p2.mean(axis=tuple(range(1, p2.ndim)))
+        power = jnp.mean(p2, axis=tuple(range(1, p2.ndim)))
+        return np.asarray(power, np.float64)
 
     def _scan(self, x, iq: bool) -> ScanResult:
         t = x.shape[-1]
@@ -174,6 +188,13 @@ class SpectrumScanner:
     def scan(self, x) -> ScanResult:
         """Real input (T,) or (..., T): batch dims are averaged into the
         per-channel power (a multi-capture scan)."""
+        if np.iscomplexobj(x):
+            # a silent complex->float cast would split each tone into ±f
+            # mirrors at half power, corrupting occupancy decisions
+            # (review finding)
+            raise ValueError(
+                "complex (IQ) input: split re/im and use scan_planes"
+            )
         return self._scan(np.asarray(x, np.float32), iq=False)
 
     def scan_planes(self, xs) -> ScanResult:
