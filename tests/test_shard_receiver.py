@@ -191,7 +191,9 @@ def test_sharded_stereo_decoder_bitwise(rng, mesh_shape):
         np.testing.assert_array_equal(
             np.asarray(getattr(s2, f)), np.asarray(getattr(s1, f)))
     assert s2.offset == s1.offset
-    assert s2.pilot_pow == pytest.approx(s1.pilot_pow)
+    np.testing.assert_allclose(
+        np.asarray(s2.pilot_pow), np.asarray(s1.pilot_pow)
+    )
 
 
 @pytest.mark.parametrize("mesh_shape", [(2, 4), (1, 8)])
@@ -224,8 +226,9 @@ def test_sharded_receiver_stereo_bitwise(mesh_shape):
         assert a_got.shape == (c, 2, a_ref.shape[-1])
         np.testing.assert_array_equal(np.asarray(a_got), np.asarray(a_ref))
     # the pilot actually locked and the L/R matrix engaged (guards
-    # against a closed gate making this a mono-path-only comparison)
-    assert s2.stereo.pilot_level() > 0.02
+    # against a closed gate making this a mono-path-only comparison);
+    # pilot_level is per-channel now — every channel carries the pilot
+    assert np.all(np.asarray(s2.stereo.pilot_level()) > 0.02)
     a = np.asarray(a_got)[0]
     assert not np.array_equal(a[0], a[1])
 
@@ -291,4 +294,6 @@ def test_sharded_receiver_bank_stereo_bitwise():
         a_got, s2 = sh.process(x, s2)
         assert a_got.shape == (2, 2, a_ref.shape[-1])
         np.testing.assert_array_equal(np.asarray(a_got), np.asarray(a_ref))
-    assert s2.stereo.pilot_level() > 0.02  # station 0 genuinely locked
+    # pilot_level is now PER-STATION (no host-collapsing max): station 0
+    # genuinely locked
+    assert np.asarray(s2.stereo.pilot_level()).reshape(-1)[0] > 0.02

@@ -112,10 +112,6 @@ def _affine_prefix_raw(a, b, y0, block: int):
     return y.reshape(*lead, a.shape[-1]), y_final
 
 
-_affine_prefix_blocked = functools.partial(
-    jax.jit, static_argnames=("block",))(_affine_prefix_raw)
-
-
 # --------------------------------------------------------- FM discriminator
 
 
@@ -159,9 +155,17 @@ def _agc_solve(mag, g0, mu: float, ref: float, block: int, affine=_affine_prefix
     """Shared gain solve for y[n] = g[n-1]*x[n] under the linear loop
     g[n] = g[n-1]*(1 - mu*mag[n]) + mu*ref. Returns (g inclusive,
     g_final); textually shared by the single-device fused forwards and
-    the sharded mirror so both graphs fold identically."""
+    the sharded mirror so both graphs fold identically.
+
+    The loop factor is floored at 0: an input spike with mag > 1/mu
+    would flip the gain's sign, and sustained mag > 2/mu makes the
+    unclamped recurrence diverge to +-inf (review finding — e.g. raw
+    int16-scale envelopes fed to the default mu). Floor-at-zero snaps
+    the gain straight to mu*ref (the hardest legitimate correction) and
+    is bit-neutral for the normalized signals the loop is designed for
+    (mu*mag << 1)."""
     return affine(
-        1.0 - jnp.float32(mu) * mag,
+        jnp.maximum(1.0 - jnp.float32(mu) * mag, jnp.float32(0.0)),
         jnp.broadcast_to(jnp.float32(mu * ref), mag.shape),
         g0, block, **affine_kw)
 

@@ -428,10 +428,9 @@ def _burst_demod(re, im, h, pre_re, pre_im, pt_re, pt_im, *, sps: int,
     pk_im = jnp.take_along_axis(c_im, lag[..., None], axis=-1)[..., 0] \
         if lead else c_im[lag]
     phase = jnp.arctan2(pk_im, pk_re)
-    # r = A e^{j phase} p  =>  |corr| = A * sum|p_k|^2
-    pre_energy = jnp.sum(pre_re * pre_re + pre_im * pre_im)
-    scale = pre_energy / jnp.sqrt(jnp.maximum(
-        pk_re * pk_re + pk_im * pk_im, 1e-30))
+    # (amplitude normalization comes from the half-correlations in the
+    # coherent branch / per-symbol normalization in the differential
+    # branch — the correlation-peak amplitude is not used)
 
     # frame slice: preamble + payload symbols starting at the lag (the
     # last preamble symbol doubles as the differential reference)
@@ -650,6 +649,13 @@ def _fsk_demod(re, im, tones, *, fs: float, sps: int, n_syms: int):
     thr = 0.25 * jnp.max(ps, axis=-1, keepdims=True)
     onset = jnp.argmax(ps > thr, axis=-1).astype(jnp.int32)
     need = (n_syms + 1) * sps
+    # Clamp so the decode window stays inside REAL samples: a burst whose
+    # onset leaves fewer than `need` samples would otherwise read the
+    # zero padding below and emit arbitrary tone decisions for the tail
+    # symbols with no signal behind them (review finding). Clamping keeps
+    # leading context instead — degraded alignment at worst, never
+    # synthetic zeros.
+    onset = jnp.minimum(onset, jnp.int32(t - need))
     re_p = jnp.pad(re, [(0, 0)] * len(lead) + [(0, need)])
     im_p = jnp.pad(im, [(0, 0)] * len(lead) + [(0, need)])
     if lead:

@@ -110,12 +110,16 @@ class IQCorrectorState:
         return cls(jnp.asarray(d["m2re"]), jnp.asarray(d["m2im"]),
                    jnp.asarray(d["power"]), int(d["offset"]))
 
-    def estimate(self) -> complex:
+    def estimate(self):
         """The current corrector tap c = E[z^2]/(2 E[|z|^2])
-        (host complex, ~= beta/conj(alpha))."""
-        p = max(2.0 * float(np.asarray(self.power)), 1e-12)
-        return complex(float(np.asarray(self.m2re)) / p,
-                       float(np.asarray(self.m2im)) / p)
+        (host values, ~= beta/conj(alpha)). Returns a Python complex for
+        an unbatched state, a complex ndarray per batch element otherwise
+        (review finding: float() raised on batched states the class
+        otherwise fully supports)."""
+        p = np.maximum(2.0 * np.asarray(self.power, np.float64), 1e-12)
+        c = np.asarray(self.m2re, np.float64) / p \
+            + 1j * np.asarray(self.m2im, np.float64) / p
+        return complex(c) if c.ndim == 0 else c
 
 
 class IQCorrector:

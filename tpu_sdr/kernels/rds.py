@@ -208,7 +208,8 @@ def make_mpx_rds(left, right, fs: float, encoder: RDSEncoder,
 
 @jax.jit
 def _rds_carrier_recover(zre, zim):
-    """z -> (x real baseband, cfo2 rad/sample, block2 phases (G,)).
+    """z -> (cfo2 rad/sample, br (G,), bi (G,)) — the coarse doubled-CFO
+    estimate plus per-block re/im sums of the derotated z^2 residue.
 
     Squares z (doubling the BPSK phase into a line), measures the mean
     single-lag increment (coarse 2*CFO), removes it as a ramp, then

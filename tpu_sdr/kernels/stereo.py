@@ -195,7 +195,13 @@ class StereoDecoderState:
         self.last_re, self.last_im = last_re, last_im
         self.filt = filt
         self.offset = int(offset)
-        self.pilot_pow = pilot_pow  # |pilot|^2 estimate at chunk end (host)
+        # |pilot|^2 estimate at chunk end — kept as a DEVICE array (per
+        # batch/station) like every other state leaf: converting it to a
+        # Python float per chunk forced a completion-wait sync in the
+        # streaming hot path (~35 ms flat per host sync on the tunnel,
+        # CLAUDE.md) and collapsed batched streams to one shared scalar
+        # (review finding). Fetch lazily via pilot_level()/to_numpy().
+        self.pilot_pow = pilot_pow
 
     def to_numpy(self) -> dict:
         return {
@@ -205,7 +211,7 @@ class StereoDecoderState:
             "last_im": np.asarray(self.last_im),
             "filt": np.asarray(self.filt),
             "offset": np.int64(self.offset),
-            "pilot_pow": np.float64(self.pilot_pow),
+            "pilot_pow": np.asarray(self.pilot_pow, np.float64),
         }
 
     @classmethod
@@ -215,12 +221,18 @@ class StereoDecoderState:
             jnp.asarray(d["b_re"]), jnp.asarray(d["b_im"]),
             jnp.asarray(d["last_re"]), jnp.asarray(d["last_im"]),
             jnp.asarray(d["filt"]), int(d["offset"]),
-            float(d.get("pilot_pow", 0.0)),
+            np.asarray(d.get("pilot_pow", 0.0), np.float64),
         )
 
-    def pilot_level(self) -> float:
-        """Estimated pilot amplitude (same units as the MPX input)."""
-        return float(np.sqrt(max(self.pilot_pow, 0.0)))
+    def pilot_level(self):
+        """Estimated pilot amplitude (same units as the MPX input).
+
+        Fetches lazily (one small sync HERE, not per streamed chunk).
+        Returns a float for an unbatched stream, a per-station array
+        otherwise."""
+        p = np.asarray(self.pilot_pow, np.float64)
+        lvl = np.sqrt(np.maximum(p, 0.0))
+        return float(lvl) if lvl.ndim == 0 else lvl
 
 
 class StereoDecoder:
@@ -290,8 +302,7 @@ class StereoDecoder:
             sub_gain=self.subcarrier_gain, pole=self._pole, block=self.block,
             w_max=self._w_max)
         new = StereoDecoderState(
-            far, fai, fbr, fbi, lre, lim, filt, state.offset + t,
-            float(np.max(np.asarray(p2))) if p2.ndim else float(p2))
+            far, fai, fbr, fbi, lre, lim, filt, state.offset + t, p2)
         return lr, new
 
 

@@ -49,7 +49,7 @@ def _affine_timesharded(a, b, y0, block: int, time_shards: int):
     """The blocked affine solver under shard_map: a, b (..., t_loc)
     sharded on "time"; y0 (...,) replicated. Returns (y (..., t_loc)
     sharded, y_final (...,) replicated). Bitwise == the single-device
-    ``_affine_prefix_blocked`` when t_loc % block == 0."""
+    ``_affine_prefix_raw`` when t_loc % block == 0."""
     lead = a.shape[:-1]
     A, B = _inblock_prefix(a, b, block)  # (..., G_loc, L)
     A_l, B_l = A[..., -1], B[..., -1]  # (..., G_loc)

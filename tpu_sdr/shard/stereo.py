@@ -187,5 +187,5 @@ class ShardedStereoDecoder:
             phase0, jnp.uint32(word))
         new = StereoDecoderState(
             far, fai, fbr, fbi, lre, lim, filt, state.offset + t,
-            float(np.max(np.asarray(p2))) if p2.ndim else float(p2))
+            p2)  # device-resident; see StereoDecoderState.pilot_pow
         return lr, new
