@@ -446,3 +446,67 @@ def test_serial_floor_report_bounds():
     sf2 = serial_floor_report(
         cfg, measured_samples_per_sec=2 * sf["serial_floor_samples_per_sec"])
     assert sf2["fraction_of_serial_floor"] == pytest.approx(2.0)
+
+
+def test_file_source_raw_float32_suffix(tmp_path):
+    """Review finding: every non-.npy file decoded as int16, so the
+    documented raw-float32 path played garbage. Suffix-selected dtypes
+    now cover the common SDR raw formats."""
+    from tpu_sdr.runtime.source import FileSource
+
+    ref = (np.sin(np.arange(256) * 0.1)).astype(np.float32)
+    p32 = tmp_path / "cap.f32"
+    ref.tofile(p32)
+    src = FileSource(str(p32), fs=1e6)
+    got = src.read(256)
+    assert np.array_equal(got[0], ref)
+
+    iq = (ref + 1j * ref[::-1]).astype(np.complex64)
+    pc = tmp_path / "cap.cf32"
+    iq.tofile(pc)
+    srcc = FileSource(str(pc), fs=1e6)
+    gotc = srcc.read(256)
+    assert np.iscomplexobj(gotc) and np.array_equal(gotc[0], iq)
+
+
+def test_feeder_restart_runs_single_producer():
+    """Review finding: stop() nulled the thread after its bounded join
+    timed out (producer blocked in a long source.read()), so a restart
+    spawned a SECOND producer over the same source, interleaving
+    out-of-order chunks. start() now waits the old producer out, and a
+    restart clears any stale error."""
+    import threading
+
+    from tpu_sdr.runtime.feeder import StreamFeeder
+
+    gate = threading.Event()
+    lock = threading.Lock()
+    active = {"n": 0, "max": 0, "reads": 0}
+
+    class BlockingSource:
+        def read(self, n, pace=False):
+            with lock:
+                active["n"] += 1
+                active["max"] = max(active["max"], active["n"])
+                active["reads"] += 1
+            try:
+                if active["reads"] == 1:
+                    assert gate.wait(30)  # first read wedges past the join
+                return np.zeros(n, np.float32)
+            finally:
+                with lock:
+                    active["n"] -= 1
+
+    f = StreamFeeder(BlockingSource(), chunk_samples=256)
+    f.start()
+    import time as _t
+
+    _t.sleep(0.2)  # ensure the producer is inside the wedged read
+    f.stop()  # bounded join times out; thread survives, reference kept
+    gate.set()  # the wedged read completes in the background
+    f.start()  # must wait the old producer out before spawning anew
+    got = f.get(timeout=10.0)
+    assert got.shape[-1] == 256
+    f.stop()
+    assert active["max"] == 1, "two producers ran over one source"
+    assert f._error is None

@@ -186,3 +186,23 @@ def test_bank_precompute_promotes_2d_design():
     b = banks.prepare_bank(sos, channels=1, n_sections=6)
     assert b.shape == (1, 6, 6)  # padded with identity sections
     np.testing.assert_array_equal(b[0, :3], np.asarray(sos, np.float64))
+
+
+def test_detect_bucketed_trailing_empty_bucket():
+    """Review finding (verified by execution): with a duplicated final
+    edge (trailing empty bucket), the start-index clamp truncated the
+    last real bucket by one bin — bucket [2,4) reported x[2] instead of
+    max(x[2:4])."""
+    from tpu_sdr.runtime.waterfall import detect_bucketed
+
+    x = np.array([1.0, 2.0, 3.0, 10.0])
+    assert list(detect_bucketed(x, [0, 2, 4, 4], "peak")) == [2.0, 10.0, 10.0]
+    assert np.allclose(
+        detect_bucketed(x, [0, 2, 4, 4], "avg"), [1.5, 6.5, 10.0]
+    )
+    # interior empty buckets keep reduceat's start-bin semantics
+    assert list(detect_bucketed(x, [0, 2, 2, 4], "peak")) == [2.0, 3.0, 10.0]
+    assert np.allclose(
+        detect_bucketed(x, [0, 2, 4, 4], "rms"),
+        [np.sqrt(2.5), np.sqrt(54.5), 10.0],
+    )

@@ -171,3 +171,25 @@ def test_recorder_append_close_race_is_clean(tmp_path, rng):
     k = meta["samples"] // 17
     expect = np.repeat(np.arange(k, dtype=np.float32), 17)[None, :]
     np.testing.assert_array_equal(data, expect)
+
+
+def test_recorder_copies_reused_buffer(tmp_path):
+    """Review finding: append() stored an already-contiguous float32
+    chunk by REFERENCE (ascontiguousarray is a no-copy pass-through), so
+    a source refilling one preallocated buffer made the capture replay
+    its last chunk."""
+    from tpu_sdr.runtime.recorder import SampleRecorder
+
+    path = str(tmp_path / "cap.npy")
+    rec = SampleRecorder(path, fs=1e6)
+    buf = np.zeros((1, 64), np.float32)  # one reused read buffer
+    for k in range(3):
+        buf[:] = float(k + 1)
+        rec.append(buf)
+    info = rec.close()
+    data = np.load(path)
+    assert data.shape[-1] == 192
+    assert np.array_equal(
+        data[0, ::64], np.array([1.0, 2.0, 3.0], np.float32)
+    ), "capture aliased the reused buffer"
+    assert info["samples"] == 192

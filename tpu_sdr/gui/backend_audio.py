@@ -211,7 +211,14 @@ class AudioScanMixin:
         if xn.ndim > 1:
             xn = xn[0]  # listen to channel 0 of multi-channel sources
         iq = bool(np.iscomplexobj(xn))
-        if iq != rt["iq"]:
+        if rt["iq"] is None:
+            # adopt the stream kind from the FIRST chunk: set_audio may run
+            # before the receiver has produced any chunk, when self._iq is
+            # not yet known — snapshotting it there silently auto-disabled
+            # audio on IQ sources enabled early (review finding)
+            rt["iq"] = iq
+            rt["raw"] = np.zeros(0, np.complex64 if iq else np.float32)
+        elif iq != rt["iq"]:
             raise ValueError("source real/IQ type changed; re-enable audio")
         buf = np.concatenate([rt["raw"], xn])
         g = rt["rx"].chunk_granularity
@@ -240,7 +247,16 @@ class AudioScanMixin:
         unknown = sorted(set(cfg) - known)
         ac = dict(self.audio_cfg)
         if "center_khz" in cfg:
-            ac["center_khz"] = float(cfg["center_khz"])
+            c = float(cfg["center_khz"])
+            fs = self.sa.cfg.sample_rate
+            if abs(c) * 1e3 > fs / 2:
+                # same bound set_zoom enforces: beyond Nyquist the 32-bit
+                # NCO wraps mod fs and would silently demodulate an
+                # unrelated alias (review finding)
+                raise ValueError(
+                    f"audio center must be within +/-{fs / 2e3:.0f} kHz"
+                )
+            ac["center_khz"] = c
         if "mode" in cfg:
             mode = str(cfg["mode"]).lower()
             if mode not in MODES:
@@ -266,11 +282,9 @@ class AudioScanMixin:
             self._audio_rt = {
                 "rx": rx,
                 "state": rx.initial_state(),
-                "iq": bool(getattr(self, "_iq", False)),
-                "raw": np.zeros(
-                    0,
-                    np.complex64 if getattr(self, "_iq", False) else np.float32,
-                ),
+                # None = adopt from the first chunk (see _audio_step)
+                "iq": None,
+                "raw": np.zeros(0, np.float32),
                 "audio": np.zeros((2, 0) if ac["stereo"] else 0, np.float32),
                 "rate": rate,
                 "max_samples": int(ac["max_seconds"] * rate),

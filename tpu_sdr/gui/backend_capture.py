@@ -21,6 +21,13 @@ class CaptureMixin:
         fs = self.sa.cfg.sample_rate
         lo_b = trig["f_lo_khz"] * 1e3 * n / fs
         hi_b = trig["f_hi_khz"] * 1e3 * n / fs
+        if lo_b >= n // 2:
+            # the configured band lies wholly beyond the stream's
+            # representable span (|f| > fs/2): report -inf so the trigger
+            # can never fire on it — the old clip collapsed the band onto
+            # the top in-range bin and fired on a frequency the user never
+            # configured (review finding)
+            return float(20.0 * np.log10(1e-30))
         if getattr(self, "_iq", False):
             view = np.fft.fftshift(mag)
             c = n // 2
@@ -95,6 +102,14 @@ class CaptureMixin:
             hi = float(cfg.get("f_hi_khz", self.trigger_cfg["f_hi_khz"]))
             if not (0 <= lo < hi):
                 raise ValueError(f"need 0 <= f_lo < f_hi; got [{lo}, {hi}] kHz")
+            nyq_khz = self.sa.cfg.sample_rate / 2e3
+            if lo >= nyq_khz:
+                # a band wholly beyond |fs/2| can never contain signal on
+                # this stream (review finding: it used to clip onto the
+                # top in-range bin and trigger on it)
+                raise ValueError(
+                    f"f_lo {lo:g} kHz is beyond Nyquist ({nyq_khz:g} kHz)"
+                )
             updates["f_lo_khz"], updates["f_hi_khz"] = lo, hi
         if "threshold_db" in cfg:
             updates["threshold_db"] = float(cfg["threshold_db"])

@@ -45,8 +45,13 @@ class ZoomMixin:
             sub_rate = fs / zc["m"]
             k = int(zc["channel"]) % zc["m"]
             center_hz = k * sub_rate
-            if iq and center_hz > fs / 2:
-                center_hz -= fs  # IQ subchannels wrap to negative freqs
+            if center_hz > fs / 2:
+                # subchannels k > m/2 are centered at NEGATIVE frequencies
+                # for real input too (they hold the conjugate mirror of
+                # |f| = fs - k*fs/m) — labeling them k*fs/m put the center
+                # above Nyquist, a frequency a real stream cannot contain
+                # (review finding)
+                center_hz -= fs
         # 1024-pt zoom FFT = 32x32 four-step at the decimated rate
         pipe = SpectrumPipeline(
             PipelineConfig(

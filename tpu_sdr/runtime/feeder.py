@@ -9,7 +9,7 @@ compute overlap. ``depth`` staged chunks play the FIFO-depth role; when the
 consumer stalls, the feeder blocks (backpressure) rather than dropping —
 drop policy belongs to the display edge, not the signal path.
 
-    feeder = StreamFeeder(source, chunk_samples=4 * 16384, pipe=pipe)
+    feeder = StreamFeeder(source, chunk_samples=4 * 16384)
     feeder.start()
     for _ in range(n):
         x = feeder.get()              # device-resident, already transferred
@@ -49,6 +49,18 @@ class StreamFeeder:
         self.chunks_staged = 0
 
     def start(self):
+        # A restart must never run TWO producers over one source: if a
+        # previous thread out-waited stop()'s bounded join (blocked in a
+        # long source.read()), wait it out for real before spawning the
+        # replacement — its loop exits at the next _stop check, but only
+        # if _stop is still set while it runs (review finding: clearing
+        # _stop first resumed the old loop alongside the new thread,
+        # interleaving out-of-order chunks into the stream).
+        if self._thread is not None and self._thread.is_alive():
+            self._stop.set()
+            self._thread.join()
+        self._thread = None
+        self._error = None  # a restart starts clean (review finding)
         self._stop.clear()
         self._thread = threading.Thread(target=self._run, daemon=True)
         self._thread.start()
@@ -114,7 +126,11 @@ class StreamFeeder:
         self._stop.set()
         if self._thread is not None:
             self._thread.join(timeout=2.0)
-            self._thread = None
+            if not self._thread.is_alive():
+                self._thread = None
+            # else: still blocked in source.read(); keep the reference so
+            # start() can wait it out — nulling it here let a restart run
+            # two producers over one source (review finding)
         # drain staged chunks so buffers free promptly
         while True:
             try:

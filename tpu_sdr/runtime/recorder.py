@@ -56,7 +56,12 @@ class SampleRecorder:
         if x.ndim != 2:
             raise ValueError(f"need (n,) or (channels, n) chunks; got {x.shape}")
         is_c = np.iscomplexobj(x)
-        x = np.ascontiguousarray(x, np.complex64 if is_c else np.float32)
+        # ALWAYS copy: ascontiguousarray is a no-copy pass-through for an
+        # already-contiguous matching-dtype array, and a source that
+        # refills one preallocated read buffer would then alias every
+        # stored chunk to that buffer — the capture would replay the last
+        # chunk N times (review finding)
+        x = np.array(x, np.complex64 if is_c else np.float32, order="C")
         sig = (x.shape[0], is_c)
         with self._lock:
             if self._closed:

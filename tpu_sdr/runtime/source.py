@@ -91,10 +91,20 @@ class SyntheticSource:
 
 class FileSource:
     """Looped playback of a capture file (.npy — real or complex/IQ, e.g.
-    a ``SampleRecorder`` capture — or raw int16/float32). A JSON sidecar
-    written by the recorder overrides ``fs``."""
+    a ``SampleRecorder`` capture — or raw samples). Raw dtype: int16
+    (Q15-scaled to float) by default; suffix-selected for the common SDR
+    raw formats — ``.f32``/``.float32`` (float32), ``.cf32``/``.c64``
+    (complex64 IQ) — or forced via ``raw_dtype``. A JSON sidecar written
+    by the recorder overrides ``fs``."""
 
-    def __init__(self, path: str, fs: float = 1_000_000.0, channels: int = 1):
+    _RAW_SUFFIXES = {
+        ".f32": np.float32, ".float32": np.float32,
+        ".cf32": np.complex64, ".c64": np.complex64,
+        ".i16": np.int16, ".s16": np.int16,
+    }
+
+    def __init__(self, path: str, fs: float = 1_000_000.0, channels: int = 1,
+                 raw_dtype=None):
         if path.endswith(".npy"):
             data = np.load(path)
             sidecar = path[: -len(".npy")] + ".json"
@@ -104,8 +114,17 @@ class FileSource:
                 with open(sidecar) as f:
                     fs = float(json.load(f).get("fs", fs))
         else:
-            raw = np.fromfile(path, dtype=np.int16)
-            data = raw.astype(np.float32) / qf.Q15_SCALE
+            if raw_dtype is None:
+                ext = os.path.splitext(path)[1].lower()
+                # default int16 preserved for unknown suffixes; float/IQ
+                # raws previously decoded as int16 garbage (review finding)
+                raw_dtype = self._RAW_SUFFIXES.get(ext, np.int16)
+            raw_dtype = np.dtype(raw_dtype)
+            raw = np.fromfile(path, dtype=raw_dtype)
+            if raw_dtype == np.int16:
+                data = raw.astype(np.float32) / qf.Q15_SCALE
+            else:
+                data = raw  # float32 / complex64 raws are already scaled
         dtype = np.complex64 if np.iscomplexobj(data) else np.float32
         self.data = np.atleast_2d(np.asarray(data, dtype))
         self.fs = fs

@@ -74,19 +74,43 @@ def detect_bucketed(x: np.ndarray, edges: np.ndarray, detector: str = "peak"):
     if edges[0] < 0 or edges[-1] > x.shape[-1]:
         raise ValueError(f"edges out of range for {x.shape[-1]} bins")
     x = x[: edges[-1]]  # reduceat's last bucket runs to the end of x
-    starts = np.minimum(edges[:-1], max(edges[-1] - 1, 0))
+    L = x.shape[-1]
+    starts = edges[:-1]
+    clamped = np.minimum(starts, max(L - 1, 0))
+    # Duplicate INTERIOR edges already follow reduceat semantics (an
+    # empty bucket yields its start bin's value). Only TRAILING empty
+    # buckets (start == L) need the clamp above — and the clamp then
+    # truncates the last real bucket's segment by one bin, so that one
+    # bucket is recomputed over its full extent below (review finding,
+    # verified by execution: the old code reported bucket [2,4)'s peak
+    # as x[2] instead of max(x[2:4]) whenever the final edge repeated).
+    j = -1
+    if L > 0 and starts.size and starts[-1] >= L:
+        j = int(np.searchsorted(starts, L, side="left")) - 1
     if detector == "peak":
-        return np.maximum.reduceat(x, starts)
+        res = np.maximum.reduceat(x, clamped)
+        if j >= 0:
+            res[j] = x[starts[j]:].max()
+        return res
     if detector == "minpeak":
-        return np.minimum.reduceat(x, starts)
+        res = np.minimum.reduceat(x, clamped)
+        if j >= 0:
+            res[j] = x[starts[j]:].min()
+        return res
     # Empty buckets: reduceat returns x[start]; divide by a count of 1.
     counts = np.maximum(np.diff(edges), 1)
     if detector == "avg":
-        return np.add.reduceat(x, starts) / counts
+        s = np.add.reduceat(x, clamped)
+        if j >= 0:
+            s[j] = x[starts[j]:].sum()
+        return s / counts
     if detector == "rms":
-        return np.sqrt(np.add.reduceat(x * x, starts) / counts)
+        s = np.add.reduceat(x * x, clamped)
+        if j >= 0:
+            s[j] = (x[starts[j]:] ** 2).sum()
+        return np.sqrt(s / counts)
     if detector == "sample":
-        return x[starts]
+        return x[clamped]
     raise ValueError(f"detector must be one of {DETECTORS}; got {detector!r}")
 
 
